@@ -1,0 +1,102 @@
+"""pydiverse_transform_spark — a PySpark-native pipe-based dataframe DSL.
+
+A from-scratch engine with the query surface and semantics of
+pydiverse.transform (the reference), re-expressed Spark-first: verbs
+build one composed DataFrame plan, Catalyst + Tungsten + AQE execute it.
+
+    import pydiverse_transform_spark as pdt
+    t = pdt.read_parquet(spark, ".../lineitem.parquet")
+    (t
+     >> pdt.filter(t.l_shipdate <= pdt.lit(dt.datetime(1998, 9, 2)))
+     >> pdt.group_by(t.l_returnflag, t.l_linestatus)
+     >> pdt.summarize(sum_qty=t.l_quantity.sum(), n=pdt.count())
+     >> pdt.arrange(pdt.C.l_returnflag)
+     >> pdt.export(pdt.Pandas))
+"""
+
+from . import types  # noqa: F401
+from .functions import (  # noqa: F401
+    all,
+    any,
+    coalesce,
+    count,
+    dense_rank,
+    lit,
+    max,
+    min,
+    rand,
+    rank,
+    row_number,
+    sum,
+    when,
+)
+from .operators.pipeable import Pipeable, verb  # noqa: F401
+from .operators.verbs import (  # noqa: F401
+    alias,
+    arrange,
+    build_query,
+    collect,
+    columns,
+    cross_join,
+    distinct,
+    drop,
+    export,
+    filter,
+    full_join,
+    group_by,
+    inner_join,
+    join,
+    left_join,
+    mutate,
+    name,
+    rename,
+    select,
+    show,
+    show_query,
+    slice_head,
+    summarize,
+    ungroup,
+    union,
+)
+from .plans.expr import C, Col, ColExpr, ColName, Order  # noqa: F401
+from .sources import (  # noqa: F401
+    from_dict,
+    from_pandas,
+    from_polars,
+    from_rows,
+    read_csv,
+    read_jdbc,
+    read_json,
+    read_orc,
+    read_parquet,
+    read_table,
+)
+from .table import Table  # noqa: F401
+from .targets import (  # noqa: F401
+    Arrow,
+    Dict,
+    DictOfLists,
+    ListOfRows,
+    Pandas,
+    Polars,
+    Scalar,
+    Spark,
+)
+from .types import (  # noqa: F401
+    Bool,
+    Date,
+    Datetime,
+    Decimal,
+    Duration,
+    Float32,
+    Float64,
+    Int8,
+    Int16,
+    Int32,
+    Int64,
+    List,
+    String,
+)
+from .types import Float, Int  # noqa: F401
+
+__version__ = "0.1.0"

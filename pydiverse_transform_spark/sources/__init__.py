@@ -1,0 +1,90 @@
+"""Sources: construct Tables from files, in-memory data, and catalogs.
+
+The reference accepts polars/pandas/dict/SQLAlchemy inputs
+(reference backend/table_impl.py:55-115); here everything funnels into
+``spark.read`` / ``spark.createDataFrame`` so scans get predicate
+pushdown, column pruning and partition pruning from Catalyst.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..table import Table
+
+__all__ = [
+    "read_parquet", "read_csv", "read_json", "read_orc", "read_table",
+    "read_jdbc", "from_pandas", "from_polars", "from_dict", "from_rows",
+]
+
+
+def _name_from_path(path: str) -> str:
+    base = path.rstrip("/").rsplit("/", 1)[-1]
+    return base.split(".")[0]
+
+
+def read_parquet(spark: SparkSession, path: str, name: str | None = None
+                 ) -> Table:
+    return Table(spark.read.parquet(path), name or _name_from_path(path))
+
+
+def read_csv(spark: SparkSession, path: str, name: str | None = None,
+             header: bool = True, schema=None, **options) -> Table:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+        df = reader.csv(path, header=header)
+    else:
+        df = reader.csv(path, header=header, inferSchema=True)
+    return Table(df, name or _name_from_path(path))
+
+
+def read_json(spark: SparkSession, path: str, name: str | None = None,
+              schema=None, **options) -> Table:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return Table(reader.json(path), name or _name_from_path(path))
+
+
+def read_orc(spark: SparkSession, path: str, name: str | None = None) -> Table:
+    return Table(spark.read.orc(path), name or _name_from_path(path))
+
+
+def read_table(spark: SparkSession, table_name: str,
+               name: str | None = None) -> Table:
+    """A table registered in the Spark catalog (hive/temp view/iceberg...)."""
+    return Table(spark.table(table_name), name or table_name.split(".")[-1])
+
+
+def read_jdbc(spark: SparkSession, url: str, dbtable: str,
+              name: str | None = None, **options) -> Table:
+    df = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", dbtable)
+        .options(**options)
+        .load()
+    )
+    return Table(df, name or dbtable.split(".")[-1])
+
+
+def from_pandas(spark: SparkSession, pdf, name: str | None = None) -> Table:
+    return Table(spark.createDataFrame(pdf), name or "pandas")
+
+
+def from_polars(spark: SparkSession, pldf, name: str | None = None) -> Table:
+    return Table(spark.createDataFrame(pldf.to_pandas()), name or "polars")
+
+
+def from_dict(spark: SparkSession, data: dict, name: str | None = None
+              ) -> Table:
+    """Column-oriented dict {col: [values]} (reference accepts the same)."""
+    import pandas as pd
+
+    return Table(spark.createDataFrame(pd.DataFrame(data)), name or "dict")
+
+
+def from_rows(spark: SparkSession, rows, schema=None,
+              name: str | None = None) -> Table:
+    return Table(spark.createDataFrame(rows, schema=schema), name or "rows")

@@ -1,0 +1,148 @@
+"""The Table wrapper: a lazy logical relation over a PySpark DataFrame.
+
+Design (SURVEY §1.3 "Spark mapping"): the wrapped DataFrame *is* the
+logical plan — verbs apply DataFrame transformations immediately (still
+lazy w.r.t. execution; Catalyst optimizes the composed plan).  On top we
+keep the reference's UUID column-identity model
+(reference pipe/table.py:23, pipe/cache.py:18-31):
+
+- every in-scope column has a UUID; the physical DataFrame's columns are
+  named ``c_<uuid.hex>`` so user renames / hidden columns / joins can
+  never collide physically;
+- ``_select`` is the ordered list of *visible* column UUIDs; deselected
+  or overwritten columns stay physically present ("hidden") and remain
+  usable through previously captured ``t.col`` references;
+- ``_partition_by`` is the ambient grouping (group_by/ungroup verbs);
+- ``_order`` remembers the last arrange so order-dependent window ops
+  and slice_head have a deterministic default ordering.
+"""
+
+from __future__ import annotations
+
+import uuid as _uuid
+
+from pyspark.sql import DataFrame
+
+from . import types as tp
+from .plans.compile import Scope, phys
+from .plans.expr import Col, ColExpr, ColName, Order
+
+__all__ = ["Table"]
+
+
+class Table:
+    __slots__ = ("_df", "_cols", "_select", "_partition_by", "_order", "_name")
+
+    def __init__(self, df: DataFrame, name: str | None = None):
+        if not isinstance(df, DataFrame):
+            raise TypeError(
+                "Table() takes a pyspark DataFrame; use "
+                "sources.from_pandas/from_dict/read_parquet for other inputs"
+            )
+        self._name = name or "?"
+        cols: dict[_uuid.UUID, Col] = {}
+        select: list[_uuid.UUID] = []
+        exprs = []
+        for field in df.schema.fields:
+            u = _uuid.uuid4()
+            cols[u] = Col(
+                field.name, u, tp.from_spark_type(field.dataType), self._name
+            )
+            select.append(u)
+            exprs.append(df[field.name].alias(phys(u)))
+        self._df = df.select(*exprs)
+        self._cols = cols
+        self._select = select
+        self._partition_by: list[_uuid.UUID] = []
+        self._order: list[Order] = []
+
+    # -- construction of derived tables (used by verbs) --------------------
+    @classmethod
+    def _derived(cls, df, cols, select, partition_by, order, name) -> "Table":
+        t = object.__new__(cls)
+        t._df = df
+        t._cols = cols
+        t._select = select
+        t._partition_by = partition_by
+        t._order = order
+        t._name = name
+        return t
+
+    def _scope(self) -> Scope:
+        return Scope(self._cols, self._name2uuid(), self._partition_by)
+
+    def _name2uuid(self) -> dict[str, _uuid.UUID]:
+        return {self._cols[u].name: u for u in self._select}
+
+    # -- user surface -------------------------------------------------------
+    def __getattr__(self, name: str) -> Col:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self[name]
+
+    def __getitem__(self, name: str) -> Col:
+        n2u = self._name2uuid()
+        if name not in n2u:
+            raise KeyError(
+                f"table `{self._name}` has no column `{name}`; "
+                f"columns: {list(n2u)}"
+            )
+        return self._cols[n2u[name]]
+
+    def __rshift__(self, rhs):
+        if callable(rhs):
+            return rhs(self)
+        return NotImplemented
+
+    def __contains__(self, col) -> bool:
+        if isinstance(col, Col):
+            return col.uuid in self._cols
+        return col in self._name2uuid()
+
+    @property
+    def columns(self) -> list[str]:
+        return [self._cols[u].name for u in self._select]
+
+    @property
+    def dtypes(self) -> dict[str, tp.Dtype]:
+        return {self._cols[u].name: self._cols[u]._dtype for u in self._select}
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def __repr__(self):
+        cols = ", ".join(
+            f"{self._cols[u].name}: {self._cols[u]._dtype!r}"
+            for u in self._select
+        )
+        return f"Table({self._name}, [{cols}])"
+
+    def __str__(self):
+        return self.__repr__()
+
+    # -- resolution helper used by verbs -------------------------------------
+    def _resolve_uuid(self, c) -> _uuid.UUID:
+        """Accept a Col, ColName, or plain string and return its UUID."""
+        if isinstance(c, Col):
+            if c.uuid not in self._cols:
+                raise ValueError(f"column {c!r} not in scope of `{self._name}`")
+            return c.uuid
+        if isinstance(c, ColName):
+            return self._resolve_uuid(c.name)
+        if isinstance(c, str):
+            n2u = self._name2uuid()
+            if c not in n2u:
+                raise KeyError(
+                    f"table `{self._name}` has no visible column `{c}`"
+                )
+            return n2u[c]
+        raise TypeError(f"expected a column reference, got {c!r}")
+
+    # convenience: the underlying Spark DataFrame with display names
+    def to_spark(self) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return self._df.select(
+            *[F.col(phys(u)).alias(self._cols[u].name) for u in self._select]
+        )
