@@ -1,0 +1,162 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale design notes (100 TB target):
+- exact dedup is a single hash-aggregate shuffle on the fingerprint;
+- MinHash LSH shuffles once on (band_id, band_hash) — candidate pairs
+  are produced by an equi-join on bucket, never an O(n²) cross join;
+- all hashing is md5-based and engine-portable (same buckets in any
+  engine that has md5), so results are deterministic and oracle-checkable;
+- everything is built-in-function Catalyst expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup", "word_shingles", "char_shingles", "minhash_signature",
+    "lsh_candidate_pairs", "jaccard", "minhash_dedup_pairs", "simhash",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per normalized-text fingerprint.
+    One hash-aggregate; at scale the md5 keys distribute uniformly."""
+    from .text import fingerprint
+
+    fp = fingerprint(F.col(text_col))
+    return (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__fp")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string> (deduplicated)."""
+    words = F.split(F.lower(F.regexp_replace(text, r"^\s+|\s+$", "")), r"\s+")
+    n = F.size(words)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda j: F.array_join(F.slice(words, j + 1, k), " "),
+    )
+    return F.array_distinct(sh)
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """k-character shingles (deduplicated)."""
+    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n = F.length(t)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda j: F.substring(t, j, k),
+    )
+    return F.array_distinct(sh)
+
+
+def minhash_value(shingles: Column, i: int) -> Column:
+    """The i-th minhash: lexicographic min of md5(i || shingle).
+    md5-based so any engine reproduces the identical signature."""
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+        )
+    )
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> list[Column]:
+    return [minhash_value(shingles, i) for i in range(n_hashes)]
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        n_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs.
+
+    signature → split into ``bands`` bands of ``n_hashes/bands`` rows →
+    band hash = md5 of the concatenated band → explode → self-equi-join
+    on (band_idx, band_hash).  The join shuffles on the band hash, which
+    is uniform md5 — no skew, broadcast-free, scales to any corpus size.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), k), n_hashes)
+    band_cols = [
+        F.md5(F.concat_ws("|", *sig[b * rows:(b + 1) * rows])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    withb = df.select(F.col(id_col), *band_cols)
+    buckets = withb.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.h").alias("h"))
+    right = (
+        buckets.withColumnRenamed(id_col, "id_b")
+    )
+    pairs = (
+        buckets.withColumnRenamed(id_col, "id_a")
+        .join(right, on=["band", "h"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (deduplicated) shingle arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union == 0, F.lit(0.0)).otherwise(
+        inter.cast("double") / union.cast("double")
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        n_hashes: int = 16, bands: int = 4,
+                        threshold: float = 0.7) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates, then exact n-gram Jaccard
+    verification on the candidate pairs only."""
+    cands = lsh_candidate_pairs(df, text_col, id_col, k, n_hashes, bands)
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over whitespace tokens with md5-derived
+    per-token hashes.  bit b of the result = sign of the sum over tokens
+    of ±1 according to bit b of md5(token).  Pure Catalyst expressions."""
+    from .text import tokens as _tokens
+
+    toks = _tokens(F.lower(text))
+    # per-token integer hash from the first 8 hex chars of md5 (32 bits)
+    th = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
+                     .cast("long"))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        contrib = F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b) % 2 == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        out = out + F.when(contrib > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+    return out

