@@ -1,38 +1,1316 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship TPC-H Q1-shaped query on sf0.001.
+``queries()``      — one (spark, sf_dir) -> DataFrame per implemented
+                     operator group from SURVEY.md §2 + the LLM-pipeline
+                     extras (dedup / similarity / text / events).
+``oracle_sql()``   — DuckDB-equivalent ANSI SQL for every query above
+                     (same column names; aggregates rounded identically
+                     on both sides so the order-insensitive value hash
+                     matches bit-for-bit).
+
+Determinism rules used throughout:
+- every LIMIT/top-k query fully determines its order (unique tie-break);
+- float aggregates are rounded to 6 decimals on BOTH engines;
+- timestamps in the testdata are TIMESTAMP_NTZ on the Spark side and
+  naive TIMESTAMP in DuckDB — wall-clock identical, timezone-free;
+- all hashing (dedup/LSH/simhash) is md5-based so DuckDB reproduces the
+  exact buckets.
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+import pydiverse_transform_spark as pdt  # noqa: E402
+from pydiverse_transform_spark import C  # noqa: E402
+
+_QUERIES: dict[str, Callable] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _q(sql: str | None):
+    def deco(fn):
+        _QUERIES[fn.__name__] = fn
+        if sql is not None:
+            _ORACLE[fn.__name__] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> "pdt.Table":
+    return pdt.read_parquet(spark, f"{sf_dir}/{name}.parquet", name=name)
+
+
+# =============================================================================
+# TPC-H-shaped relational queries (verbs: filter/group_by/summarize/arrange/
+# join/mutate/select/...)
+# =============================================================================
+
+@_q("""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6)                                AS sum_qty,
+       round(sum(l_extendedprice), 6)                           AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)        AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+                                                                AS sum_charge,
+       round(avg(l_quantity), 6)                                AS avg_qty,
+       round(avg(l_extendedprice), 6)                           AS avg_price,
+       round(avg(l_discount), 6)                                AS avg_disc,
+       count(*)                                                 AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li
+        >> pdt.filter(li.l_shipdate <= pdt.lit(dt.datetime(1998, 9, 2)))
+        >> pdt.group_by(li.l_returnflag, li.l_linestatus)
+        >> pdt.summarize(
+            sum_qty=li.l_quantity.sum().round(6),
+            sum_base_price=li.l_extendedprice.sum().round(6),
+            sum_disc_price=(li.l_extendedprice * (1 - li.l_discount))
+            .sum().round(6),
+            sum_charge=(
+                li.l_extendedprice * (1 - li.l_discount) * (1 + li.l_tax)
+            ).sum().round(6),
+            avg_qty=li.l_quantity.mean().round(6),
+            avg_price=li.l_extendedprice.mean().round(6),
+            avg_disc=li.l_discount.mean().round(6),
+            count_order=pdt.count(),
+        )
+        >> pdt.arrange(C.l_returnflag, C.l_linestatus)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q03_shipping_priority(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = pdt.lit(dt.datetime(1998, 3, 15))
+    return (
+        cu
+        >> pdt.filter(cu.c_mktsegment == pdt.lit("BUILDING"))
+        >> pdt.inner_join(o, on=cu.c_custkey == o.o_custkey)
+        >> pdt.filter(o.o_orderdate < cutoff)
+        >> pdt.inner_join(li, on=o.o_orderkey == li.l_orderkey)
+        >> pdt.filter(li.l_shipdate > cutoff)
+        >> pdt.group_by(o.o_orderkey, o.o_orderdate)
+        >> pdt.summarize(
+            revenue=(li.l_extendedprice * (1 - li.l_discount)).sum().round(6)
+        )
+        >> pdt.select(o.o_orderkey, C.revenue, o.o_orderdate)
+        >> pdt.arrange(C.revenue.descending(), C.o_orderkey)
+        >> pdt.slice_head(10)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM region JOIN nation   ON n_regionkey = r_regionkey
+            JOIN customer ON c_nationkey = n_nationkey
+            JOIN orders   ON o_custkey   = c_custkey
+            JOIN lineitem ON l_orderkey  = o_orderkey
+            JOIN supplier ON l_suppkey   = s_suppkey
+                          AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+""")
+def q05_local_supplier(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        r
+        >> pdt.filter(r.r_name == pdt.lit("ASIA"))
+        >> pdt.inner_join(n, on=n.n_regionkey == r.r_regionkey)
+        >> pdt.inner_join(cu, on=cu.c_nationkey == n.n_nationkey)
+        >> pdt.inner_join(o, on=o.o_custkey == cu.c_custkey)
+        >> pdt.filter(
+            o.o_orderdate >= pdt.lit(dt.datetime(1996, 1, 1)),
+            o.o_orderdate < pdt.lit(dt.datetime(1998, 1, 1)),
+        )
+        >> pdt.inner_join(li, on=li.l_orderkey == o.o_orderkey)
+        >> pdt.inner_join(
+            s,
+            on=[li.l_suppkey == s.s_suppkey, s.s_nationkey == cu.c_nationkey],
+        )
+        >> pdt.group_by(n.n_name)
+        >> pdt.summarize(
+            revenue=(li.l_extendedprice * (1 - li.l_discount)).sum().round(6),
+            n_items=pdt.count(),
+        )
+        >> pdt.arrange(C.revenue.descending())
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q04_order_priority(spark, sf_dir):
+    """Semi-join expressed as join + distinct (no EXISTS verb in the
+    reference surface)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    matched = (
+        o
+        >> pdt.filter(
+            o.o_orderdate >= pdt.lit(dt.datetime(1997, 1, 1)),
+            o.o_orderdate < pdt.lit(dt.datetime(1997, 10, 1)),
+        )
+        >> pdt.inner_join(
+            li,
+            on=[li.l_orderkey == o.o_orderkey, li.l_shipdate > o.o_orderdate],
+        )
+        >> pdt.select(o.o_orderkey, o.o_orderpriority)
+        >> pdt.distinct()
+    )
+    return (
+        matched
+        >> pdt.group_by(matched.o_orderpriority)
+        >> pdt.summarize(order_count=pdt.count())
+        >> pdt.arrange(C.o_orderpriority)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+# =============================================================================
+# verb-focused queries
+# =============================================================================
+
+@_q("""
+SELECT p_partkey,
+       p_brand AS brand,
+       round(p_retailprice * 1.1, 6)  AS markup,
+       p_size % 7                     AS size_mod,
+       (p_size - 15) // 4             AS size_div,
+       length(p_name)                 AS name_len
+FROM part
+WHERE p_size >= 10
+""")
+def q_mutate_project(spark, sf_dir):
+    """mutate / rename / drop / select / floordiv-mod C semantics."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p
+        >> pdt.filter(p.p_size >= 10)
+        >> pdt.mutate(
+            markup=(p.p_retailprice * 1.1).round(6),
+            size_mod=p.p_size % 7,
+            size_div=(p.p_size - 15) // 4,
+            name_len=p.p_name.str.len(),
+        )
+        >> pdt.rename({"p_brand": "brand"})
+        >> pdt.drop(C.p_type, C.p_name, C.p_retailprice, C.p_size)
+        >> pdt.select(p.p_partkey, C.brand, C.markup, C.size_mod, C.size_div,
+                      C.name_len)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_custkey,
+       c_mktsegment IN ('BUILDING', 'AUTOMOBILE')           AS is_target_seg,
+       CASE WHEN c_acctbal IS NULL THEN NULL
+            ELSE greatest(least(c_acctbal, 5000.0), 0.0) END AS bal_clipped,
+       coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')  AS seg_filled,
+       (c_acctbal > 1000.0 AND c_nationkey < 13)
+         OR (c_acctbal < 0.0)                                AS flag_or,
+       (c_acctbal > 1000.0) <> (c_nationkey < 13)            AS flag_xor,
+       NOT (c_acctbal > 1000.0)                              AS flag_not,
+       c_acctbal IS NULL                                     AS bal_is_null,
+       c_acctbal IS NOT NULL                                 AS bal_not_null
+FROM customer
+""")
+def q_filter_bool_ops(spark, sf_dir):
+    """is_in / clip / fill_null / Kleene and-or-xor-invert / is_null."""
+    cu = _t(spark, sf_dir, "customer")
+    seg_null = pdt.when(cu.c_mktsegment == pdt.lit("MACHINERY")) \
+        .then(pdt.lit(None)).otherwise(cu.c_mktsegment)
+    return (
+        cu
+        >> pdt.mutate(
+            is_target_seg=cu.c_mktsegment.is_in(
+                pdt.lit("BUILDING"), pdt.lit("AUTOMOBILE")
+            ),
+            bal_clipped=cu.c_acctbal.clip(pdt.lit(0.0), pdt.lit(5000.0)),
+            seg_filled=seg_null.fill_null(pdt.lit("OTHER")),
+            flag_or=((cu.c_acctbal > 1000.0) & (cu.c_nationkey < 13))
+            | (cu.c_acctbal < 0.0),
+            flag_xor=(cu.c_acctbal > 1000.0) ^ (cu.c_nationkey < 13),
+            flag_not=~(cu.c_acctbal > 1000.0),
+            bal_is_null=cu.c_acctbal.is_null(),
+            bal_not_null=cu.c_acctbal.is_not_null(),
+        )
+        >> pdt.select(cu.c_custkey, C.is_target_seg, C.bal_clipped,
+                      C.seg_filled, C.flag_or, C.flag_xor, C.flag_not,
+                      C.bal_is_null, C.bal_not_null)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT l_orderkey, l_linenumber,
+       round(l_quantity + l_extendedprice, 6)        AS a_add,
+       round(l_extendedprice - l_quantity, 6)        AS a_sub,
+       round(l_quantity * l_discount, 6)             AS a_mul,
+       round(l_extendedprice / l_quantity, 6)        AS a_div,
+       (l_linenumber - 3) // 2                       AS a_fdiv,
+       (l_linenumber - 3) % 2                        AS a_mod,
+       round(pow(l_quantity, 2), 6)                  AS a_pow,
+       abs(l_linenumber - 3)                         AS a_abs,
+       -l_linenumber                                 AS a_neg,
+       round(l_extendedprice, 1)                     AS a_round1,
+       floor(l_extendedprice)                        AS a_floor,
+       ceil(l_extendedprice)                         AS a_ceil
+FROM lineitem
+WHERE l_orderkey <= 500
+""")
+def q_arithmetic(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li
+        >> pdt.filter(li.l_orderkey <= 500)
+        >> pdt.mutate(
+            a_add=(li.l_quantity + li.l_extendedprice).round(6),
+            a_sub=(li.l_extendedprice - li.l_quantity).round(6),
+            a_mul=(li.l_quantity * li.l_discount).round(6),
+            a_div=(li.l_extendedprice / li.l_quantity).round(6),
+            a_fdiv=(li.l_linenumber - 3) // 2,
+            a_mod=(li.l_linenumber - 3) % 2,
+            a_pow=(li.l_quantity ** 2).round(6),
+            a_abs=(li.l_linenumber - 3).abs(),
+            a_neg=-li.l_linenumber,
+            a_round1=li.l_extendedprice.round(1),
+            a_floor=li.l_extendedprice.floor(),
+            a_ceil=li.l_extendedprice.ceil(),
+        )
+        >> pdt.select(li.l_orderkey, li.l_linenumber, C.a_add, C.a_sub,
+                      C.a_mul, C.a_div, C.a_fdiv, C.a_mod, C.a_pow, C.a_abs,
+                      C.a_neg, C.a_round1, C.a_floor, C.a_ceil)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT s_suppkey,
+       round(exp(s_suppkey / 50.0), 6)       AS m_exp,
+       round(ln(s_acctbal + 10000.0), 6)     AS m_log,
+       round(log10(s_acctbal + 10000.0), 6)  AS m_log10,
+       round(sqrt(abs(s_acctbal)), 6)        AS m_sqrt,
+       round(cbrt(s_acctbal), 6)             AS m_cbrt,
+       round(sin(s_suppkey), 6)              AS m_sin,
+       round(cos(s_suppkey), 6)              AS m_cos,
+       round(tan(s_suppkey), 6)              AS m_tan,
+       round(asin((s_suppkey % 100) / 100.0), 6) AS m_asin,
+       round(acos((s_suppkey % 100) / 100.0), 6) AS m_acos,
+       round(atan(s_acctbal), 6)             AS m_atan,
+       isinf(CASE WHEN s_suppkey % 3 = 0 THEN 'infinity'::DOUBLE
+                  ELSE s_acctbal END)        AS m_isinf,
+       NOT isinf(CASE WHEN s_suppkey % 3 = 0 THEN 'infinity'::DOUBLE
+                      ELSE s_acctbal END)    AS m_isnotinf,
+       isnan(CASE WHEN s_suppkey % 4 = 0 THEN 'nan'::DOUBLE
+                  ELSE s_acctbal END)        AS m_isnan,
+       NOT isnan(CASE WHEN s_suppkey % 4 = 0 THEN 'nan'::DOUBLE
+                      ELSE s_acctbal END)    AS m_isnotnan
+FROM supplier
+""")
+def q_math_fns(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    frac = (s.s_suppkey % 100) / 100.0
+    maybe_inf = pdt.when(s.s_suppkey % 3 == 0) \
+        .then(pdt.lit(float("inf"))).otherwise(s.s_acctbal)
+    maybe_nan = pdt.when(s.s_suppkey % 4 == 0) \
+        .then(pdt.lit(float("nan"))).otherwise(s.s_acctbal)
+    return (
+        s
+        >> pdt.mutate(
+            m_exp=(s.s_suppkey / 50.0).exp().round(6),
+            m_log=(s.s_acctbal + 10000.0).log().round(6),
+            m_log10=(s.s_acctbal + 10000.0).log10().round(6),
+            m_sqrt=s.s_acctbal.abs().sqrt().round(6),
+            m_cbrt=s.s_acctbal.cbrt().round(6),
+            m_sin=s.s_suppkey.sin().round(6),
+            m_cos=s.s_suppkey.cos().round(6),
+            m_tan=s.s_suppkey.tan().round(6),
+            m_asin=frac.asin().round(6),
+            m_acos=frac.acos().round(6),
+            m_atan=s.s_acctbal.atan().round(6),
+            m_isinf=maybe_inf.is_inf(),
+            m_isnotinf=maybe_inf.is_not_inf(),
+            m_isnan=maybe_nan.is_nan(),
+            m_isnotnan=maybe_nan.is_not_nan(),
+        )
+        >> pdt.select(s.s_suppkey, C.m_exp, C.m_log, C.m_log10, C.m_sqrt,
+                      C.m_cbrt, C.m_sin, C.m_cos, C.m_tan, C.m_asin, C.m_acos,
+                      C.m_atan, C.m_isinf, C.m_isnotinf, C.m_isnan,
+                      C.m_isnotnan)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT p_partkey,
+       upper(p_name)                            AS s_upper,
+       lower(p_brand)                           AS s_lower,
+       length(p_name)                           AS s_len,
+       regexp_replace(p_name, '^\\s+|\\s+$', '', 'g') AS s_strip,
+       replace(p_name, ' ', '_')                AS s_replaced,
+       p_name LIKE 'a%'                         AS s_starts,
+       p_name LIKE '%e'                         AS s_ends,
+       regexp_matches(p_name, 'a.*e')           AS s_contains_re,
+       contains(p_name, 'al')                   AS s_contains_lit,
+       substr(p_name, 3, 5)                     AS s_slice,
+       p_brand || '#' || p_type                 AS s_concat
+FROM part
+""")
+def q_string_ops(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p
+        >> pdt.mutate(
+            s_upper=p.p_name.str.upper(),
+            s_lower=p.p_brand.str.lower(),
+            s_len=p.p_name.str.len(),
+            s_strip=p.p_name.str.strip(),
+            s_replaced=p.p_name.str.replace_all(" ", "_"),
+            s_starts=p.p_name.str.starts_with(pdt.lit("a")),
+            s_ends=p.p_name.str.ends_with(pdt.lit("e")),
+            s_contains_re=p.p_name.str.contains("a.*e"),
+            s_contains_lit=p.p_name.str.contains("al", allow_regex=False),
+            s_slice=p.p_name.str.slice(pdt.lit(2), pdt.lit(5)),
+            s_concat=p.p_brand + pdt.lit("#") + p.p_type,
+        )
+        >> pdt.select(p.p_partkey, C.s_upper, C.s_lower, C.s_len, C.s_strip,
+                      C.s_replaced, C.s_starts, C.s_ends, C.s_contains_re,
+                      C.s_contains_lit, C.s_slice, C.s_concat)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderkey,
+       year(o_orderdate)       AS d_year,
+       month(o_orderdate)      AS d_month,
+       day(o_orderdate)        AS d_day,
+       isodow(o_orderdate)     AS d_dow,
+       dayofyear(o_orderdate)  AS d_doy,
+       CAST(o_orderdate AS VARCHAR)                        AS d_str,
+       CAST(strptime('2001-07-16 12:30:45',
+                     '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)    AS d_parsed,
+       (epoch_us(o_orderdate)
+          - epoch_us(TIMESTAMP '1995-01-01')) // 86400000000 AS d_days_since,
+       (epoch_us(o_orderdate)
+          - epoch_us(TIMESTAMP '1995-01-01')) // 3600000000  AS d_hours_since,
+       o_orderdate + INTERVAL 36 HOUR                      AS d_plus_36h
+FROM orders
+WHERE o_orderkey <= 2000
+""")
+def q_datetime_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    since = o.o_orderdate - pdt.lit(dt.datetime(1995, 1, 1))
+    return (
+        o
+        >> pdt.filter(o.o_orderkey <= 2000)
+        >> pdt.mutate(
+            d_year=o.o_orderdate.dt.year(),
+            d_month=o.o_orderdate.dt.month(),
+            d_day=o.o_orderdate.dt.day(),
+            d_dow=o.o_orderdate.dt.day_of_week(),
+            d_doy=o.o_orderdate.dt.day_of_year(),
+            d_str=o.o_orderdate.cast(pdt.String()),
+            d_parsed=pdt.lit("2001-07-16 12:30:45").str.to_datetime(),
+            d_days_since=since.dur.days(),
+            d_hours_since=since.dur.hours(),
+            d_plus_36h=o.o_orderdate + pdt.lit(dt.timedelta(hours=36)),
+        )
+        >> pdt.select(o.o_orderkey, C.d_year, C.d_month, C.d_day, C.d_dow,
+                      C.d_doy, C.d_str, C.d_parsed, C.d_days_since,
+                      C.d_hours_since, C.d_plus_36h)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderkey, o_custkey,
+       row_number() OVER w                                   AS rn,
+       rank() OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderpriority)                AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderpriority)          AS drnk,
+       lag(o_totalprice) OVER w                              AS prev_price,
+       lead(o_totalprice) OVER w                             AS next_price,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                                                             AS cum_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def q_window_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    key = [C.o_orderdate, C.o_orderkey]
+    return (
+        o
+        >> pdt.group_by(o.o_custkey)
+        >> pdt.mutate(
+            rn=pdt.row_number(arrange=key),
+            rnk=pdt.rank(arrange=[C.o_orderpriority]),
+            drnk=pdt.dense_rank(arrange=[C.o_orderpriority]),
+            prev_price=o.o_totalprice.shift(1, arrange=key),
+            next_price=o.o_totalprice.shift(-1, arrange=key),
+            cum_spend=o.o_totalprice.cum_sum(arrange=key).round(6),
+        )
+        >> pdt.ungroup()
+        >> pdt.select(o.o_orderkey, o.o_custkey, C.rn, C.rnk, C.drnk,
+                      C.prev_price, C.next_price, C.cum_spend)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_custkey, c_nationkey,
+       round(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS nation_total,
+       round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY c_nationkey), 6)
+                                                                AS bal_share,
+       count(*) OVER (PARTITION BY c_nationkey)                 AS nation_n,
+       round(avg(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS nation_avg,
+       round(min(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS nation_min,
+       round(max(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS nation_max
+FROM customer
+""")
+def q_agg_in_mutate(spark, sf_dir):
+    """Aggregate-in-mutate auto-promotes to a window over the grouping."""
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        cu
+        >> pdt.group_by(cu.c_nationkey)
+        >> pdt.mutate(
+            nation_total=cu.c_acctbal.sum().round(6),
+            bal_share=(cu.c_acctbal / cu.c_acctbal.sum()).round(6),
+            nation_n=pdt.count(),
+            nation_avg=cu.c_acctbal.mean().round(6),
+            nation_min=cu.c_acctbal.min().round(6),
+            nation_max=cu.c_acctbal.max().round(6),
+        )
+        >> pdt.ungroup()
+        >> pdt.select(cu.c_custkey, cu.c_nationkey, C.nation_total,
+                      C.bal_share, C.nation_n, C.nation_avg, C.nation_min,
+                      C.nation_max)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_custkey,
+       CASE c_mktsegment WHEN 'BUILDING' THEN 1 WHEN 'AUTOMOBILE' THEN 2
+            ELSE 0 END                                       AS seg_code,
+       CASE WHEN c_acctbal > 5000.0 THEN 'high'
+            WHEN c_acctbal > 0.0 THEN 'mid'
+            ELSE 'low' END                                   AS tier,
+       CAST(trunc(c_acctbal) AS BIGINT)                      AS bal_int,
+       CAST(c_custkey AS VARCHAR)                            AS key_str,
+       CAST(c_nationkey AS DOUBLE)                           AS nkey_f
+FROM customer
+""")
+def q_case_map_cast(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        cu
+        >> pdt.mutate(
+            seg_code=cu.c_mktsegment.map(
+                {"BUILDING": 1, "AUTOMOBILE": 2}, default=0
+            ),
+            tier=pdt.when(cu.c_acctbal > 5000.0).then(pdt.lit("high"))
+            .when(cu.c_acctbal > 0.0).then(pdt.lit("mid"))
+            .otherwise(pdt.lit("low")),
+            bal_int=cu.c_acctbal.cast(pdt.Int64()),
+            key_str=cu.c_custkey.cast(pdt.String()),
+            nkey_f=cu.c_nationkey.cast(pdt.Float64()),
+        )
+        >> pdt.select(cu.c_custkey, C.seg_code, C.tier, C.bal_int, C.key_str,
+                      C.nkey_f)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_custkey, c_name,
+       round(coalesce(t.cust_total, 0.0), 6) AS total_filled,
+       coalesce(t.n_orders, 0)               AS n_orders_filled,
+       t.cust_total IS NULL                  AS no_orders
+FROM customer LEFT JOIN (
+    SELECT o_custkey, round(sum(o_totalprice), 6) AS cust_total,
+           count(*) AS n_orders
+    FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY o_custkey
+) t ON c_custkey = t.o_custkey
+""")
+def q_left_join_fill(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    osum = (
+        o
+        >> pdt.filter(o.o_orderdate < pdt.lit(dt.datetime(1996, 1, 1)))
+        >> pdt.group_by(o.o_custkey)
+        >> pdt.summarize(
+            cust_total=o.o_totalprice.sum().round(6),
+            n_orders=pdt.count(),
+        )
+    )
+    return (
+        cu
+        >> pdt.left_join(osum, on=cu.c_custkey == osum.o_custkey)
+        >> pdt.mutate(
+            total_filled=C.cust_total.fill_null(pdt.lit(0.0)),
+            n_orders_filled=C.n_orders.fill_null(pdt.lit(0)),
+            no_orders=C.cust_total.is_null(),
+        )
+        >> pdt.select(cu.c_custkey, cu.c_name, C.total_filled,
+                      C.n_orders_filled, C.no_orders)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT a.o_orderpriority AS prio,
+       a.n AS n_1995, b.n AS n_2000
+FROM      (SELECT o_orderpriority, count(*) AS n FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate < TIMESTAMP '1996-01-01'
+           GROUP BY o_orderpriority) a
+FULL JOIN (SELECT o_orderpriority, count(*) AS n FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+             AND o_orderdate < TIMESTAMP '2001-01-01'
+           GROUP BY o_orderpriority) b
+       ON a.o_orderpriority = b.o_orderpriority
+""")
+def q_full_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def prio_counts(lo, hi):
+        t = _t(spark, sf_dir, "orders")
+        return (
+            t
+            >> pdt.filter(
+                t.o_orderdate >= pdt.lit(lo), t.o_orderdate < pdt.lit(hi)
+            )
+            >> pdt.group_by(t.o_orderpriority)
+            >> pdt.summarize(n=pdt.count())
+        )
+
+    a = prio_counts(dt.datetime(1995, 1, 1), dt.datetime(1996, 1, 1))
+    b = prio_counts(dt.datetime(2000, 1, 1), dt.datetime(2001, 1, 1))
+    return (
+        a
+        >> pdt.full_join(b, on=a.o_orderpriority == b.o_orderpriority,
+                         suffix="_b")
+        >> pdt.rename({"o_orderpriority": "prio", "n": "n_1995",
+                       "n_b": "n_2000"})
+        >> pdt.select(C.prio, C.n_1995, C.n_2000)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT a.r_name AS name_a, b.r_name AS name_b
+FROM region a CROSS JOIN region b
+WHERE a.r_regionkey <> b.r_regionkey
+""")
+def q_cross_join_alias(spark, sf_dir):
+    """cross_join + alias (UUID reset enables the self-product)."""
+    r = _t(spark, sf_dir, "region")
+    r2 = r >> pdt.alias("r2")
+    return (
+        r
+        >> pdt.cross_join(r2)
+        >> pdt.filter(r.r_regionkey != r2.r_regionkey)
+        >> pdt.mutate(name_a=r.r_name, name_b=r2.r_name)
+        >> pdt.select(C.name_a, C.name_b)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS rkey
+FROM nation n1 JOIN nation n2
+  ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+""")
+def q_self_join(spark, sf_dir):
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = n1 >> pdt.alias("n2")
+    return (
+        n1
+        >> pdt.inner_join(
+            n2,
+            on=[n1.n_regionkey == n2.n_regionkey,
+                n1.n_nationkey < n2.n_nationkey],
+        )
+        >> pdt.mutate(nation_a=n1.n_name, nation_b=n2.n_name,
+                      rkey=n1.n_regionkey)
+        >> pdt.select(C.nation_a, C.nation_b, C.rkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0
+UNION
+SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9500.0
+""")
+def q_union_distinct(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    a = cu >> pdt.filter(cu.c_acctbal > 9000.0) >> pdt.select(
+        cu.c_custkey, cu.c_acctbal
+    )
+    cu2 = _t(spark, sf_dir, "customer")
+    b = cu2 >> pdt.filter(cu2.c_acctbal > 9500.0) >> pdt.select(
+        cu2.c_custkey, cu2.c_acctbal
+    )
+    return a >> pdt.union(b, distinct=True) >> pdt.export(pdt.Spark)
+
+
+@_q("""
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+""")
+def q_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li
+        >> pdt.select(li.l_returnflag, li.l_linestatus)
+        >> pdt.distinct()
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 5
+""")
+def q_slice_head(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o
+        >> pdt.arrange(o.o_totalprice.descending(), o.o_orderkey)
+        >> pdt.slice_head(15, offset=5)
+        >> pdt.select(o.o_orderkey, o.o_totalprice)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT l_orderkey, l_linenumber,
+       round(greatest(l_quantity, l_discount * 100, l_tax * 100), 6) AS h_max,
+       round(least(l_quantity, l_discount * 100, l_tax * 100), 6)    AS h_min,
+       round(l_quantity + l_discount + l_tax, 6)                     AS h_sum,
+       (l_quantity > 25.0 OR l_discount > 0.05)                      AS h_any,
+       (l_quantity > 25.0 AND l_discount > 0.05)                     AS h_all,
+       coalesce(NULLIF(l_returnflag, 'N'), 'none')                   AS h_coal
+FROM lineitem
+WHERE l_orderkey <= 300
+""")
+def q_horizontal(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rf_null = pdt.when(li.l_returnflag == pdt.lit("N")) \
+        .then(pdt.lit(None)).otherwise(li.l_returnflag)
+    return (
+        li
+        >> pdt.filter(li.l_orderkey <= 300)
+        >> pdt.mutate(
+            h_max=pdt.max(li.l_quantity, li.l_discount * 100,
+                          li.l_tax * 100).round(6),
+            h_min=pdt.min(li.l_quantity, li.l_discount * 100,
+                          li.l_tax * 100).round(6),
+            h_sum=pdt.sum(li.l_quantity, li.l_discount, li.l_tax).round(6),
+            h_any=pdt.any(li.l_quantity > 25.0, li.l_discount > 0.05),
+            h_all=pdt.all(li.l_quantity > 25.0, li.l_discount > 0.05),
+            h_coal=pdt.coalesce(rf_null, pdt.lit("none")),
+        )
+        >> pdt.select(li.l_orderkey, li.l_linenumber, C.h_max, C.h_min,
+                      C.h_sum, C.h_any, C.h_all, C.h_coal)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT l_returnflag,
+       round(var_samp(l_quantity), 4)    AS v_var,
+       round(stddev_samp(l_quantity), 4) AS v_std,
+       round(median(l_quantity), 6)      AS v_median,
+       count(DISTINCT l_suppkey)         AS v_ndist,
+       bool_or(l_discount > 0.08)        AS v_any,
+       bool_and(l_quantity > 1.0)        AS v_all,
+       min(l_shipdate)                   AS v_min_date,
+       max(l_linestatus)                 AS v_max_str,
+       count(l_orderkey)                 AS v_count_col,
+       count(*)                          AS v_count_star,
+       count(*) FILTER (WHERE l_quantity > 25.0)           AS v_count_filt,
+       round(coalesce(sum(l_extendedprice)
+             FILTER (WHERE l_discount > 0.05), 0.0), 6)    AS v_sum_filt
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+def q_agg_extras(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li
+        >> pdt.group_by(li.l_returnflag)
+        >> pdt.summarize(
+            v_var=li.l_quantity.var().round(4),
+            v_std=li.l_quantity.std().round(4),
+            v_median=li.l_quantity.median().round(6),
+            v_ndist=li.l_suppkey.n_distinct(),
+            v_any=(li.l_discount > 0.08).any(),
+            v_all=(li.l_quantity > 1.0).all(),
+            v_min_date=li.l_shipdate.min(),
+            v_max_str=li.l_linestatus.max(),
+            v_count_col=li.l_orderkey.count(),
+            v_count_star=pdt.count(),
+            v_count_filt=pdt.count(filter=li.l_quantity > 25.0),
+            v_sum_filt=li.l_extendedprice.sum(filter=li.l_discount > 0.05)
+            .fill_null(pdt.lit(0.0)).round(6),
+        )
+        >> pdt.arrange(C.l_returnflag)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name)          AS names_asc,
+       string_agg(n_name, '|' ORDER BY n_nationkey DESC) AS names_by_key_desc,
+       count(*) AS n
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""")
+def q_str_join_agg(spark, sf_dir):
+    """Ordered string aggregation (collect_list+array_sort, JVM-side)."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n
+        >> pdt.group_by(n.n_regionkey)
+        >> pdt.summarize(
+            names_asc=n.n_name.str.join(",", arrange=[C.n_name]),
+            names_by_key_desc=n.n_name.str.join(
+                "|", arrange=[C.n_nationkey.descending()]
+            ),
+            n=pdt.count(),
+        )
+        >> pdt.arrange(C.n_regionkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+def q_list_agg(spark, sf_dir):
+    """list.agg with ordered collection — no SQL oracle (array column);
+    the driver records a rows-only check."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n
+        >> pdt.group_by(n.n_regionkey)
+        >> pdt.summarize(
+            keys=n.n_nationkey.list.agg(arrange=[C.n_nationkey]),
+            n=pdt.count(),
+        )
+        >> pdt.arrange(C.n_regionkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+_QUERIES["q_list_agg"] = q_list_agg
+
+
+@_q("""
+SELECT o_orderkey, month_num, month_name FROM (
+  SELECT o_orderkey,
+         month(o_orderdate) AS month_num,
+         CASE month(o_orderdate)
+              WHEN 1 THEN 'Jan' WHEN 2 THEN 'Feb' WHEN 3 THEN 'Mar'
+              WHEN 4 THEN 'Apr' WHEN 5 THEN 'May' WHEN 6 THEN 'Jun'
+              WHEN 7 THEN 'Jul' WHEN 8 THEN 'Aug' WHEN 9 THEN 'Sep'
+              WHEN 10 THEN 'Oct' WHEN 11 THEN 'Nov' ELSE 'Dec' END
+           AS month_name
+  FROM orders WHERE o_orderkey <= 1000
+)
+""")
+def q_map_month(spark, sf_dir):
+    """col.map with a larger mapping (chained CASE)."""
+    o = _t(spark, sf_dir, "orders")
+    names = {1: "Jan", 2: "Feb", 3: "Mar", 4: "Apr", 5: "May", 6: "Jun",
+             7: "Jul", 8: "Aug", 9: "Sep", 10: "Oct", 11: "Nov"}
+    return (
+        o
+        >> pdt.filter(o.o_orderkey <= 1000)
+        >> pdt.mutate(
+            month_num=o.o_orderdate.dt.month(),
+            month_name=o.o_orderdate.dt.month().map(names, default="Dec"),
+        )
+        >> pdt.select(o.o_orderkey, C.month_num, C.month_name)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+# =============================================================================
+# LLM-pipeline extras: text analysis / dedup / similarity / events
+# =============================================================================
+
+_TOKENS_SQL = (
+    "string_split_regex(lower(regexp_replace({col}, '^\\s+|\\s+$', '', 'g')),"
+    " '\\s+')"
+)
+
+
+def _stopword_count_sql(lang_words: list[str], toks="toks") -> str:
+    inlist = ", ".join(f"'{w}'" for w in lang_words)
+    return (f"len(list_filter({toks}, w -> w IN ({inlist})))")
+
+
+@_q(None)  # filled in below (generated SQL)
+def q_doc_stats(spark, sf_dir):
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.doc_stats(docs, "text")
+    return out.select("doc_id", "n_tokens", "n_chars_computed", "punct_ratio",
+                      "stopword_ratio_en", "quality", "lang_pred", "fp")
+
+
+def _doc_stats_sql() -> str:
+    from pydiverse_transform_spark.extras.text import STOPWORDS
+
+    sw = {lang: _stopword_count_sql(words, "ltoks")
+          for lang, words in STOPWORDS.items()}
+    # lang-id argmax with the exact tie-break loop of extras/text.py:lang_id
+    best, best_n = "'und'", "CAST(-1 AS BIGINT)"
+    for lang in sorted(STOPWORDS):
+        c = f"c_{lang}"
+        best = f"CASE WHEN {c} > {best_n} THEN '{lang}' ELSE {best} END"
+        best_n = f"CASE WHEN {c} > {best_n} THEN {c} ELSE {best_n} END"
+    toks = _TOKENS_SQL.format(col="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(len({toks}) AS BIGINT) END AS n_tokens,
+         CAST(length(text) AS BIGINT)              AS n_chars_computed,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text,
+                    '[[:punct:]]', '', 'g'))) * 1.0 / length(text) END
+                                                   AS punct_raw,
+         CASE WHEN length(text) = 0 THEN 0.0
+              ELSE (length(text) - length(regexp_replace(text, '[0-9]', '',
+                    'g'))) * 1.0 / length(text) END AS digit_raw,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), tok AS (
+  SELECT *, CASE WHEN n_tokens = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE {_TOKENS_SQL.format(col="lower(text)")} END AS ltoks
+  FROM base
+), counts AS (
+  SELECT *, {sw['en']} AS c_en, {sw['de']} AS c_de, {sw['es']} AS c_es,
+            {sw['fr']} AS c_fr
+  FROM tok
+), scored AS (
+  SELECT *,
+    CASE WHEN n_tokens = 0 THEN 0.0 ELSE c_en * 1.0 / n_tokens END AS sw_ratio,
+    least(n_tokens / 64.0, 1.0)                     AS length_score,
+    greatest(0.0, 1.0 - (punct_raw + digit_raw) * 2) AS noise_score
+  FROM counts
+)
+SELECT doc_id, n_tokens, n_chars_computed,
+       round(punct_raw, 6)  AS punct_ratio,
+       round(sw_ratio, 6)   AS stopword_ratio_en,
+       round(length_score * 0.4 + noise_score * 0.4
+             + least(sw_ratio * 5, 1.0) * 0.2, 6) AS quality,
+       CASE WHEN n_tokens = 0 THEN 'und' ELSE {best} END AS lang_pred,
+       fp
+FROM scored
+"""
+
+
+_ORACLE["q_doc_stats"] = _doc_stats_sql()
+
+
+@_q("""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def q_doc_agg(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d
+        >> pdt.group_by(d.lang)
+        >> pdt.summarize(
+            n_docs=pdt.count(),
+            total_chars=d.n_chars.sum(),
+            avg_chars=d.n_chars.mean().round(6),
+        )
+        >> pdt.arrange(C.lang)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM (SELECT doc_id,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+      FROM documents)
+GROUP BY fp
+""")
+def q_dedup_exact(spark, sf_dir):
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+def _shingle_sql(col: str, k: int = 3) -> str:
+    words = _TOKENS_SQL.format(col=col)
+    return (
+        f"list_distinct(list_transform("
+        f"range(0, greatest(len({words}) - {k}, 0) + 1), "
+        f"j -> array_to_string(({words})[j + 1: j + {k}], ' ')))"
+    )
+
+
+def _minhash_sql(shingles: str, n_hashes: int = 16) -> list[str]:
+    return [
+        f"list_min(list_transform({shingles}, s -> md5('{i}:' || s)))"
+        for i in range(n_hashes)
+    ]
+
+
+def _lsh_pairs_sql(threshold: float) -> str:
+    sig = _minhash_sql("sh", 16)
+    rows = 4
+    bands = [
+        "md5(" + " || '|' || ".join(sig[b * rows:(b + 1) * rows]) + ")"
+        for b in range(4)
+    ]
+    band_structs = ", ".join(
+        f"{{'band': {b}, 'h': {bands[b]}}}" for b in range(4)
+    )
+    return f"""
+WITH sh_t AS (
+  SELECT doc_id, {_shingle_sql('text')} AS sh FROM documents
+), buckets AS (
+  SELECT doc_id, bb.band AS band, bb.h AS h
+  FROM sh_t, UNNEST([{band_structs}]) AS t(bb)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.h = b.h
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0
+             THEN 0.0
+             ELSE len(list_intersect(sa.sh, sb.sh)) * 1.0
+                  / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+             END, 6) AS jaccard
+FROM cand JOIN sh_t sa ON cand.id_a = sa.doc_id
+          JOIN sh_t sb ON cand.id_b = sb.doc_id
+WHERE CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0
+      THEN 0.0
+      ELSE len(list_intersect(sa.sh, sb.sh)) * 1.0
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+      END >= {threshold}
+"""
+
+
+@_q(_lsh_pairs_sql(0.2))
+def q_dedup_minhash(spark, sf_dir):
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_dedup_pairs(docs, "text", "doc_id", k=3,
+                                     n_hashes=16, bands=4, threshold=0.2)
+
+
+@_q("""
+WITH sh_t AS (SELECT doc_id, {SH} AS sh FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM sh_t a JOIN sh_t b ON b.doc_id = a.doc_id + 1
+)
+SELECT id_a, id_b,
+       round(CASE WHEN u = 0 THEN 0.0 ELSE i * 1.0 / u END, 6) AS jaccard
+FROM pairs
+""".replace("{SH}", _shingle_sql("text")))
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard between consecutive doc pairs."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        F.col("doc_id"), dedup.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, on=b.id_b == a.id_a + 1, how="inner")
+        .select(
+            "id_a", "id_b",
+            F.round(dedup.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+            .alias("jaccard"),
+        )
+    )
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    toks = _TOKENS_SQL.format(col="lower(text)")
+    th = (f"list_transform({toks}, "
+          f"w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)")
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(th, "
+        f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+SELECT doc_id, ({terms}) AS sh FROM
+(SELECT doc_id, {th} AS th FROM documents)
+"""
+
+
+@_q(_simhash_sql(16))
+def q_simhash(spark, sf_dir):
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash_df(docs, "text", "doc_id", bits=16, out_col="sh")
+
+
+_QVEC = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
+
+
+def _vec_sql(vec: list[float]) -> str:
+    return "[" + ", ".join(f"{v!r}" for v in vec) + "]::DOUBLE[]"
+
+
+@_q(f"""
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {_vec_sql(_QVEC)})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({_vec_sql(_QVEC)}, {_vec_sql(_QVEC)}))),
+             6) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""")
+def q_cosine_topk(spark, sf_dir):
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, _QVEC, k=10)
+
+
+def _signlsh_sql() -> str:
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    planes = hyperplanes(64, 4)
+    qbits = 0
+    for p, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(plane, _QVEC)) > 0:
+            qbits += 2 ** p
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], {_vec_sql(pl)}) > 0 "
+        f"THEN {2 ** p} ELSE 0 END"
+        for p, pl in enumerate(planes)
+    )
+    return f"""
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {_vec_sql(_QVEC)})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({_vec_sql(_QVEC)}, {_vec_sql(_QVEC)}))),
+             6) AS cos_sim
+FROM embeddings
+WHERE ({bucket}) = {qbits}
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@_q(_signlsh_sql())
+def q_signlsh_topk(spark, sf_dir):
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.signlsh_topk(emb, _QVEC, k=10, n_planes=4)
+
+
+@_q("""
+WITH ev AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(session_id) AS BIGINT) AS n_sessions
+FROM sess GROUP BY user_id ORDER BY user_id
+""")
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+
+    df = ev.load_events(spark, sf_dir)
+    s = ev.sessionize(df, "user_id", "ts", gap_minutes=30)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("session_id").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q("""
+SELECT bucket, event_type, n_events, sum_value,
+       make_timestamp(bucket * 3600000000) AS window_start
+FROM (
+  SELECT (epoch_us(ts::TIMESTAMP) // 3600000000) AS bucket, event_type,
+         count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+""")
+def q_tumbling_agg(spark, sf_dir):
+    from pydiverse_transform_spark.extras import events as ev
+
+    df = ev.load_events(spark, sf_dir)
+    return ev.tumbling_agg(df, "ts", every_minutes=60, keys=["event_type"])
+
+
+@_q("""
+WITH ev AS (
+  SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events
+)
+SELECT event_id,
+       lag(value) OVER w          AS prev_value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                                  AS cum_value
+FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_events_window_dsl(spark, sf_dir):
+    """DSL window functions over the event stream table."""
+    from pydiverse_transform_spark.extras import events as ev
+
+    e = pdt.Table(ev.load_events(spark, sf_dir), "events")
+    key = [C.ts, C.event_id]
+    return (
+        e
+        >> pdt.group_by(e.user_id)
+        >> pdt.mutate(
+            prev_value=e.value.shift(1, arrange=key),
+            cum_value=e.value.cum_sum(arrange=key).round(6),
+        )
+        >> pdt.ungroup()
+        >> pdt.select(e.event_id, C.prev_value, C.cum_value)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS avg_value,
+       round(quantile_cont(value, 0.5), 6) AS median_value
+FROM events
+GROUP BY event_type ORDER BY event_type
+""")
+def q_events_by_type(spark, sf_dir):
+    from pydiverse_transform_spark.extras import events as ev
+
+    e = pdt.Table(ev.load_events(spark, sf_dir), "events")
+    return (
+        e
+        >> pdt.group_by(e.event_type)
+        >> pdt.summarize(
+            n=pdt.count(),
+            total_value=e.value.sum().round(6),
+            avg_value=e.value.mean().round(6),
+            median_value=e.value.median().round(6),
+        )
+        >> pdt.arrange(C.event_type)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+# =============================================================================
+# driver contract
+# =============================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLE)

@@ -71,6 +71,50 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> list[Column]:
     return [minhash_value(shingles, i) for i in range(n_hashes)]
 
 
+def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
+                  bands: int) -> DataFrame:
+    """(id, band, band-hash) rows from an (id, __sh) shingle DataFrame.
+
+    Staged through separate projections so the shingle array, the minhash
+    signature and the band hashes are each computed ONCE per row —
+    higher-order functions (transform/aggregate) run outside whole-stage
+    codegen, so Catalyst's subexpression elimination does not merge
+    repeated copies; nesting them 16× deep re-tokenizes the document 16×.
+    """
+    rows = n_hashes // bands
+    sig_df = shingled.select(
+        F.col(id_col),
+        *[minhash_value(F.col("__sh"), i).alias(f"m{i}")
+          for i in range(n_hashes)],
+    )
+    withb = sig_df.select(
+        F.col(id_col),
+        *[
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"m{i}") for i in range(b * rows, (b + 1) * rows)]
+            )).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    return withb.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.h").alias("h"))
+
+
+def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             k: int = 3) -> DataFrame:
+    """(id, __sh) projection with the shingle array computed once."""
+    return df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh")
+    )
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         n_hashes: int = 16, bands: int = 4) -> DataFrame:
@@ -82,25 +126,9 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     is uniform md5 — no skew, broadcast-free, scales to any corpus size.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    rows = n_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), k), n_hashes)
-    band_cols = [
-        F.md5(F.concat_ws("|", *sig[b * rows:(b + 1) * rows])).alias(f"b{b}")
-        for b in range(bands)
-    ]
-    withb = df.select(F.col(id_col), *band_cols)
-    buckets = withb.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.h").alias("h"))
-    right = (
-        buckets.withColumnRenamed(id_col, "id_b")
-    )
+    buckets = _band_buckets(shingled(df, text_col, id_col, k), id_col,
+                            n_hashes, bands)
+    right = buckets.withColumnRenamed(id_col, "id_b")
     pairs = (
         buckets.withColumnRenamed(id_col, "id_a")
         .join(right, on=["band", "h"], how="inner")
@@ -125,13 +153,21 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         n_hashes: int = 16, bands: int = 4,
                         threshold: float = 0.7) -> DataFrame:
     """Full near-dup pipeline: LSH candidates, then exact n-gram Jaccard
-    verification on the candidate pairs only."""
-    cands = lsh_candidate_pairs(df, text_col, id_col, k, n_hashes, bands)
-    sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("sh")
+    verification on the candidate pairs only.  The shingle projection is
+    cached: it feeds the LSH banding AND both sides of the verification
+    join (on a cluster this would be a persisted/checkpointed stage)."""
+    sh = shingled(df, text_col, id_col, k).persist()
+    cands = _band_buckets(sh, id_col, n_hashes, bands)
+    right = cands.withColumnRenamed(id_col, "id_b")
+    cands = (
+        cands.withColumnRenamed(id_col, "id_a")
+        .join(right, on=["band", "h"], how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a")
-    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b")
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b")
     return (
         cands.join(a, "id_a").join(b, "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
@@ -140,16 +176,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def simhash(text: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint over whitespace tokens with md5-derived
-    per-token hashes.  bit b of the result = sign of the sum over tokens
-    of ±1 according to bit b of md5(token).  Pure Catalyst expressions."""
-    from .text import tokens as _tokens
-
-    toks = _tokens(F.lower(text))
-    # per-token integer hash from the first 8 hex chars of md5 (32 bits)
-    th = F.transform(toks, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
-                     .cast("long"))
+def _simhash_from_hashes(th: Column, bits: int) -> Column:
     out = F.lit(0).cast("long")
     for b in range(bits):
         contrib = F.aggregate(
@@ -160,3 +187,35 @@ def simhash(text: Column, bits: int = 16) -> Column:
         )
         out = out + F.when(contrib > 0, F.lit(2 ** b)).otherwise(F.lit(0))
     return out
+
+
+def _token_hashes(text: Column) -> Column:
+    """Per-token 32-bit integer hash: first 8 hex chars of md5(token)."""
+    from .text import tokens as _tokens
+
+    return F.transform(
+        _tokens(F.lower(text)),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint over whitespace tokens with md5-derived
+    per-token hashes.  bit b of the result = sign of the sum over tokens
+    of ±1 according to bit b of md5(token).  Pure Catalyst expressions.
+
+    NOTE: embeds the tokenization ``bits`` times in one expression; for
+    bulk use prefer :func:`simhash_df`, which stages the token-hash array
+    through a projection so it is computed once per row."""
+    return _simhash_from_hashes(_token_hashes(text), bits)
+
+
+def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               bits: int = 16, out_col: str = "sh") -> DataFrame:
+    """(id, simhash) with the token-hash array computed once per row."""
+    staged = df.select(
+        F.col(id_col), _token_hashes(F.col(text_col)).alias("__th")
+    )
+    return staged.select(
+        F.col(id_col), _simhash_from_hashes(F.col("__th"), bits).alias(out_col)
+    )

@@ -113,15 +113,60 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 
+def _argmax_lang(counts: dict[str, Column], n_tokens: Column) -> Column:
+    """argmax of per-language stopword hits with the deterministic
+    tie-break of :func:`lang_id` (language code order)."""
+    best = F.lit("und")
+    best_n = F.lit(-1).cast("long")
+    for lang in sorted(counts):
+        c = counts[lang]
+        is_better = c > best_n
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_n = F.when(is_better, c).otherwise(best_n)
+    return F.when(n_tokens == 0, F.lit("und")).otherwise(best)
+
+
 def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience: attach the standard text-analysis columns."""
+    """Attach the standard text-analysis columns.
+
+    Staged through two projections so the tokenization and the regex
+    scans run ONCE per row — the naive composition would re-tokenize the
+    document per derived column (higher-order functions run outside
+    whole-stage codegen, so Catalyst cannot merge the copies)."""
     t = F.col(text_col)
-    return df.withColumns({
-        "n_tokens": token_count(t),
+    ltoks = tokens(F.lower(t))
+    staged = df.withColumns({
+        "__n_tok": F.size(ltoks).cast("long"),
+        "__punct": punct_ratio(t),
+        "__digit": digit_ratio(t),
+        **{
+            f"__sw_{lang}": F.size(
+                F.filter(ltoks, lambda w: w.isin(*words))
+            ).cast("long")
+            for lang, words in STOPWORDS.items()
+        },
         "n_chars_computed": char_count(t),
-        "punct_ratio": F.round(punct_ratio(t), 6),
-        "stopword_ratio_en": F.round(stopword_ratio(t, "en"), 6),
-        "quality": quality_score(t),
-        "lang_pred": lang_id(t),
         "fp": fingerprint(t),
     })
+    n_tok = F.col("__n_tok")
+    sw_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("__sw_en").cast("double") / n_tok.cast("double")
+    )
+    length_score = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
+    noise_score = F.greatest(
+        F.lit(0.0), F.lit(1.0) - (F.col("__punct") + F.col("__digit")) * 2
+    )
+    out = staged.withColumns({
+        "n_tokens": n_tok,
+        "punct_ratio": F.round(F.col("__punct"), 6),
+        "stopword_ratio_en": F.round(sw_ratio, 6),
+        "quality": F.round(
+            length_score * 0.4 + noise_score * 0.4
+            + F.least(sw_ratio * 5, F.lit(1.0)) * 0.2, 6
+        ),
+        "lang_pred": _argmax_lang(
+            {lang: F.col(f"__sw_{lang}") for lang in STOPWORDS}, n_tok
+        ),
+    })
+    return out.drop("__n_tok", "__punct", "__digit",
+                    *[f"__sw_{lang}" for lang in STOPWORDS])

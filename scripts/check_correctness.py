@@ -1,0 +1,60 @@
+"""Local mirror of the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+at sf0.01, compare row count + columns + normalized values.
+
+Usage: python scripts/check_correctness.py [query_name ...]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tests"),
+)
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from oracle_util import compare, duckdb_con  # noqa: E402
+from tests.conftest import make_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = make_spark("check-correctness")
+    con = duckdb_con(SF_DIR)
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    n_ok = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            if name not in oracles:
+                cnt = df.count()
+                print(f"  {name}: rows-only check, {cnt} rows "
+                      f"({time.time() - t0:.1f}s)")
+                n_ok += 1
+                continue
+            ok, msg = compare(df, con, oracles[name], name)
+        except Exception as e:
+            ok, msg = False, f"{name}: EXCEPTION {type(e).__name__}: {e}"
+        if ok:
+            n_ok += 1
+            print(f"  {msg} ({time.time() - t0:.1f}s)")
+        else:
+            n_fail += 1
+            print(f"FAIL {msg} ({time.time() - t0:.1f}s)")
+    print(f"\n{n_ok} ok, {n_fail} failed")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
