@@ -27,10 +27,17 @@ def _div(a: Column, b: Column) -> Column:
 
 def ntz_from_epoch_us(us: Column) -> Column:
     """Exact TIMESTAMP_NTZ from epoch microseconds — no session-timezone
-    dependency (timestamp_micros would yield a TZ-local timestamp)."""
-    d = F.date_add(F.lit(_dt.date(1970, 1, 1)),
-                   _div(us, F.lit(US_PER_DAY)).cast("int"))
+    dependency (timestamp_micros would yield a TZ-local timestamp).
+
+    The day count uses FLOOR division so it is consistent with the
+    positive pmod remainder — a truncating div would reconstruct
+    pre-1970 timestamps one day late (e.g. us=-1 must give
+    1969-12-31T23:59:59.999999)."""
     rem = F.pmod(us, F.lit(US_PER_DAY))
+    # (us - rem) is exactly divisible; the quotient is a small day count,
+    # so the double division below is exact
+    d = F.date_add(F.lit(_dt.date(1970, 1, 1)),
+                   ((us - rem) / F.lit(US_PER_DAY)).cast("int"))
     hours = _div(rem, F.lit(US_PER_HOUR)).cast("int")
     mins = F.pmod(_div(rem, F.lit(US_PER_MIN)), F.lit(60)).cast("int")
     secs = F.pmod(rem, F.lit(US_PER_MIN)).cast("decimal(20,6)") / F.lit(1_000_000)

@@ -232,7 +232,12 @@ def summarize(table: Table, **kwargs) -> Table:
 
 def _check_summarize_refs(e: ColExpr, group_uuids: set, nm: str):
     """Non-aggregated references to non-group columns are rejected
-    (reference pipe/verbs.py:928-944)."""
+    (reference pipe/verbs.py:928-944).  Recursion stops only at nodes that
+    ARE aggregate calls — an element-wise node whose merged ftype is
+    AGGREGATE (e.g. ``t.a.sum() + t.b``) must still have its element-wise
+    children checked."""
+    from ..plans.ops import REGISTRY
+
     if isinstance(e, Col):
         if e.uuid not in group_uuids:
             raise ValueError(
@@ -241,7 +246,7 @@ def _check_summarize_refs(e: ColExpr, group_uuids: set, nm: str):
                 "appear unaggregated"
             )
         return
-    if isinstance(e, ColFn) and e.ftype() == FTYPE_AGGREGATE:
+    if isinstance(e, ColFn) and REGISTRY[e.op].ftype == FTYPE_AGGREGATE:
         return
     for c in e.iter_children():
         _check_summarize_refs(c, group_uuids, nm)
@@ -351,28 +356,37 @@ def _do_join(left: Table, right: Table, on, how: str, *,
             to_rename = colliding
     else:
         to_rename = set()
-    for nm in to_rename:
+    # candidate names are checked against ALL assigned output names —
+    # left names, untouched right names, and renames made so far — so
+    # e.g. right {x, x_right} joined to left {x} cannot collide
+    taken = set(left_names) | {nm for nm in right_n2u if nm not in to_rename}
+    for nm in sorted(to_rename):
         u = right_n2u[nm]
         new_name = nm + suffix
-        if new_name in left_names:
-            i = 1
-            while f"{nm}{suffix}_{i}" in left_names:
-                i += 1
+        i = 0
+        while new_name in taken:
+            i += 1
             new_name = f"{nm}{suffix}_{i}"
+        taken.add(new_name)
         new_right_cols[u] = Col(new_name, u, right._cols[u]._dtype,
                                 right._name)
+
+    left_df, right_df = left._df, right._df
+    if validate != "m:m":
+        # compiled-in cardinality assertion (SURVEY §4): no Spark job runs
+        # at pipeline-build time; the check fires lazily with the plan
+        left_df, right_df = _with_join_validation(
+            left, right, left_df, right_df, prepared, validate
+        )
 
     ctx = CompileCtx()
     if prepared:
         cond = functools.reduce(
             _py_op.and_, [compile_expr(p, ctx) for p in prepared]
         )
-        df = left._df.join(right._df, on=cond, how=how)
+        df = left_df.join(right_df, on=cond, how=how)
     else:
-        df = left._df.crossJoin(right._df)
-
-    if validate != "m:m":
-        _check_join_cardinality(left, right, prepared, validate)
+        df = left_df.crossJoin(right_df)
 
     cols = {**left._cols, **new_right_cols}
     select = [*left._select, *right._select]
@@ -393,9 +407,16 @@ def _all_equi(e: ColExpr) -> bool:
     return isinstance(e, ColFn) and e.op == "eq"
 
 
-def _check_join_cardinality(left: Table, right: Table, prepared, validate):
-    """``validate=`` as an assertion join (SURVEY §4: no custom Catalyst
-    rule — count duplicate keys on the constrained side and fail)."""
+def _with_join_validation(left: Table, right: Table, left_df, right_df,
+                          prepared, validate):
+    """``validate=`` 1:1 / 1:m / m:1 compiled INTO the plan (SURVEY §4):
+    the constrained side gets a per-key count window plus an
+    ``assert_true`` wrapped into its first key column, so duplicate keys
+    fail at execution time.  Building the pipeline triggers no Spark job
+    (the reference runs this check eagerly; on Spark an eager check would
+    be a blocking full scan per validated join at 100 TB)."""
+    from pyspark.sql import Window
+
     eq_pairs = []
     for p in prepared:
         for node in _iter_eq(p):
@@ -409,21 +430,22 @@ def _check_join_cardinality(left: Table, right: Table, prepared, validate):
     if not eq_pairs:
         raise ValueError("validate= requires at least one equality predicate")
 
-    def assert_unique(tbl: Table, cols):
+    def checked(df, cols, side):
         keys = [phys(c.uuid) for c in cols]
-        dup = (
-            tbl._df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1)
-        )
-        if dup.take(1):
-            raise ValueError(
-                f"join validation `{validate}` failed: duplicate keys on "
-                f"{'left' if tbl is left else 'right'} side"
-            )
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        msg = (f"join validation `{validate}` failed: duplicate keys on "
+               f"{side} side")
+        ok = F.assert_true(cnt <= 1, F.lit(msg))
+        # fold the assertion into a key column so column pruning can
+        # never drop it; value is unchanged when the check passes
+        k0 = keys[0]
+        return df.withColumn(k0, F.when(ok.isNull(), F.col(k0)))
 
     if validate in ("1:m", "1:1"):
-        assert_unique(left, [lc for lc, _ in eq_pairs])
+        left_df = checked(left_df, [lc for lc, _ in eq_pairs], "left")
     if validate in ("m:1", "1:1"):
-        assert_unique(right, [rc for _, rc in eq_pairs])
+        right_df = checked(right_df, [rc for _, rc in eq_pairs], "right")
+    return left_df, right_df
 
 
 def _iter_eq(e: ColExpr):
@@ -523,11 +545,61 @@ def alias(table: Table, new_name: str | None = None) -> Table:
     select = [mapping[u] for u in table._select]
     partition_by = [mapping[u] for u in table._partition_by]
     order = [
-        Order(new_cols[mapping[o.expr.uuid]], o.desc, o.nl)
+        Order(_remap_expr(o.expr, mapping, new_cols), o.desc, o.nl)
         for o in table._order
-        if isinstance(o.expr, Col)
     ]
     return Table._derived(df, new_cols, select, partition_by, order, nm)
+
+
+def _remap_expr(e: ColExpr, mapping: dict, new_cols: dict) -> ColExpr:
+    """Clone a prepared expression tree, re-pointing every Col at the
+    post-``alias`` UUIDs — so e.g. an ``arrange(t.a + t.b)`` default
+    window order survives the UUID reset instead of being dropped."""
+    from ..plans.expr import CaseExpr, Cast, LiteralCol
+
+    if isinstance(e, Col):
+        return new_cols[mapping[e.uuid]]
+    if isinstance(e, LiteralCol):
+        return e
+    if isinstance(e, Cast):
+        out = Cast(_remap_expr(e.expr, mapping, new_cols), e.target, e.strict)
+        out._dtype, out._ftype = e._dtype, e._ftype
+        return out
+    if isinstance(e, CaseExpr):
+        out = CaseExpr(
+            [
+                (_remap_expr(c, mapping, new_cols),
+                 _remap_expr(v, mapping, new_cols))
+                for c, v in e.cases
+            ],
+            _remap_expr(e.default, mapping, new_cols)
+            if e.default is not None else None,
+        )
+        out._dtype, out._ftype = e._dtype, e._ftype
+        return out
+    if isinstance(e, ColFn):
+        out = ColFn.__new__(ColFn)
+        ColExpr.__init__(out)
+        out.op = e.op
+        out.args = [_remap_expr(a, mapping, new_cols) for a in e.args]
+        out.partition_by = (
+            [_remap_expr(p, mapping, new_cols) for p in e.partition_by]
+            if e.partition_by is not None else None
+        )
+        out.arrange = (
+            [
+                Order(_remap_expr(o.expr, mapping, new_cols), o.desc, o.nl)
+                for o in e.arrange
+            ]
+            if e.arrange is not None else None
+        )
+        out.filter = (
+            _remap_expr(e.filter, mapping, new_cols)
+            if e.filter is not None else None
+        )
+        out._dtype, out._ftype = e._dtype, e._ftype
+        return out
+    raise TypeError(f"cannot remap {e!r} across alias()")
 
 
 # ---------------------------------------------------------------------------
@@ -537,9 +609,13 @@ def alias(table: Table, new_name: str | None = None) -> Table:
 @verb
 def collect(table: Table) -> Table:
     """Execute now, keep column references, continue lazily on the result
-    (reference pipe/verbs.py:168-244).  Uses localCheckpoint to cut the
-    lineage — on a cluster, prefer persist() + an explicit action."""
-    df = table._df.localCheckpoint(eager=True)
+    (reference pipe/verbs.py:168-244).  Uses persist(MEMORY_AND_DISK) +
+    a count action: unlike localCheckpoint, persisted blocks are
+    recomputable from lineage after executor loss on a real cluster."""
+    from pyspark import StorageLevel
+
+    df = table._df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()  # materialize now (collect is the explicit eager verb)
     return Table._derived(
         df, table._cols, table._select, table._partition_by, table._order,
         table._name,

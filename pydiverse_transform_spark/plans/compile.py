@@ -62,18 +62,6 @@ class Scope:
         self.partition_by = partition_by  # list[uuid]
 
 
-class _MonotonicId(ColExpr):
-    """Fallback deterministic-within-a-run ordering key for order-dependent
-    window ops on a table with no established order (SURVEY §4 caveat:
-    Spark DataFrames have no row order)."""
-
-    __slots__ = ()
-
-    def __init__(self):
-        super().__init__()
-        self._dtype = tp.Int64()
-
-
 # ---------------------------------------------------------------------------
 # pass 1: prepare
 # ---------------------------------------------------------------------------
@@ -110,8 +98,6 @@ def _prepare(e, scope: Scope, context: str, toplevel: bool = False) -> ColExpr:
             )
         return e
     if isinstance(e, LiteralCol):
-        return e
-    if isinstance(e, _MonotonicId):
         return e
     if isinstance(e, Cast):
         inner = _prepare(e.expr, scope, context)
@@ -238,19 +224,23 @@ class CompileCtx:
         self.default_order = list(default_order)
 
 
-def _lit(val) -> Column:
+def _lit(e: LiteralCol) -> Column:
+    val = e.val
     if isinstance(val, _dt.timedelta):
         return F.lit(val // _dt.timedelta(microseconds=1))
-    return F.lit(val)
+    out = F.lit(val)
+    if e.explicit_dtype:
+        # make the physical type match the declared logical type
+        # (lit(1, Float64()) must be a double column, not an int)
+        out = out.cast(tp.to_spark_type(e._dtype))
+    return out
 
 
 def compile_expr(e: ColExpr, ctx: CompileCtx) -> Column:
     if isinstance(e, Col):
         return F.col(phys(e.uuid))
     if isinstance(e, LiteralCol):
-        return _lit(e.val)
-    if isinstance(e, _MonotonicId):
-        return F.monotonically_increasing_id()
+        return _lit(e)
     if isinstance(e, Cast):
         return _compile_cast(e, ctx)
     if isinstance(e, CaseExpr):
@@ -307,11 +297,24 @@ def _partition_spec(e: ColFn, ctx: CompileCtx):
 
 
 def _order_cols(e: ColFn, ctx: CompileCtx) -> list[Column]:
+    """Ordering for an order-dependent window op.
+
+    Spark DataFrames have no intrinsic row order, so a bare
+    ``row_number()/shift()/cum_sum()`` with neither ``arrange=`` nor a
+    preceding ``arrange()`` verb would be nondeterministic (its result
+    depends on partition layout).  The reference requires an ordering for
+    these ops (reference ops/ops/window.py:26-30); we enforce the same at
+    compile time instead of silently producing run-dependent results.
+    """
     orders = e.arrange
     if not orders:
         orders = ctx.default_order
-    if not orders:
-        orders = [Order(_MonotonicId())]
+    if not orders and REGISTRY[e.op].needs_order:
+        raise ValueError(
+            f"window function `{e.op}` requires an ordering: pass "
+            "`arrange=` or sort the table with `arrange(...)` first "
+            "(Spark DataFrames have no intrinsic row order)"
+        )
     return [compile_order(o, ctx) for o in orders]
 
 

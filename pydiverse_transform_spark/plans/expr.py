@@ -379,12 +379,15 @@ class ColName(ColExpr):
 
 
 class LiteralCol(ColExpr):
-    __slots__ = ("val", "const")
+    __slots__ = ("val", "const", "explicit_dtype")
 
     def __init__(self, val, dtype: tp.Dtype | None = None, const: bool = False):
         super().__init__()
         self.val = val
         self._dtype = dtype or tp.infer_literal_type(val)
+        # an explicitly requested dtype must also be applied physically
+        # (compile casts the literal), not only in the logical type
+        self.explicit_dtype = dtype is not None
         self.const = const
 
     def __repr__(self):

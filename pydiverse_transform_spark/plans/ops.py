@@ -319,6 +319,8 @@ def _compile_is_in(node, args):
     # null-propagating OR-chain of == (reference ops/ops/comparison.py:58-67);
     # NOT `.isin`, whose null semantics differ.
     x = args[0]
+    if len(args) == 1:  # x.is_in() with no values is vacuously false
+        return F.lit(False)
     return functools.reduce(_py_op.or_, (x == v for v in args[1:]))
 
 

@@ -79,10 +79,16 @@ def from_polars(spark: SparkSession, pldf, name: str | None = None) -> Table:
 
 def from_dict(spark: SparkSession, data: dict, name: str | None = None
               ) -> Table:
-    """Column-oriented dict {col: [values]} (reference accepts the same)."""
-    import pandas as pd
+    """Column-oriented dict {col: [values]} (reference accepts the same).
 
-    return Table(spark.createDataFrame(pd.DataFrame(data)), name or "dict")
+    Row-based construction, NOT via pandas: a pandas float column turns
+    ``None`` into NaN, silently changing null semantics — the reference
+    (polars ingestion) keeps None as a true null."""
+    cols = list(data)
+    rows = list(zip(*[data[c] for c in cols])) if cols else []
+    return Table(
+        spark.createDataFrame(rows, schema=cols), name or "dict"
+    )
 
 
 def from_rows(spark: SparkSession, rows, schema=None,

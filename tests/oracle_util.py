@@ -27,11 +27,17 @@ def duckdb_con(sf_dir: str):
 
 
 def _norm_cell(v):
-    if v is None:
+    # NaN and NULL normalize to the same token: the pandas bridges are
+    # lossy here (Spark's toPandas yields None for a null boolean where
+    # DuckDB's fetchdf yields NaN, and nullable ints become NaN floats on
+    # both sides), so the distinction cannot be round-tripped reliably.
+    if v is None or v is pd.NA:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return "NULL"
+        if v == 0.0:
+            v = 0.0  # -0.0 and 0.0 print identically
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.6f}"
         return f"{v:.6g}"
