@@ -30,10 +30,12 @@ from .functions import (  # noqa: F401
     sum,
     when,
 )
+from .operators.aligned import aligned, eval_aligned  # noqa: F401
 from .operators.pipeable import Pipeable, verb  # noqa: F401
 from .operators.verbs import (  # noqa: F401
     alias,
     arrange,
+    ast_repr,
     build_query,
     collect,
     columns,
@@ -55,6 +57,7 @@ from .operators.verbs import (  # noqa: F401
     show_query,
     slice_head,
     summarize,
+    transfer_col_references,
     ungroup,
     union,
 )

@@ -34,7 +34,9 @@ from ..plans.expr import (
     ColExpr,
     ColFn,
     ColName,
+    EvalAligned,
     Order,
+    SeriesCol,
     wrap_literal,
 )
 from ..table import Table
@@ -45,6 +47,7 @@ __all__ = [
     "ungroup", "summarize", "slice_head", "join", "inner_join", "left_join",
     "full_join", "cross_join", "union", "alias", "distinct", "collect",
     "export", "show", "show_query", "build_query", "name", "columns",
+    "transfer_col_references", "ast_repr",
 ]
 
 
@@ -116,7 +119,9 @@ def rename(table: Table, mapping: dict) -> Table:
 @verb
 def mutate(table: Table, **kwargs) -> Table:
     """Add or overwrite columns (reference pipe/verbs.py:582).
-    Aggregates auto-promote to windows over the current grouping."""
+    Aggregates auto-promote to windows over the current grouping.
+    ``eval_aligned(...)`` values are combined positionally via an
+    index-equi-join (see ``operators/aligned.py``)."""
     if not kwargs:
         return table
     scope = table._scope()
@@ -124,18 +129,27 @@ def mutate(table: Table, **kwargs) -> Table:
     cols = dict(table._cols)
     select = list(table._select)
     n2u = table._name2uuid()
+    df = table._df
     new_phys = {}
     for nm, e in kwargs.items():
-        prepared = prepare(wrap_literal(e), scope, "mutate")
-        c = _fresh_col(nm, prepared._dtype, table._name)
-        new_phys[phys(c.uuid)] = compile_expr(prepared, ctx)
+        if isinstance(e, EvalAligned):
+            from .aligned import apply_aligned
+
+            c = Col(nm, _uuid.uuid4(), e._dtype, table._name)
+            df, dtype = apply_aligned(table, df, e, phys(c.uuid))
+            c = Col(nm, c.uuid, dtype, table._name)
+        else:
+            prepared = prepare(wrap_literal(e), scope, "mutate")
+            c = _fresh_col(nm, prepared._dtype, table._name)
+            new_phys[phys(c.uuid)] = compile_expr(prepared, ctx)
         cols[c.uuid] = c
         if nm in n2u:
             # overwrite: old column becomes hidden, keep position
             select[select.index(n2u[nm])] = c.uuid
         else:
             select.append(c.uuid)
-    df = table._df.withColumns(new_phys)
+    if new_phys:
+        df = df.withColumns(new_phys)
     return Table._derived(
         df, cols, select, table._partition_by, table._order, table._name
     )
@@ -623,11 +637,32 @@ def collect(table: Table) -> Table:
 
 
 @verb
-def export(table: Table, target=None):
+def export(table: Table, target=None, *, schema_overrides: dict | None = None):
     """Materialize to pandas / Arrow / dict / list-of-rows / scalar / the
-    raw Spark DataFrame (reference pipe/verbs.py:252-347)."""
+    raw Spark DataFrame (reference pipe/verbs.py:252-347).
+
+    ``schema_overrides`` maps columns (Col / name) to dtypes that are
+    cast right before materialization (reference pipe/verbs.py:252)."""
     from ..targets import Pandas, export_to
 
+    if schema_overrides:
+        casts = {}
+        for key, dtype in schema_overrides.items():
+            if isinstance(dtype, type):
+                dtype = dtype()
+            u = table._resolve_uuid(key)
+            casts[phys(u)] = F.col(phys(u)).cast(tp.to_spark_type(dtype))
+        cols = dict(table._cols)
+        for key, dtype in schema_overrides.items():
+            if isinstance(dtype, type):
+                dtype = dtype()
+            u = table._resolve_uuid(key)
+            c = cols[u]
+            cols[u] = Col(c.name, u, dtype, c.table_name)
+        table = Table._derived(
+            table._df.withColumns(casts), cols, table._select,
+            table._partition_by, table._order, table._name,
+        )
     return export_to(table, target if target is not None else Pandas())
 
 
@@ -669,3 +704,53 @@ def name(table: Table) -> str:
 @verb
 def columns(table: Table) -> list[str]:
     return table.columns
+
+
+@verb
+def ast_repr(table: Table) -> str:
+    """Readable representation of the logical plan (the analogue of the
+    reference's AST printer, reference tree/ast.py:31-104 — on Spark the
+    composed Catalyst logical plan IS the verb AST)."""
+    head = [
+        f"Table `{table._name}` (backend: spark)",
+        "columns: " + ", ".join(
+            f"{table._cols[u].name}: {table._cols[u]._dtype!r}"
+            for u in table._select
+        ),
+    ]
+    if table._partition_by:
+        head.append(
+            "grouped by: "
+            + ", ".join(table._cols[u].name for u in table._partition_by)
+        )
+    try:
+        plan = table._df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        plan = table._df.__repr__()
+    return "\n".join(head) + "\nlogical plan:\n" + plan
+
+
+def transfer_col_references(table: Table, ref_source: Table) -> Table:
+    """Re-point ``table``'s visible columns at ``ref_source``'s column
+    UUIDs (matched by name), so references captured from ``ref_source``
+    keep working after an external materialization
+    (reference pipe/cache.py:288-353)."""
+    if not isinstance(table, Table) or not isinstance(ref_source, Table):
+        raise TypeError("transfer_col_references takes two Tables")
+    ref_n2u = ref_source._name2uuid()
+    for u in table._select:
+        nm = table._cols[u].name
+        if nm not in ref_n2u:
+            raise ValueError(
+                f"column `{nm}` of table `{table._name}` does not exist in "
+                f"the reference source table `{ref_source._name}`"
+            )
+    sel_exprs, new_cols, new_select = [], {}, []
+    for u in table._select:
+        c = table._cols[u]
+        nu = ref_n2u[c.name]
+        sel_exprs.append(F.col(phys(u)).alias(phys(nu)))
+        new_cols[nu] = Col(c.name, nu, c._dtype, table._name)
+        new_select.append(nu)
+    df = table._df.select(*sel_exprs)
+    return Table._derived(df, new_cols, new_select, [], [], table._name)

@@ -41,6 +41,12 @@ def wrap_literal(v) -> "ColExpr":
         return v
     if isinstance(v, Order):
         raise TypeError("ordering markers are only allowed in arrange/arrange=")
+    # pandas/polars Series and numpy arrays become positional SeriesCol
+    # nodes — only legal under eval_aligned (reference tree/col_expr.py:2771)
+    if hasattr(v, "__len__") and not isinstance(v, (str, bytes, dict)) and (
+        hasattr(v, "to_list") or hasattr(v, "tolist")
+    ):
+        return SeriesCol(v.to_list() if hasattr(v, "to_list") else v.tolist())
     return LiteralCol(v)
 
 
@@ -346,16 +352,21 @@ class Col(ColExpr):
 
     Mirrors reference tree/col_expr.py:2303 — names are display only;
     the UUID survives renames, selects (hidden columns), and joins.
+    ``_origin`` is the Table snapshot the reference was taken from
+    (``t.a`` sets it to ``t``) — used by ``eval_aligned`` to know which
+    relation provides the column's values positionally.
     """
 
-    __slots__ = ("name", "uuid", "table_name")
+    __slots__ = ("name", "uuid", "table_name", "_origin")
 
-    def __init__(self, name: str, uuid: _uuid.UUID, dtype: tp.Dtype, table_name: str):
+    def __init__(self, name: str, uuid: _uuid.UUID, dtype: tp.Dtype, table_name: str,
+                 origin=None):
         super().__init__()
         self.name = name
         self.uuid = uuid
         self._dtype = dtype
         self.table_name = table_name
+        self._origin = origin
 
     def __repr__(self):
         return f"{self.table_name}.{self.name}<{self._dtype!r}>"
@@ -392,6 +403,66 @@ class LiteralCol(ColExpr):
 
     def __repr__(self):
         return f"lit({self.val!r})"
+
+
+class SeriesCol(ColExpr):
+    """A raw in-memory sequence (pandas/polars Series, numpy array) used
+    positionally inside ``eval_aligned`` (reference tree/col_expr.py:2771).
+    Only valid under an ``EvalAligned`` wrapper."""
+
+    __slots__ = ("values",)
+
+    def __init__(self, values):
+        super().__init__()
+        self.values = list(values)
+        self._dtype = None
+        for v in self.values:
+            if v is not None and v == v:  # skip None/NaN for inference
+                self._dtype = tp.infer_literal_type(v)
+                break
+        if self._dtype is None:
+            self._dtype = tp.NullType()
+        self._ftype = FTYPE_ELEMENT_WISE
+
+    def __repr__(self):
+        return f"series<{len(self.values)} values>"
+
+
+class EvalAligned(ColExpr):
+    """Positional-alignment escape hatch (reference pipe/aligned.py:15-137,
+    node tree/col_expr.py:2783): evaluates an expression whose columns come
+    from a DIFFERENT table (or raw Series) by zipping rows positionally
+    with the target table."""
+
+    __slots__ = ("val", "with_")
+
+    def __init__(self, val, with_=None):
+        super().__init__()
+        self.val = _to_aligned_expr(val)
+        self.with_ = with_
+        self._dtype = self.val._dtype
+        self._ftype = FTYPE_ELEMENT_WISE
+
+    def iter_children(self):
+        yield self.val
+
+    def __repr__(self):
+        return f"eval_aligned({self.val!r})"
+
+
+def _to_aligned_expr(val):
+    if isinstance(val, ColExpr):
+        return val
+    # duck-typed pandas / polars Series / numpy arrays
+    if hasattr(val, "to_list"):
+        return SeriesCol(val.to_list())
+    if hasattr(val, "tolist"):
+        return SeriesCol(val.tolist())
+    if isinstance(val, (list, tuple)):
+        return SeriesCol(val)
+    raise TypeError(
+        f"eval_aligned takes a column expression or a Series, got {val!r}"
+    )
 
 
 class ColFn(ColExpr):

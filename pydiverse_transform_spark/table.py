@@ -33,12 +33,12 @@ __all__ = ["Table"]
 class Table:
     __slots__ = ("_df", "_cols", "_select", "_partition_by", "_order", "_name")
 
-    def __init__(self, df: DataFrame, name: str | None = None):
+    def __init__(self, df, name: str | None = None):
         if not isinstance(df, DataFrame):
-            raise TypeError(
-                "Table() takes a pyspark DataFrame; use "
-                "sources.from_pandas/from_dict/read_parquet for other inputs"
-            )
+            # direct construction from dict / pandas / polars, like the
+            # reference's Table(...) (reference pipe/table.py:31-37);
+            # needs an active SparkSession
+            df = _to_spark_df(df)
         self._name = name or "?"
         cols: dict[_uuid.UUID, Col] = {}
         select: list[_uuid.UUID] = []
@@ -87,7 +87,10 @@ class Table:
                 f"table `{self._name}` has no column `{name}`; "
                 f"columns: {list(n2u)}"
             )
-        return self._cols[n2u[name]]
+        c = self._cols[n2u[name]]
+        # stamp the reference with THIS table snapshot so eval_aligned
+        # knows which relation provides the values positionally
+        return Col(c.name, c.uuid, c._dtype, c.table_name, origin=self)
 
     def __rshift__(self, rhs):
         if callable(rhs):
@@ -146,3 +149,33 @@ class Table:
         return self._df.select(
             *[F.col(phys(u)).alias(self._cols[u].name) for u in self._select]
         )
+
+
+def _to_spark_df(data) -> DataFrame:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "Table(dict/pandas/polars) needs an active SparkSession; "
+            "create one first or use sources.read_* / from_* helpers"
+        )
+    if isinstance(data, dict):
+        # row-based (not via pandas) so None stays a true null in float
+        # columns
+        cols = list(data)
+        rows = list(zip(*[data[c] for c in cols])) if cols else []
+        return spark.createDataFrame(rows, schema=cols)
+    if hasattr(data, "to_pandas"):  # polars DataFrame
+        return spark.createDataFrame(data.to_pandas())
+    try:
+        import pandas as pd
+
+        if isinstance(data, pd.DataFrame):
+            return spark.createDataFrame(data)
+    except ImportError:
+        pass
+    raise TypeError(
+        f"cannot construct a Table from {type(data).__name__}; expected a "
+        "pyspark DataFrame, dict, pandas or polars DataFrame"
+    )

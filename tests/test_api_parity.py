@@ -1,0 +1,101 @@
+"""Tests for the round-2 API-parity additions: Table() direct
+construction, eval_aligned/@aligned, transfer_col_references, ast_repr,
+export(schema_overrides=).
+"""
+
+import pandas as pd
+import pytest
+
+import pydiverse_transform_spark as pdt
+from pydiverse_transform_spark import C
+
+
+def test_table_direct_construction(spark):
+    t = pdt.Table({"a": [1, 2, 5], "b": ["x", "y", "z"]}, name="t")
+    out = t >> pdt.filter(t.a >= 2) >> pdt.export(pdt.Pandas)
+    assert sorted(out["a"]) == [2, 5]
+
+    t2 = pdt.Table(pd.DataFrame({"a": [1.5, 2.5]}), name="t2")
+    assert (t2 >> pdt.export(pdt.Pandas))["a"].tolist() == [1.5, 2.5]
+
+
+def test_eval_aligned_two_tables(spark):
+    t1 = pdt.Table({"a": [1, 2, 3, 4]}, name="t1")
+    t2 = pdt.Table({"a": [5, 3, 1, 3]}, name="t2")
+    out = (
+        t1
+        >> pdt.mutate(c=pdt.eval_aligned(t1.a + t2.a, with_=t1))
+        >> pdt.export(pdt.Pandas)
+    )
+    assert sorted(out["c"]) == sorted([6, 5, 4, 7])
+    # positional: row i of t1 pairs with row i of t2
+    by_a = out.sort_values("a")
+    assert by_a["c"].tolist() == [6, 5, 4, 7]
+
+
+def test_eval_aligned_series(spark):
+    t = pdt.Table({"a": [1, 2, 3, 4], "b": [2, 5, 16, 3]}, name="t")
+    s = pd.Series([9, 5, 4, 1])
+    out = (
+        t >> pdt.mutate(c=pdt.eval_aligned(t.a + s))
+        >> pdt.export(pdt.Pandas)
+    )
+    assert out.sort_values("a")["c"].tolist() == [10, 7, 7, 5]
+
+
+def test_eval_aligned_length_mismatch_fails(spark):
+    t1 = pdt.Table({"a": [1, 2, 3]}, name="t1")
+    t2 = pdt.Table({"a": [1, 2]}, name="t2")
+    q = t1 >> pdt.mutate(c=pdt.eval_aligned(t1.a + t2.a))
+    with pytest.raises(Exception, match="different lengths"):
+        q >> pdt.export(pdt.Pandas)
+
+
+def test_aligned_decorator(spark):
+    t = pdt.Table({"a": [1, 2, 3, 4]}, name="t")
+
+    @pdt.aligned(with_="col")
+    def reverse_col(col):
+        vals = (
+            col._origin
+            >> pdt.select(col)
+            >> pdt.export(pdt.Pandas)
+        )[col.name].tolist()
+        return pd.Series(list(reversed(vals)))
+
+    out = t >> pdt.mutate(r=reverse_col(t.a)) >> pdt.export(pdt.Pandas)
+    assert out.sort_values("a")["r"].tolist() == [4, 3, 2, 1]
+
+
+def test_transfer_col_references(spark):
+    t = pdt.Table({"a": [1, 2, 5], "b": ["x", "y", "z"]}, name="t")
+
+    @pdt.verb
+    def materialize(tbl):
+        # simulate external materialization: export + re-read
+        pdf = tbl >> pdt.export(pdt.Pandas)
+        new = pdt.Table(pdf, name="materialized")
+        return pdt.transfer_col_references(new, tbl)
+
+    out = (
+        t
+        >> pdt.filter(t.a >= 2)
+        >> materialize()
+        >> pdt.mutate(z=t.a + t.b.str.len())
+        >> pdt.export(pdt.Pandas)
+    )
+    assert sorted(out["z"]) == [3, 6]
+
+
+def test_ast_repr(spark):
+    t = pdt.Table({"a": [1]}, name="t")
+    s = t >> pdt.group_by(t.a) >> pdt.ast_repr()
+    assert "Table `t`" in s and "grouped by: a" in s and "a: int64" in s
+
+
+def test_export_schema_overrides(spark):
+    t = pdt.Table({"a": [1, 2], "b": [1.7, 2.2]}, name="t")
+    out = t >> pdt.export(
+        pdt.Spark, schema_overrides={"a": pdt.Float64(), t.b: pdt.String()}
+    )
+    assert dict(out.dtypes) == {"a": "double", "b": "string"}
