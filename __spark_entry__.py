@@ -1299,6 +1299,86 @@ def q_events_by_type(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT doc_id,
+       64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1985  AS width,
+       64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1985  AS height,
+       round(('0x' || substr(md5(text), 9, 4))::BIGINT / 65535.0, 6)
+                                                              AS mean_luma,
+       round(('0x' || substr(md5(text || '0'), 1, 2))::BIGINT / 255.0, 6)
+                                                              AS f0,
+       round(('0x' || substr(md5(text || '0'), 31, 2))::BIGINT / 255.0, 6)
+                                                              AS f15
+FROM documents
+""")
+def q_media_decode_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload column + Arrow-batched
+    mapInPandas decode/feature kernels (md5-derived deterministic stub,
+    reproducible in the SQL oracle)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.with_media_column(docs, "text", mime="text/plain")
+    decoded = mm.decode_image(media, "media", "doc_id",
+                              deterministic_fake=True)
+    feats = mm.image_features(media, "media", "doc_id", dim=16)
+    return (
+        decoded.join(feats, "id")
+        .select(
+            F.col("id").alias("doc_id"), "width", "height", "mean_luma",
+            F.round(F.col("features")[0], 6).alias("f0"),
+            F.round(F.col("features")[15], 6).alias("f15"),
+        )
+    )
+
+
+@_q("""
+SELECT bucket_start, event_type, n_events, sum_value
+FROM (
+  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 3600000000) * 3600000000)
+           AS bucket_start,
+         event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+""")
+def q_stream_tumbling(spark, sf_dir):
+    """Structured-Streaming tumbling rollup drained with availableNow —
+    must equal the batch hourly rollup the oracle computes."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import events as ev
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src_dir = f"{sf_dir}/events.parquet"
+    # file stream needs µs timestamps; stage a converted copy once
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.load_events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    batch_schema = spark.read.parquet(staged).schema
+    stream = st.read_event_stream(spark, staged, schema=batch_schema)
+    out = st.run_to_memory(
+        st.tumbling_window_agg(
+            stream, "ts", window="1 hour", watermark="0 seconds",
+            keys=["event_type"],
+            aggs={"n_events": "count(1)",
+                  "sum_value": "round(sum(value), 6)"},
+        ),
+        f"q_stream_tumbling_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("bucket_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
 # =============================================================================
 # driver contract
 # =============================================================================

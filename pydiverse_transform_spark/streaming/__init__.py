@@ -1,0 +1,140 @@
+"""Structured Streaming surface over the engine's event-table shape.
+
+The reference is batch-only (SURVEY §2.2 "streaming absent"); this module
+is new Spark-first design: thin, typed wrappers over
+``readStream → withWatermark → window/session_window → writeStream`` so a
+user of the batch `events` operators (extras/events.py) gets the same
+rollups incrementally.
+
+Everything stays on built-in Catalyst streaming operators — watermarked
+tumbling / sliding / session windows compile to Spark's incremental
+stateful aggregation (partial aggregation + state store per window key),
+which is the plan that scales: state is partitioned by group key, no
+driver-side loops, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
+    "session_window_agg", "run_to_memory",
+]
+
+
+def read_event_stream(spark: SparkSession, path: str, schema=None,
+                      fmt: str = "parquet", ts_col: str = "ts",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-based event stream (the streaming twin of
+    extras/events.load_events).  ``schema`` is required by Spark for file
+    streams; pass the batch table's schema."""
+    reader = spark.readStream.format(fmt)
+    if schema is None:
+        raise ValueError(
+            "file streams need an explicit schema; read the batch table "
+            "once and pass its .schema"
+        )
+    reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def _agg_exprs(aggs: dict[str, str] | None):
+    """{'out_name': 'sum(value)'} -> [Column]; defaults to event count."""
+    if not aggs:
+        return [F.count(F.lit(1)).alias("n_events")]
+    return [F.expr(spec).alias(name) for name, spec in aggs.items()]
+
+
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP; a TIMESTAMP_NTZ event time (the
+    engine's canonical wall-clock type) is cast via the session timezone,
+    which is deterministic for a fixed session configuration."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def tumbling_window_agg(events: DataFrame, ts_col: str = "ts",
+                        window: str = "1 hour",
+                        watermark: str = "2 hours",
+                        keys: list[str] | None = None,
+                        aggs: dict[str, str] | None = None) -> DataFrame:
+    """Watermarked tumbling-window aggregation.  Late rows beyond the
+    watermark are dropped and closed windows emit exactly once in append
+    mode."""
+    w = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    gcols = [F.window(F.col(ts_col), window), *(keys or [])]
+    return (
+        w.groupBy(*gcols)
+        .agg(*_agg_exprs(aggs))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(keys or []),
+            *[c for c in (aggs or {"n_events": None})],
+        )
+    )
+
+
+def sliding_window_agg(events: DataFrame, ts_col: str = "ts",
+                       window: str = "1 hour", slide: str = "15 minutes",
+                       watermark: str = "2 hours",
+                       keys: list[str] | None = None,
+                       aggs: dict[str, str] | None = None) -> DataFrame:
+    """Sliding (overlapping) window aggregation — each event lands in
+    window/slide buckets."""
+    w = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    gcols = [F.window(F.col(ts_col), window, slide), *(keys or [])]
+    return (
+        w.groupBy(*gcols)
+        .agg(*_agg_exprs(aggs))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *(keys or []),
+            *[c for c in (aggs or {"n_events": None})],
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, ts_col: str = "ts",
+                       gap: str = "30 minutes", watermark: str = "2 hours",
+                       keys: list[str] | None = None,
+                       aggs: dict[str, str] | None = None) -> DataFrame:
+    """Gap-based session windows (the streaming twin of
+    extras/events.sessionize): a session closes when no event arrives for
+    ``gap``; state is scoped per key by Spark's session-window operator."""
+    w = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    gcols = [F.session_window(F.col(ts_col), gap), *(keys or [])]
+    return (
+        w.groupBy(*gcols)
+        .agg(*_agg_exprs(aggs))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *(keys or []),
+            *[c for c in (aggs or {"n_events": None})],
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str,
+                  output_mode: str = "append", timeout_sec: int = 120):
+    """Drain the stream with availableNow into an in-memory sink and
+    return the result as a batch DataFrame — the deterministic way to
+    test a streaming plan against its batch twin."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return stream_df.sparkSession.table(table_name)

@@ -1,0 +1,96 @@
+"""Streaming surface tests: each streaming plan must agree with its
+batch twin on the same (bounded) input, drained via availableNow."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark import streaming as st
+from pydiverse_transform_spark.extras import events as ev
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".tmp_test")
+
+
+@pytest.fixture(scope="module")
+def event_source(spark, sf_dir):
+    """A µs-timestamp parquet copy of the events table usable as a file
+    stream source (the raw testdata is TIMESTAMP(NANOS), which the
+    vectorized reader rejects)."""
+    path = os.path.join(TMP, "events_stream_src")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.load_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+    yield path
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_tumbling_stream_matches_batch(spark, event_source):
+    batch = spark.read.parquet(event_source)
+    stream = st.read_event_stream(spark, event_source, schema=batch.schema)
+
+    out = st.run_to_memory(
+        st.tumbling_window_agg(
+            stream, "ts", window="1 hour", watermark="0 seconds",
+            keys=["event_type"],
+            aggs={"n_events": "count(1)", "sum_value": "round(sum(value), 6)"},
+        ),
+        "tumbling_test", output_mode="complete",
+    )
+
+    expected = (
+        batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.expr("count(1)").alias("n_events"),
+             F.expr("round(sum(value), 6)").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+    got = out.select("window_start", "event_type", "n_events", "sum_value")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_session_stream_runs(spark, event_source):
+    batch = spark.read.parquet(event_source)
+    stream = st.read_event_stream(spark, event_source, schema=batch.schema)
+    out = st.run_to_memory(
+        st.session_window_agg(
+            stream, "ts", gap="30 minutes", watermark="0 seconds",
+            keys=["user_id"], aggs={"n_events": "count(1)"},
+        ),
+        "session_test", output_mode="complete",
+    )
+    # session windows must cover every event exactly once
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == batch.count()
+    # and per-user session boundaries must respect the gap: session count
+    # per user equals the batch gap-based sessionization
+    batch_sessions = (
+        ev.sessionize(batch, "user_id", "ts", gap_minutes=30)
+        .groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+    )
+    stream_sessions = out.groupBy("user_id").count() \
+        .withColumnRenamed("count", "n_sessions_stream")
+    j = batch_sessions.join(stream_sessions, "user_id")
+    mismatched = j.filter(
+        F.col("n_sessions") != F.col("n_sessions_stream")
+    ).count()
+    assert mismatched == 0
+
+
+def test_sliding_stream_runs(spark, event_source):
+    batch = spark.read.parquet(event_source)
+    stream = st.read_event_stream(spark, event_source, schema=batch.schema)
+    out = st.run_to_memory(
+        st.sliding_window_agg(
+            stream, "ts", window="2 hours", slide="1 hour",
+            watermark="0 seconds", aggs={"n_events": "count(1)"},
+        ),
+        "sliding_test", output_mode="complete",
+    )
+    # every event lands in exactly window/slide = 2 buckets
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 2 * batch.count()
