@@ -1021,15 +1021,24 @@ def _shingle_sql(col: str, k: int = 3) -> str:
     )
 
 
-def _minhash_sql(shingles: str, n_hashes: int = 16) -> list[str]:
+def _minhash_sql(base_hashes: str, n_hashes: int = 16) -> list[str]:
+    """Affine minhash family over the per-shingle base hash — mirrors
+    extras/dedup.py (MINHASH_A/B/P)."""
+    from pydiverse_transform_spark.extras.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+    )
+
     return [
-        f"list_min(list_transform({shingles}, s -> md5('{i}:' || s)))"
+        f"list_min(list_transform({base_hashes}, "
+        f"h -> (h * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MINHASH_P}))"
         for i in range(n_hashes)
     ]
 
 
 def _lsh_pairs_sql(threshold: float) -> str:
-    sig = _minhash_sql("sh", 16)
+    sig = _minhash_sql("bh", 16)
     rows = 4
     bands = [
         "md5(" + " || '|' || ".join(sig[b * rows:(b + 1) * rows]) + ")"
@@ -1041,9 +1050,14 @@ def _lsh_pairs_sql(threshold: float) -> str:
     return f"""
 WITH sh_t AS (
   SELECT doc_id, {_shingle_sql('text')} AS sh FROM documents
+), bh_t AS (
+  SELECT doc_id, sh,
+         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)
+           AS bh
+  FROM sh_t
 ), buckets AS (
   SELECT doc_id, bb.band AS band, bb.h AS h
-  FROM sh_t, UNNEST([{band_structs}]) AS t(bb)
+  FROM bh_t, UNNEST([{band_structs}]) AS t(bb)
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM buckets a JOIN buckets b ON a.band = b.band AND a.h = b.h

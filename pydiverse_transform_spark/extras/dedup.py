@@ -57,18 +57,37 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     return F.array_distinct(sh)
 
 
-def minhash_value(shingles: Column, i: int) -> Column:
-    """The i-th minhash: lexicographic min of md5(i || shingle).
-    md5-based so any engine reproduces the identical signature."""
+# affine minhash family over one md5-derived 32-bit base hash per shingle:
+# h_i(s) = (A_i * base(s) + B_i) mod P — ONE md5 per shingle instead of
+# n_hashes md5s (16x less hashing at 100 TB), still a valid minhash
+# family, and exactly reproducible in any engine with md5 + 64-bit ints.
+MINHASH_P = 4_294_967_311  # smallest prime > 2^32
+MINHASH_A = [2 * i + 1 for i in range(1, 65)]  # odd multipliers
+MINHASH_B = [7_368_787 * (i + 1) % MINHASH_P for i in range(64)]
+
+
+def shingle_base_hash(shingles: Column) -> Column:
+    """array<long>: first 8 md5 hex chars of each shingle as a 32-bit int."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+
+
+def minhash_value(base_hashes: Column, i: int) -> Column:
+    """The i-th minhash: min over shingles of (A_i*base + B_i) mod P."""
+    a, b = MINHASH_A[i], MINHASH_B[i]
     return F.array_min(
         F.transform(
-            shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+            base_hashes,
+            lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P),
         )
     )
 
 
 def minhash_signature(shingles: Column, n_hashes: int = 16) -> list[Column]:
-    return [minhash_value(shingles, i) for i in range(n_hashes)]
+    base = shingle_base_hash(shingles)
+    return [minhash_value(base, i) for i in range(n_hashes)]
 
 
 def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
@@ -82,9 +101,12 @@ def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
     repeated copies; nesting them 16× deep re-tokenizes the document 16×.
     """
     rows = n_hashes // bands
-    sig_df = shingled.select(
+    base_df = shingled.select(
+        F.col(id_col), shingle_base_hash(F.col("__sh")).alias("__bh")
+    )
+    sig_df = base_df.select(
         F.col(id_col),
-        *[minhash_value(F.col("__sh"), i).alias(f"m{i}")
+        *[minhash_value(F.col("__bh"), i).alias(f"m{i}")
           for i in range(n_hashes)],
     )
     withb = sig_df.select(

@@ -22,7 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
-           "signlsh_bucket", "signlsh_topk"]
+           "signlsh_bucket", "signlsh_topk", "query_bucket",
+           "write_bucketed", "signlsh_topk_bucketed"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -86,19 +87,72 @@ def signlsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
-def signlsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-                 vec_col: str = "embedding", id_col: str = "vec_id",
-                 n_planes: int = 4, dim: int | None = None) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
-    With B buckets this scans ~1/B of the data; at scale, partition or
-    cluster the table by bucket id for real partition pruning."""
+def query_bucket(query_vec: list[float], n_planes: int = 4,
+                 dim: int | None = None) -> int:
+    """The LSH bucket a query vector falls into (plain-Python twin of
+    :func:`signlsh_bucket` — same md5-derived hyperplanes)."""
     dim = dim or len(query_vec)
     planes = hyperplanes(dim, n_planes)
     qbits = 0
     for p, plane in enumerate(planes):
-        s = sum(a * float(b) for a, b in zip(plane, query_vec))
-        if s > 0:
+        if sum(a * float(b) for a, b in zip(plane, query_vec)) > 0:
             qbits += 2 ** p
+    return qbits
+
+
+def write_bucketed(df: DataFrame, path: str, vec_col: str = "embedding",
+                   id_col: str = "vec_id", n_planes: int = 4,
+                   dim: int | None = None) -> None:
+    """The 100-TB write path: materialize the LSH bucket id as a parquet
+    PARTITION column, so a query probes only its bucket's files (real
+    partition pruning at the scan, ~1/2^n_planes of the data) instead of
+    computing buckets over a full scan per query."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    (
+        df.withColumn("bucket", signlsh_bucket(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def signlsh_topk_bucketed(spark, path: str, query_vec: list[float],
+                          k: int = 10, vec_col: str = "embedding",
+                          id_col: str = "vec_id", n_planes: int = 4,
+                          probe_adjacent: bool = False) -> DataFrame:
+    """Top-k over a :func:`write_bucketed` table.  The bucket filter is a
+    partition-column predicate — Catalyst prunes non-matching partitions
+    before any file is opened.  ``probe_adjacent`` also scans buckets at
+    Hamming distance 1 (better recall, n_planes+1 partitions scanned)."""
+    qbits = query_bucket(query_vec, n_planes)
+    buckets = [qbits]
+    if probe_adjacent:
+        buckets += [qbits ^ (1 << p) for p in range(n_planes)]
+    df = spark.read.parquet(path)
+    q = _qlit(query_vec)
+    return (
+        df.filter(F.col("bucket").isin(buckets))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def signlsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_planes: int = 4, dim: int | None = None) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    With B buckets this scans ~1/B of the data; at scale, use
+    :func:`write_bucketed` + :func:`signlsh_topk_bucketed` for real
+    partition pruning."""
+    dim = dim or len(query_vec)
+    planes = hyperplanes(dim, n_planes)
+    qbits = query_bucket(query_vec, n_planes, dim)
     q = _qlit(query_vec)
     bucketed = df.withColumn("__bucket", signlsh_bucket(F.col(vec_col), planes))
     return (
