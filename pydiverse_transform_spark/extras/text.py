@@ -134,8 +134,13 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     document per derived column (higher-order functions run outside
     whole-stage codegen, so Catalyst cannot merge the copies)."""
     t = F.col(text_col)
-    ltoks = tokens(F.lower(t))
-    staged = df.withColumns({
+    # two stages: the token array materializes through a projection
+    # boundary first, so the per-language membership counts each scan the
+    # SAME array instead of re-splitting the text (same-projection columns
+    # cannot share higher-order subexpressions)
+    tokenized = df.withColumn("__ltoks", tokens(F.lower(t)))
+    ltoks = F.col("__ltoks")
+    staged = tokenized.withColumns({
         "__n_tok": F.size(ltoks).cast("long"),
         "__punct": punct_ratio(t),
         "__digit": digit_ratio(t),
@@ -168,5 +173,5 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             {lang: F.col(f"__sw_{lang}") for lang in STOPWORDS}, n_tok
         ),
     })
-    return out.drop("__n_tok", "__punct", "__digit",
+    return out.drop("__ltoks", "__n_tok", "__punct", "__digit",
                     *[f"__sw_{lang}" for lang in STOPWORDS])
