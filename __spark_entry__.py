@@ -1314,6 +1314,37 @@ def q_events_by_type(spark, sf_dir):
 
 
 @_q("""
+SELECT o_orderstatus,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(12, 2))) AS DOUBLE)
+                                                  AS total_dec,
+       CAST(min(CAST(o_totalprice AS DECIMAL(12, 2))) AS DOUBLE)
+                                                  AS min_dec,
+       CAST(max(CAST(o_totalprice AS DECIMAL(12, 2))) AS DOUBLE)
+                                                  AS max_dec,
+       count(*)                                   AS n
+FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def q_decimal_agg(spark, sf_dir):
+    """Decimal(p,s) path: cast, aggregate, exact fixed-point compare."""
+    o = _t(spark, sf_dir, "orders")
+    dec = o.o_totalprice.cast(pdt.Decimal(12, 2))
+    return (
+        o
+        >> pdt.mutate(dec_price=dec)
+        >> pdt.group_by(o.o_orderstatus)
+        >> pdt.summarize(
+            total_dec=C.dec_price.sum().cast(pdt.Float64()),
+            min_dec=C.dec_price.min().cast(pdt.Float64()),
+            max_dec=C.dec_price.max().cast(pdt.Float64()),
+            n=pdt.count(),
+        )
+        >> pdt.arrange(C.o_orderstatus)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
 SELECT doc_id,
        64 + ('0x' || substr(md5(text), 1, 4))::BIGINT % 1985  AS width,
        64 + ('0x' || substr(md5(text), 5, 4))::BIGINT % 1985  AS height,

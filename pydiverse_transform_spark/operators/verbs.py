@@ -285,7 +285,12 @@ def slice_head(table: Table, n: int, *, offset: int = 0) -> Table:
 def distinct(table: Table, *cols) -> Table:
     """Extension verb (not in the reference): exact deduplication.
     With columns given, keeps one arbitrary row per key (dropDuplicates);
-    with none, deduplicates full visible rows."""
+    with none, deduplicates full visible rows.  Forbidden on a grouped
+    table — dedup changes the row set the grouping state was built on."""
+    if table._partition_by:
+        raise ValueError(
+            "cannot use distinct on a grouped table; ungroup() first"
+        )
     if cols:
         uuids = [table._resolve_uuid(c) for c in cols]
         df = table._df.dropDuplicates([phys(u) for u in uuids])
@@ -621,13 +626,26 @@ def _remap_expr(e: ColExpr, mapping: dict, new_cols: dict) -> ColExpr:
 # ---------------------------------------------------------------------------
 
 @verb
-def collect(table: Table) -> Table:
+def collect(table: Table, target=None) -> Table:
     """Execute now, keep column references, continue lazily on the result
     (reference pipe/verbs.py:168-244).  Uses persist(MEMORY_AND_DISK) +
     a count action: unlike localCheckpoint, persisted blocks are
-    recomputable from lineage after executor loss on a real cluster."""
+    recomputable from lineage after executor loss on a real cluster.
+
+    ``target`` is accepted for API parity with the reference (which can
+    collect into a Polars/DuckDB table); Spark storage is the only
+    backend here, so only the default/Spark target is valid."""
     from pyspark import StorageLevel
 
+    from ..targets import Spark as SparkTarget
+
+    if target is not None and not (
+        target is SparkTarget or isinstance(target, SparkTarget)
+    ):
+        raise TypeError(
+            f"collect target {target!r} is not supported on the Spark "
+            "backend; use export() to materialize into pandas/polars/arrow"
+        )
     df = table._df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()  # materialize now (collect is the explicit eager verb)
     return Table._derived(

@@ -27,6 +27,12 @@ def duckdb_con(sf_dir: str):
 
 
 def _norm_cell(v):
+    import decimal
+
+    if isinstance(v, decimal.Decimal):
+        # Decimal -> Float64 before compare, like the reference harness
+        # (reference tests/util/assertion.py:60-136)
+        v = float(v)
     # NaN and NULL normalize to the same token: the pandas bridges are
     # lossy here (Spark's toPandas yields None for a null boolean where
     # DuckDB's fetchdf yields NaN, and nullable ints become NaN floats on
