@@ -266,6 +266,18 @@ def compile_order(o: Order, ctx: CompileCtx) -> Column:
 
 def _compile_cast(e: Cast, ctx: CompileCtx) -> Column:
     x = compile_expr(e.expr, ctx)
+    if isinstance(e.target, tp.Enum):
+        # String -> Enum validates membership (reference
+        # tree/col_expr.py:2686-2722): strict raises at execution,
+        # non-strict nulls invalid values
+        member = x.isin(*e.target.values)
+        if e.strict:
+            bad = F.assert_true(
+                x.isNull() | member,
+                F.concat(F.lit("enum cast: invalid value '"), x, F.lit("'")),
+            )
+            return F.when(bad.isNull(), x)
+        return F.when(member, x)
     st = tp.to_spark_type(e.target)
     if e.strict:
         return x.cast(st)

@@ -153,3 +153,17 @@ def test_collect_keeps_refs(spark):
     t2 = t >> pdt.mutate(b=t.a * 2) >> pdt.collect()
     out = t2 >> pdt.filter(t.a > 1) >> pdt.export(pdt.Pandas)
     assert out["b"].tolist() == [4, 6]
+
+
+# 10. Enum cast validates membership
+def test_enum_cast(spark):
+    t = _tbl(spark, {"s": ["a", "b", "x", None]})
+    ok = (
+        t >> pdt.mutate(e=t.s.cast(pdt.types.Enum("a", "b"), strict=False))
+        >> pdt.export(pdt.Pandas)
+    )
+    assert ok["e"].tolist()[:2] == ["a", "b"]
+    assert ok["e"].isna().tolist() == [False, False, True, True]
+    strict = t >> pdt.mutate(e=t.s.cast(pdt.types.Enum("a", "b")))
+    with pytest.raises(Exception, match="invalid value 'x'"):
+        strict >> pdt.export(pdt.Pandas)
