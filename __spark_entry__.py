@@ -1204,6 +1204,48 @@ def q_signlsh_topk(spark, sf_dir):
     return similarity.signlsh_topk(emb, _QVEC, k=10, n_planes=4)
 
 
+def _ivf_sql() -> str:
+    from pydiverse_transform_spark.extras.similarity import ivf_centroids
+
+    centroids = ivf_centroids(64, 8)
+    scores = [
+        (sum(a * b for a, b in zip(cen, _QVEC)), c)
+        for c, cen in enumerate(centroids)
+    ]
+    probe = [c for _, c in sorted(scores, key=lambda t: (-t[0], t[1]))][:2]
+    dots = ", ".join(
+        f"list_dot_product(embedding::DOUBLE[], {_vec_sql(cen)})"
+        for cen in centroids
+    )
+    return f"""
+WITH celled AS (
+  SELECT vec_id, embedding,
+         list_position([{dots}],
+                       list_max([{dots}])) - 1 AS cell
+  FROM embeddings
+)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], {_vec_sql(_QVEC)})
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product({_vec_sql(_QVEC)}, {_vec_sql(_QVEC)}))),
+             6) AS cos_sim
+FROM celled
+WHERE cell IN ({', '.join(map(str, probe))})
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@_q(_ivf_sql())
+def q_ivf_topk(spark, sf_dir):
+    """IVF-style ANN: fixed md5-derived coarse quantizer, nprobe=2 of 8
+    cells scanned."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, _QVEC, k=10, n_cells=8, nprobe=2)
+
+
 @_q("""
 WITH ev AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events

@@ -74,6 +74,13 @@ from .sources import (  # noqa: F401
     read_parquet,
     read_table,
 )
+from .sources.sinks import (  # noqa: F401
+    save_as_table,
+    write_csv,
+    write_json,
+    write_orc,
+    write_parquet,
+)
 from .table import Table  # noqa: F401
 from .targets import (  # noqa: F401
     Arrow,

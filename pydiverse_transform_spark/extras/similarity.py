@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "signlsh_bucket", "signlsh_topk", "query_bucket",
-           "write_bucketed", "signlsh_topk_bucketed"]
+           "write_bucketed", "signlsh_topk_bucketed",
+           "ivf_centroids", "ivf_cell", "ivf_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -134,6 +135,63 @@ def signlsh_topk_bucketed(spark, path: str, query_vec: list[float],
     q = _qlit(query_vec)
     return (
         df.filter(F.col("bucket").isin(buckets))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: str = "ivf"
+                  ) -> list[list[float]]:
+    """Deterministic, data-independent coarse quantizer: unit-normalized
+    md5-derived centroid directions (same recipe as :func:`hyperplanes`,
+    then L2-normalized).  A trained k-means quantizer clusters tighter,
+    but a fixed quantizer is reproducible in ANY engine — the property
+    the correctness oracle needs — and the probing math is identical."""
+    raw = hyperplanes(dim, n_cells, seed)
+    out = []
+    for row in raw:
+        n = sum(v * v for v in row) ** 0.5 or 1.0
+        out.append([v / n for v in row])
+    return out
+
+
+def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cell id = argmax over centroids of (centroid · vec), ties to the
+    lower cell id — the inverted-file assignment."""
+    best_id = F.lit(0)
+    best_d = dot(vec, _qlit(centroids[0]))
+    for c, cen in enumerate(centroids[1:], start=1):
+        d = dot(vec, _qlit(cen))
+        is_better = d > best_d
+        best_id = F.when(is_better, F.lit(c)).otherwise(best_id)
+        best_d = F.when(is_better, d).otherwise(best_d)
+    return best_id
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 8, nprobe: int = 2,
+             dim: int | None = None) -> DataFrame:
+    """IVF-style approximate top-k: score only vectors whose cell is one
+    of the query's ``nprobe`` closest cells — scans ~nprobe/n_cells of
+    the data.  At scale, materialize the cell id as a partition key
+    (same pattern as :func:`write_bucketed`) for real pruning."""
+    dim = dim or len(query_vec)
+    centroids = ivf_centroids(dim, n_cells)
+    scores = [
+        (sum(a * float(b) for a, b in zip(cen, query_vec)), c)
+        for c, cen in enumerate(centroids)
+    ]
+    # ties to the lower cell id, like ivf_cell
+    probe = [c for _, c in sorted(scores, key=lambda t: (-t[0], t[1]))][:nprobe]
+    q = _qlit(query_vec)
+    celled = df.withColumn("__cell", ivf_cell(F.col(vec_col), centroids))
+    return (
+        celled.filter(F.col("__cell").isin(probe))
         .select(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),

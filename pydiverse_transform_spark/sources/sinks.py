@@ -1,0 +1,74 @@
+"""File/catalog sinks — the write-side complement of sources
+(the reference only materializes in-memory via export; at 100 TB the
+output of a pipeline is a partitioned columnar table, so these are
+first-class here).
+
+All sinks take the VISIBLE columns with display names (same frame
+``export`` would produce) and return the input table so they compose in
+a pipe: ``t >> write_parquet(path, partition_by=["dt"]) >> ...``.
+"""
+
+from __future__ import annotations
+
+from ..operators.pipeable import verb
+from ..table import Table
+
+__all__ = ["write_parquet", "write_csv", "write_json", "write_orc",
+           "save_as_table"]
+
+
+def _writer(table: Table, mode: str, partition_by, **options):
+    w = table.to_spark().write.mode(mode).options(**options)
+    if partition_by:
+        if not isinstance(partition_by, (list, tuple)):
+            partition_by = [partition_by]
+        # accept Col/ColName/str like every other verb
+        names = [
+            table._cols[table._resolve_uuid(c)].name for c in partition_by
+        ]
+        w = w.partitionBy(*names)
+    return w
+
+
+@verb
+def write_parquet(table: Table, path: str, *, mode: str = "error",
+                  partition_by=None, **options) -> Table:
+    """Columnar sink of choice: partition columns become directory keys
+    (partition pruning on re-read), stats in footers drive predicate
+    pushdown."""
+    _writer(table, mode, partition_by, **options).parquet(path)
+    return table
+
+
+@verb
+def write_csv(table: Table, path: str, *, mode: str = "error",
+              partition_by=None, header: bool = True, **options) -> Table:
+    _writer(table, mode, partition_by, header=header, **options).csv(path)
+    return table
+
+
+@verb
+def write_json(table: Table, path: str, *, mode: str = "error",
+               partition_by=None, **options) -> Table:
+    _writer(table, mode, partition_by, **options).json(path)
+    return table
+
+
+@verb
+def write_orc(table: Table, path: str, *, mode: str = "error",
+              partition_by=None, **options) -> Table:
+    _writer(table, mode, partition_by, **options).orc(path)
+    return table
+
+
+@verb
+def save_as_table(table: Table, name: str, *, mode: str = "error",
+                  partition_by=None, format: str | None = None,
+                  **options) -> Table:
+    """Catalog sink (hive metastore / in-session catalog / iceberg when
+    the catalog provides it)."""
+    w = _writer(table, mode, partition_by, **options)
+    if format:
+        w = w.format(format)
+    w.saveAsTable(name)
+    return table

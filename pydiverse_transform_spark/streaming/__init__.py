@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
-    "session_window_agg", "run_to_memory",
+    "session_window_agg", "stateful_sessionize", "run_to_memory",
 ]
 
 
@@ -120,6 +120,75 @@ def session_window_agg(events: DataFrame, ts_col: str = "ts",
             F.col("session_window.end").alias("session_end"),
             *(keys or []),
             *[c for c in (aggs or {"n_events": None})],
+        )
+    )
+
+
+def stateful_sessionize(events: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", gap_minutes: int = 30,
+                        watermark: str = "2 hours",
+                        id_col: str = "event_id") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: assigns a
+    gap-based ``session_id`` to EVERY event (unlike
+    :func:`session_window_agg`, which only emits per-session aggregates).
+
+    Per-key state is (last event epoch-µs, current session counter); each
+    micro-batch sorts its rows by event time, continues the counter from
+    state, and persists the new state — the streaming twin of
+    extras/events.sessionize.  Assumes per-key event-time-ordered arrival
+    across batches (out-of-order WITHIN a batch is handled by the sort;
+    rows older than a previous batch's last event would need a buffering
+    watermark, which this operator intentionally keeps out of scope).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = gap_minutes * 60_000_000
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("session_id", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("last_us", LongType()),
+        StructField("session_id", LongType()),
+    ])
+
+    def assign(key, pdfs, state):
+        import pandas as pd
+
+        (user,) = key
+        last_us, session_id = (
+            state.get if state.exists else (None, 0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        out_ids = []
+        for ts in rows[ts_col]:
+            us = ts.value // 1000  # pandas ns -> µs
+            if last_us is None or us - last_us > gap_us:
+                session_id += 1
+            last_us = us
+            out_ids.append(session_id)
+        state.update((last_us, session_id))
+        yield pd.DataFrame({
+            "user_id": user,
+            "event_id": rows[id_col].values,
+            "ts": rows[ts_col].values,
+            "session_id": out_ids,
+        })
+
+    src = _with_event_time(events, ts_col).withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(user_col)
+        .applyInPandasWithState(
+            assign, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
         )
     )
 

@@ -94,3 +94,33 @@ def test_sliding_stream_runs(spark, event_source):
     # every event lands in exactly window/slide = 2 buckets
     total = out.agg(F.sum("n_events")).collect()[0][0]
     assert total == 2 * batch.count()
+
+
+def test_stateful_sessionize_matches_batch(spark, event_source):
+    batch = spark.read.parquet(event_source)
+    stream = st.read_event_stream(spark, event_source, schema=batch.schema)
+    out = st.run_to_memory(
+        st.stateful_sessionize(stream, "user_id", "ts", gap_minutes=30),
+        "stateful_sess_test",
+    )
+    expected = ev.sessionize(batch, "user_id", "ts", gap_minutes=30) \
+        .select("event_id", "session_id")
+    got = out.select("event_id", "session_id")
+    assert got.count() == batch.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_file_sinks_roundtrip(spark, sf_dir):
+    import pydiverse_transform_spark as pdt
+
+    out_dir = os.path.join(TMP, "sink_roundtrip")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n = pdt.read_parquet(spark, f"{sf_dir}/nation.parquet")
+    n >> pdt.write_parquet(out_dir, mode="overwrite",
+                           partition_by=[n.n_regionkey])
+    back = pdt.read_parquet(spark, out_dir)
+    assert (back >> pdt.export(pdt.Pandas)).shape[0] == 25
+    # partition column became a directory key
+    assert any(p.startswith("n_regionkey=") for p in os.listdir(out_dir))
+    shutil.rmtree(out_dir, ignore_errors=True)
