@@ -1122,6 +1122,100 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _char_shingle_sql(col: str, k: int = 5) -> str:
+    t = f"lower(regexp_replace({col}, '\\s+', ' ', 'g'))"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(length({t}) - {k} + 1, 1) + 1), "
+        f"j -> substr({t}, j, {k})))"
+    )
+
+
+@_q("""
+WITH sh_t AS (SELECT doc_id, {SH} AS sh FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+  FROM sh_t a JOIN sh_t b ON b.doc_id = a.doc_id + 5
+)
+SELECT id_a, id_b,
+       round(CASE WHEN u = 0 THEN 0.0 ELSE i * 1.0 / u END, 6) AS jaccard
+FROM pairs
+""".replace("{SH}", _char_shingle_sql("text")))
+def q_char_shingle_jaccard(spark, sf_dir):
+    """Character-5-gram Jaccard between (doc, doc+5) pairs — the
+    char-shingle variant of the n-gram near-dup machinery."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        F.col("doc_id"), dedup.char_shingles(F.col("text"), 5).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, on=b.id_b == a.id_a + 5, how="inner")
+        .select(
+            "id_a", "id_b",
+            F.round(dedup.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+            .alias("jaccard"),
+        )
+    )
+
+
+@_q("""
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k_val,
+       event_type
+FROM events
+WHERE CAST(props->>'k' AS BIGINT) > 80
+""")
+def q_events_json_props(spark, sf_dir):
+    """JSON payload extraction from the events props column
+    (get_json_object — JVM-side, no UDF)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+
+    df = ev.load_events(spark, sf_dir)
+    return (
+        df.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+            "event_type",
+        )
+        .filter(F.col("k_val") > 80)
+    )
+
+
+@_q("""
+SELECT o_orderkey,
+       coalesce(lag(o_totalprice) OVER w, -1.0)  AS prev_filled,
+       lead(o_totalprice, 2) OVER w              AS next2
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""")
+def q_shift_fill(spark, sf_dir):
+    """shift with fill_value and negative offsets."""
+    o = _t(spark, sf_dir, "orders")
+    key = [C.o_orderdate, C.o_orderkey]
+    return (
+        o
+        >> pdt.group_by(o.o_custkey)
+        >> pdt.mutate(
+            prev_filled=o.o_totalprice.shift(1, fill_value=pdt.lit(-1.0),
+                                             arrange=key),
+            next2=o.o_totalprice.shift(-2, arrange=key),
+        )
+        >> pdt.ungroup()
+        >> pdt.select(o.o_orderkey, C.prev_filled, C.next2)
+        >> pdt.export(pdt.Spark)
+    )
+
+
 def _simhash_sql(bits: int = 16) -> str:
     toks = _TOKENS_SQL.format(col="lower(text)")
     th = (f"list_transform({toks}, "
@@ -1202,6 +1296,41 @@ def q_signlsh_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.signlsh_topk(emb, _QVEC, k=10, n_planes=4)
+
+
+def _embedding_neardup_sql(threshold: float) -> str:
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    planes = hyperplanes(64, 4)
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], {_vec_sql(pl)}) > 0 "
+        f"THEN {2 ** p} ELSE 0 END"
+        for p, pl in enumerate(planes)
+    )
+    cos = ("list_dot_product(a.e, b.e) / "
+           "(sqrt(list_dot_product(a.e, a.e)) * "
+           "sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, ({bucket}) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS cos_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+@_q(_embedding_neardup_sql(0.35))
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH bucket self-join +
+    exact cosine verification (never all-pairs)."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.35,
+                                              n_planes=4)
 
 
 def _ivf_sql() -> str:

@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "signlsh_bucket", "signlsh_topk", "query_bucket",
            "write_bucketed", "signlsh_topk_bucketed",
-           "ivf_centroids", "ivf_cell", "ivf_topk"]
+           "ivf_centroids", "ivf_cell", "ivf_topk",
+           "embedding_neardup_pairs"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -141,6 +142,53 @@ def signlsh_topk_bucketed(spark, path: str, query_vec: list[float],
         )
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id", n_planes: int = 4,
+                            dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs WITHOUT the O(n²) cross
+    join: vectors are sign-LSH bucketed (near-identical vectors land in
+    the same bucket with high probability), candidates are the
+    within-bucket pairs via a self-equi-join on the bucket id, and exact
+    cosine verifies each candidate.  Returns (id_a, id_b, cos_sim) with
+    id_a < id_b and cos_sim >= threshold.
+
+    At 100 TB: the join shuffles on the bucket id (2^n_planes uniform-ish
+    cells — raise n_planes to shrink cells), and only candidate pairs pay
+    the exact-cosine cost."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_planes)
+    # norms are computed ONCE per row before the join — computing
+    # cosine() per pair would re-traverse both arrays for the norms,
+    # tripling the per-candidate cost
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col),
+        signlsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    a = bucketed.select(
+        F.col("__bucket"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"), F.col("__norm").alias("na"),
+    )
+    b = bucketed.select(
+        F.col("__bucket"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
+    )
+    return (
+        a.join(b, on="__bucket", how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 
