@@ -36,7 +36,9 @@ from .operators.verbs import (  # noqa: F401
     alias,
     arrange,
     ast_repr,
+    broadcast,
     build_query,
+    coalesce_partitions,
     collect,
     columns,
     cross_join,
@@ -52,6 +54,7 @@ from .operators.verbs import (  # noqa: F401
     mutate,
     name,
     rename,
+    repartition,
     select,
     show,
     show_query,

@@ -48,6 +48,7 @@ __all__ = [
     "full_join", "cross_join", "union", "alias", "distinct", "collect",
     "export", "show", "show_query", "build_query", "name", "columns",
     "transfer_col_references", "ast_repr",
+    "repartition", "coalesce_partitions", "broadcast",
 ]
 
 
@@ -722,6 +723,49 @@ def name(table: Table) -> str:
 @verb
 def columns(table: Table) -> list[str]:
     return table.columns
+
+
+@verb
+def repartition(table: Table, *cols, n: int | None = None) -> Table:
+    """Physical-layout control (extension verb, no reference analog):
+    hash-repartition on columns so later joins/aggregations on the same
+    keys reuse the partitioning (one shuffle amortized across stages),
+    or round-robin to ``n`` partitions with no columns given."""
+    exprs = [F.col(phys(table._resolve_uuid(c))) for c in cols]
+    if exprs and n:
+        df = table._df.repartition(n, *exprs)
+    elif exprs:
+        df = table._df.repartition(*exprs)
+    elif n:
+        df = table._df.repartition(n)
+    else:
+        raise ValueError("repartition needs columns and/or n=")
+    return Table._derived(
+        df, table._cols, table._select, table._partition_by, [], table._name
+    )
+
+
+@verb
+def coalesce_partitions(table: Table, n: int) -> Table:
+    """Shrink partition count without a shuffle (write-side file-count
+    control)."""
+    return Table._derived(
+        table._df.coalesce(n), table._cols, table._select,
+        table._partition_by, table._order, table._name,
+    )
+
+
+@verb
+def broadcast(table: Table) -> Table:
+    """Mark this table for broadcast in subsequent joins — for the dim
+    table Catalyst's size estimate misses (e.g. a selective filter made
+    it small).  Maps to Spark's broadcast hint."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    return Table._derived(
+        _bc(table._df), table._cols, table._select, table._partition_by,
+        table._order, table._name,
+    )
 
 
 @verb
