@@ -846,6 +846,26 @@ def q_str_join_agg(spark, sf_dir):
     )
 
 
+def q_approx_sketches(spark, sf_dir):
+    """HLL++ distinct-count and GK-quantile sketches — estimates differ
+    per engine by design, so no SQL oracle (rows-only check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li
+        >> pdt.group_by(li.l_returnflag)
+        >> pdt.summarize(
+            approx_suppliers=li.l_suppkey.approx_n_distinct(),
+            approx_median_qty=li.l_quantity.approx_quantile(0.5),
+            exact_suppliers=li.l_suppkey.n_distinct(),
+        )
+        >> pdt.arrange(C.l_returnflag)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+_QUERIES["q_approx_sketches"] = q_approx_sketches
+
+
 def q_list_agg(spark, sf_dir):
     """list.agg with ordered collection — no SQL oracle (array column);
     the driver records a rows-only check."""

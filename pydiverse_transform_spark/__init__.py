@@ -51,6 +51,8 @@ from .operators.verbs import (  # noqa: F401
     inner_join,
     join,
     left_join,
+    map_batches,
+    map_groups,
     mutate,
     name,
     rename,

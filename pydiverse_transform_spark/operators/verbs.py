@@ -49,7 +49,23 @@ __all__ = [
     "export", "show", "show_query", "build_query", "name", "columns",
     "transfer_col_references", "ast_repr",
     "repartition", "coalesce_partitions", "broadcast",
+    "map_groups", "map_batches",
 ]
+
+
+def _schema_to_spark(schema):
+    from pyspark.sql.types import StructField, StructType
+
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, dict):
+        fields = []
+        for nm, dt in schema.items():
+            if isinstance(dt, type):
+                dt = dt()
+            fields.append(StructField(nm, tp.to_spark_type(dt)))
+        return StructType(fields)
+    return schema
 
 
 def _ctx(table: Table, in_summarize: bool = False) -> CompileCtx:
@@ -723,6 +739,40 @@ def name(table: Table) -> str:
 @verb
 def columns(table: Table) -> list[str]:
     return table.columns
+
+
+@verb
+def map_groups(table: Table, fn, schema, *, by=None) -> Table:
+    """Pandas escape hatch for per-group transforms the expression layer
+    can't express (the grouped analog of the reference's ``@aligned``
+    Series escape): ``fn(pandas.DataFrame) -> pandas.DataFrame`` runs
+    per group via Arrow-batched ``applyInPandas`` — executor-parallel,
+    one shuffle on the grouping keys.
+
+    ``by`` defaults to the ambient ``group_by``; ``schema`` is a
+    {name: dtype} dict, DDL string, or StructType describing the OUTPUT
+    frame (a grouped-map may change shape freely).  Returns a fresh
+    Table over the result."""
+    keys = [table._resolve_uuid(c) for c in (by or [])] or list(
+        table._partition_by
+    )
+    if not keys:
+        raise ValueError("map_groups needs grouping columns: pass by= or "
+                         "group_by first")
+    df = table.to_spark()
+    names = [table._cols[u].name for u in keys]
+    out = df.groupBy(*names).applyInPandas(fn, _schema_to_spark(schema))
+    return Table(out, table._name)
+
+
+@verb
+def map_batches(table: Table, fn, schema) -> Table:
+    """Pandas escape hatch over row batches (no grouping, no shuffle):
+    ``fn(iterator of pandas.DataFrame) -> iterator of pandas.DataFrame``
+    via ``mapInPandas`` — the narrow-transformation path for per-row
+    Python (e.g. codec work; see extras/multimodal.py)."""
+    out = table.to_spark().mapInPandas(fn, _schema_to_spark(schema))
+    return Table(out, table._name)
 
 
 @verb

@@ -266,6 +266,14 @@ class ColExpr:
     def median(self, *, partition_by=None, filter=None):
         return _fn("median", self, partition_by=partition_by, filter=filter)
 
+    def approx_n_distinct(self, *, partition_by=None, filter=None):
+        return _fn("approx_n_distinct", self, partition_by=partition_by,
+                   filter=filter)
+
+    def approx_quantile(self, q: float, *, partition_by=None, filter=None):
+        return _fn("approx_quantile", self, LiteralCol(q, const=True),
+                   partition_by=partition_by, filter=filter)
+
     def n_distinct(self, *, partition_by=None, filter=None):
         return _fn("n_distinct", self, partition_by=partition_by, filter=filter)
 

@@ -486,6 +486,21 @@ _reg("median", FTYPE_AGGREGATE, _infer_float,
 _reg("n_distinct", FTYPE_AGGREGATE, _infer_int,
      agg=lambda n, a: F.count_distinct(a[0]))
 
+# approximate sketches (no reference analog; the scale path where exact
+# count_distinct / percentile shuffle too much state): HyperLogLog++ and
+# GK-quantile — both single-pass, mergeable, partial-aggregate friendly.
+_reg("approx_n_distinct", FTYPE_AGGREGATE, _infer_int,
+     agg=lambda n, a: F.approx_count_distinct(a[0]).cast("long"))
+
+
+def _agg_approx_quantile(node, args):
+    q = node.args[1].val
+    return F.percentile_approx(args[0], q).cast("double")
+
+
+_reg("approx_quantile", FTYPE_AGGREGATE, _infer_float,
+     agg=_agg_approx_quantile)
+
 # ordered aggregations — agg() receives the *struct-wrapped* value; the
 # compiler (plans/compile.py) handles sort-within-group via
 # collect_list(struct(keys..., v)) -> array_sort(comparator) -> transform.

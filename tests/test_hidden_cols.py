@@ -70,3 +70,61 @@ def test_repartition_and_broadcast_plan(spark):
 
     few = t >> pdt.coalesce_partitions(1) >> pdt.export(pdt.Spark)
     assert few.rdd.getNumPartitions() == 1
+
+
+def test_map_groups(spark):
+    t = pdt.Table(
+        {"g": [1, 1, 1, 2, 2], "v": [1.0, 2.0, 3.0, 10.0, 30.0]}, name="t"
+    )
+
+    def normalize(pdf):
+        pdf = pdf.copy()
+        pdf["v_norm"] = (pdf["v"] - pdf["v"].mean()) / (pdf["v"].std() or 1.0)
+        return pdf[["g", "v", "v_norm"]]
+
+    out = (
+        t
+        >> pdt.group_by(t.g)
+        >> pdt.map_groups(
+            normalize,
+            {"g": pdt.Int64(), "v": pdt.Float64(), "v_norm": pdt.Float64()},
+        )
+        >> pdt.export(pdt.Pandas)
+    )
+    assert len(out) == 5
+    g1 = out[out["g"] == 1].sort_values("v")
+    assert abs(g1["v_norm"].mean()) < 1e-9
+
+
+def test_map_batches(spark):
+    t = pdt.Table({"x": [1, 2, 3, 4]}, name="t")
+
+    def double(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["y"] = pdf["x"] * 2
+            yield pdf[["x", "y"]]
+
+    out = (
+        t
+        >> pdt.map_batches(double, {"x": pdt.Int64(), "y": pdt.Int64()})
+        >> pdt.export(pdt.Pandas)
+    )
+    assert sorted(out["y"]) == [2, 4, 6, 8]
+
+
+def test_approx_sketches(spark, sf_dir):
+    li = pdt.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
+    out = (
+        li
+        >> pdt.group_by(li.l_returnflag)
+        >> pdt.summarize(
+            nd=li.l_suppkey.n_distinct(),
+            and_=li.l_suppkey.approx_n_distinct(),
+            q50=li.l_quantity.approx_quantile(0.5),
+        )
+        >> pdt.export(pdt.Pandas)
+    )
+    # HLL estimate within 10% of exact; median within the value domain
+    assert ((out["and_"] - out["nd"]).abs() <= 0.1 * out["nd"] + 2).all()
+    assert out["q50"].between(1, 50).all()
