@@ -1127,9 +1127,8 @@ def q_ngram_jaccard(spark, sf_dir):
     from pydiverse_transform_spark.extras import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select(
-        F.col("doc_id"), dedup.word_shingles(F.col("text"), 3).alias("sh")
-    )
+    sh = dedup.shingled(docs, "text", "doc_id", 3) \
+        .withColumnRenamed("__sh", "sh")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -1171,9 +1170,8 @@ def q_char_shingle_jaccard(spark, sf_dir):
     from pydiverse_transform_spark.extras import dedup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select(
-        F.col("doc_id"), dedup.char_shingles(F.col("text"), 5).alias("sh")
-    )
+    sh = dedup.char_shingled(docs, "text", "doc_id", 5) \
+        .withColumnRenamed("__sh", "sh")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -1612,6 +1610,246 @@ def q_stream_tumbling(spark, sf_dir):
     return out.select(
         F.col("window_start").cast("timestamp_ntz").alias("bucket_start"),
         "event_type", "n_events", "sum_value",
+    )
+
+
+@_q("""
+SELECT event_id,
+       hour(ts::TIMESTAMP)                                        AS d_hour,
+       minute(ts::TIMESTAMP)                                      AS d_minute,
+       (epoch_us(ts::TIMESTAMP) % 60000000) // 1000000            AS d_second,
+       (epoch_us(ts::TIMESTAMP) % 1000000) // 1000                AS d_ms,
+       epoch_us(ts::TIMESTAMP) % 1000000                          AS d_us,
+       (epoch_us(ts::TIMESTAMP) - epoch_us(TIMESTAMP '2024-01-01'))
+         // 60000000                                              AS m_since,
+       (epoch_us(ts::TIMESTAMP) - epoch_us(TIMESTAMP '2024-01-01'))
+         // 1000000                                               AS s_since,
+       (epoch_us(ts::TIMESTAMP) - epoch_us(TIMESTAMP '2024-01-01'))
+         // 1000                                                  AS ms_since,
+       CAST(DATE '2024-03-15' AS VARCHAR)                         AS d_const
+FROM events
+""")
+def q_datetime_fine(spark, sf_dir):
+    """Sub-day datetime accessors (hour..microsecond) + fine-grained
+    duration components + str.to_date, over the microsecond event
+    timestamps."""
+    from pydiverse_transform_spark.extras import events as ev
+
+    e = pdt.Table(ev.load_events(spark, sf_dir), "events")
+    since = e.ts - pdt.lit(dt.datetime(2024, 1, 1))
+    return (
+        e
+        >> pdt.mutate(
+            d_hour=e.ts.dt.hour(),
+            d_minute=e.ts.dt.minute(),
+            d_second=e.ts.dt.second(),
+            d_ms=e.ts.dt.millisecond(),
+            d_us=e.ts.dt.microsecond(),
+            m_since=since.dur.minutes(),
+            s_since=since.dur.seconds(),
+            ms_since=since.dur.milliseconds(),
+            d_const=pdt.lit("2024-03-15").str.to_date()
+            .cast(pdt.String()),
+        )
+        >> pdt.select(e.event_id, C.d_hour, C.d_minute, C.d_second, C.d_ms,
+                      C.d_us, C.m_since, C.s_since, C.ms_since, C.d_const)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT event_id,
+       round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6)
+         AS zscore
+FROM events WINDOW w AS (PARTITION BY event_type)
+""")
+def q_map_groups_zscore(spark, sf_dir):
+    """map_groups (Arrow applyInPandas): per-event-type z-score computed
+    by a pandas kernel; the oracle is the equivalent window SQL
+    (pandas ``std()`` is ddof=1 == stddev_samp)."""
+    from pydiverse_transform_spark.extras import events as ev
+
+    e = pdt.Table(ev.load_events(spark, sf_dir), "events")
+
+    def zscore(pdf):
+        m, s = pdf["value"].mean(), pdf["value"].std()
+        out = pdf[["event_id"]].copy()
+        out["zscore"] = ((pdf["value"] - m) / s).round(6)
+        return out
+
+    return (
+        e
+        >> pdt.group_by(e.event_type)
+        >> pdt.map_groups(
+            zscore, {"event_id": pdt.Int64(), "zscore": pdt.Float64()}
+        )
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT doc_id,
+       CAST(CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+            THEN 0
+            ELSE len(string_split_regex(
+                   regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'))
+            END AS BIGINT) AS n_tokens
+FROM documents
+""")
+def q_map_batches_tokens(spark, sf_dir):
+    """map_batches (Arrow mapInPandas): whitespace token counts from a
+    pandas kernel, oracle-checked against the SQL tokenizer."""
+    import re
+
+    docs = pdt.Table(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "documents"
+    )
+
+    def count_tokens(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["n_tokens"] = pdf["text"].map(
+                lambda t: len(re.findall(r"\S+", t))
+            )
+            yield out
+
+    return (
+        docs
+        >> pdt.map_batches(
+            count_tokens, {"doc_id": pdt.Int64(), "n_tokens": pdt.Int64()}
+        )
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 250000.0
+UNION ALL
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 350000.0
+""")
+def q_union_all(spark, sf_dir):
+    """union(distinct=False) keeps duplicate rows (UNION ALL)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o >> pdt.filter(o.o_totalprice > 250000.0) >> pdt.select(
+        o.o_orderkey, o.o_totalprice
+    )
+    o2 = _t(spark, sf_dir, "orders")
+    b = o2 >> pdt.filter(o2.o_totalprice > 350000.0) >> pdt.select(
+        o2.o_orderkey, o2.o_totalprice
+    )
+    return a >> pdt.union(b, distinct=False) >> pdt.export(pdt.Spark)
+
+
+@_q("""
+SELECT c_custkey, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+""")
+def q_validate_join(spark, sf_dir):
+    """join(validate='m:1') — the duplicate-key assertion is compiled
+    into the plan (raise_error on violation), zero jobs at build time;
+    nation keys are unique so the probe passes."""
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        cu
+        >> pdt.inner_join(n, on=cu.c_nationkey == n.n_nationkey,
+                          validate="m:1")
+        >> pdt.select(cu.c_custkey, n.n_name)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 6) AS total_qty
+FROM lineitem WHERE l_quantity > 45.0
+GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def q_collect_mid(spark, sf_dir):
+    """collect() mid-pipeline: materializes (persist + count) and the
+    downstream aggregation reads the persisted blocks."""
+    li = _t(spark, sf_dir, "lineitem")
+    staged = li >> pdt.filter(li.l_quantity > 45.0) >> pdt.collect()
+    return (
+        staged
+        >> pdt.group_by(li.l_returnflag)
+        >> pdt.summarize(n=pdt.count(), total_qty=li.l_quantity.sum().round(6))
+        >> pdt.arrange(C.l_returnflag)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+WITH a AS (SELECT r_regionkey, r_name,
+                  row_number() OVER (ORDER BY r_regionkey) AS rn
+           FROM region),
+     b AS (SELECT r_name AS rev_name,
+                  row_number() OVER (ORDER BY r_regionkey DESC) AS rn
+           FROM region)
+SELECT a.r_regionkey, a.r_name, b.rev_name FROM a JOIN b USING (rn)
+""")
+def q_eval_aligned(spark, sf_dir):
+    """eval_aligned: positional zip of two relations — both sides carry
+    an explicit arrange so the alignment is deterministic."""
+    r = _t(spark, sf_dir, "region")
+    r2 = r >> pdt.alias("r2") >> pdt.arrange(C.r_regionkey.descending())
+    rr = r >> pdt.arrange(C.r_regionkey)
+    return (
+        rr
+        >> pdt.mutate(rev_name=pdt.eval_aligned(r2.r_name, with_=rr))
+        >> pdt.select(r.r_regionkey, r.r_name, C.rev_name)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+WITH ev AS (
+  SELECT user_id, ts::TIMESTAMP AS ts FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""")
+def q_stream_session(spark, sf_dir):
+    """Structured-Streaming session windows (gap 30 min) drained with
+    availableNow — must equal the batch gap-based sessionization the
+    oracle computes (session start = first event in session)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import events as ev
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.load_events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    batch_schema = spark.read.parquet(staged).schema
+    stream = st.read_event_stream(spark, staged, schema=batch_schema)
+    out = st.run_to_memory(
+        st.session_window_agg(
+            stream, "ts", gap="30 minutes", watermark="0 seconds",
+            keys=["user_id"], aggs={"n_events": "count(1)"},
+        ),
+        f"q_stream_session_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
     )
 
 

@@ -14,9 +14,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 __all__ = [
     "exact_dedup", "word_shingles", "char_shingles", "minhash_signature",
     "lsh_candidate_pairs", "jaccard", "minhash_dedup_pairs", "simhash",
+    "char_shingled",
 ]
 
 
@@ -131,9 +134,21 @@ def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
 
 def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              k: int = 3) -> DataFrame:
-    """(id, __sh) projection with the shingle array computed once."""
-    return df.select(
+    """(id, __sh) projection with the shingle array computed once.
+    Fans the input out first: shingling + 16 minhash passes is the
+    dominant map cost and must use every core."""
+    return fan_out(df).select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh")
+    )
+
+
+def char_shingled(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """(id, __sh) projection of character k-grams, computed once per row
+    over a fanned-out input (the char-gram array is ~len(text) entries,
+    by far the heaviest map stage of any char-similarity query)."""
+    return fan_out(df).select(
+        F.col(id_col), char_shingles(F.col(text_col), k).alias("__sh")
     )
 
 
@@ -235,7 +250,7 @@ def simhash(text: Column, bits: int = 16) -> Column:
 def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                bits: int = 16, out_col: str = "sh") -> DataFrame:
     """(id, simhash) with the token-hash array computed once per row."""
-    staged = df.select(
+    staged = fan_out(df).select(
         F.col(id_col), _token_hashes(F.col(text_col)).alias("__th")
     )
     return staged.select(

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -35,6 +36,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from .util import fan_out
 
 __all__ = [
     "MEDIA_META_SCHEMA", "with_media_column", "decode_image",
@@ -117,7 +120,7 @@ def decode_image(df: DataFrame, media_col: str = "media",
             "deterministic_fake=True for the md5-derived stub"
         )
 
-    src = df.select(F.col(id_col).alias("id"),
+    src = fan_out(df).select(F.col(id_col).alias("id"),
                     F.col(f"{media_col}.payload").alias("payload"))
 
     def kernel(batches: Iterator) -> Iterator:
@@ -164,7 +167,7 @@ def image_features(df: DataFrame, media_col: str = "media",
         StructField("id", LongType()),
         StructField("features", ArrayType(DoubleType())),
     ])
-    src = df.select(F.col(id_col).alias("id"),
+    src = fan_out(df).select(F.col(id_col).alias("id"),
                     F.col(f"{media_col}.payload").alias("payload"))
 
     def kernel(batches: Iterator) -> Iterator:
@@ -203,7 +206,7 @@ def resize_images(df: DataFrame, media_col: str = "media",
         StructField("width", LongType()),
         StructField("height", LongType()),
     ])
-    src = df.select(F.col(id_col).alias("id"),
+    src = fan_out(df).select(F.col(id_col).alias("id"),
                     F.col(f"{media_col}.payload").alias("payload"))
 
     def kernel(batches: Iterator) -> Iterator:
@@ -249,7 +252,7 @@ def extract_frames(df: DataFrame, media_col: str = "media",
         StructField("ts_ms", LongType()),
         StructField("payload", BinaryType()),
     ])
-    src = df.select(F.col(id_col).alias("id"),
+    src = fan_out(df).select(F.col(id_col).alias("id"),
                     F.col(f"{media_col}.payload").alias("payload"))
 
     def kernel(batches: Iterator) -> Iterator:

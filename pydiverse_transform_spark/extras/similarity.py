@@ -57,8 +57,10 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id"
                 ) -> DataFrame:
     """Exact brute-force cosine top-k (ties broken by id)."""
+    from .util import fan_out
+
     q = _qlit(query_vec)
-    scored = df.select(
+    scored = fan_out(df).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
     )
@@ -165,7 +167,9 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     # norms are computed ONCE per row before the join — computing
     # cosine() per pair would re-traverse both arrays for the norms,
     # tripling the per-candidate cost
-    bucketed = df.select(
+    from .util import fan_out
+
+    bucketed = fan_out(df).select(
         F.col(id_col), F.col(vec_col),
         signlsh_bucket(F.col(vec_col), planes).alias("__bucket"),
         norm(F.col(vec_col)).alias("__norm"),
@@ -237,7 +241,11 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     # ties to the lower cell id, like ivf_cell
     probe = [c for _, c in sorted(scores, key=lambda t: (-t[0], t[1]))][:nprobe]
     q = _qlit(query_vec)
-    celled = df.withColumn("__cell", ivf_cell(F.col(vec_col), centroids))
+    from .util import fan_out
+
+    celled = fan_out(df).withColumn(
+        "__cell", ivf_cell(F.col(vec_col), centroids)
+    )
     return (
         celled.filter(F.col("__cell").isin(probe))
         .select(
@@ -260,7 +268,11 @@ def signlsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     planes = hyperplanes(dim, n_planes)
     qbits = query_bucket(query_vec, n_planes, dim)
     q = _qlit(query_vec)
-    bucketed = df.withColumn("__bucket", signlsh_bucket(F.col(vec_col), planes))
+    from .util import fan_out
+
+    bucketed = fan_out(df).withColumn(
+        "__bucket", signlsh_bucket(F.col(vec_col), planes)
+    )
     return (
         bucketed.filter(F.col("__bucket") == F.lit(qbits))
         .select(

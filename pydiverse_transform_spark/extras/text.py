@@ -138,7 +138,9 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # boundary first, so the per-language membership counts each scan the
     # SAME array instead of re-splitting the text (same-projection columns
     # cannot share higher-order subexpressions)
-    tokenized = df.withColumn("__ltoks", tokens(F.lower(t)))
+    from .util import fan_out
+
+    tokenized = fan_out(df).withColumn("__ltoks", tokens(F.lower(t)))
     ltoks = F.col("__ltoks")
     staged = tokenized.withColumns({
         "__n_tok": F.size(ltoks).cast("long"),

@@ -1,0 +1,25 @@
+"""Shared helpers for the extras operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+__all__ = ["fan_out"]
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guarantee enough partitions before heavy narrow per-row compute
+    (shingling, minhashing, per-token scans, vector math).
+
+    A small input — one parquet file, or one unsplittable row group —
+    arrives as a single split, which serializes the expensive map stage
+    on one core even on a 32-core machine.  At the 100-TB target the
+    input has thousands of splits and this probe is a no-op: we only
+    repartition when the current partition count is below the cluster's
+    default parallelism, so no gratuitous shuffle of raw text is ever
+    added on large inputs.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
