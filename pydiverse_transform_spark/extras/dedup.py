@@ -93,6 +93,30 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> list[Column]:
     return [minhash_value(base, i) for i in range(n_hashes)]
 
 
+def minhash_signature_array(base_hashes: Column, n_hashes: int = 16) -> Column:
+    """All ``n_hashes`` minhash values in ONE pass over the shingle-hash
+    array: a 16-wide accumulator folded with ``F.aggregate``.  Identical
+    values to ``minhash_value(base, i)`` per position, but one traversal
+    instead of ``n_hashes`` and ~n_hashes× less generated code (the 16
+    separate array_min(transform(...)) columns dominated codegen compile
+    time on first run)."""
+    a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:n_hashes]])
+    b_arr = F.array(*[F.lit(b) for b in MINHASH_B[:n_hashes]])
+    init = F.array_repeat(F.lit(MINHASH_P).cast("long"), n_hashes)
+    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.aggregate(
+        base_hashes, init,
+        lambda acc, h: F.zip_with(
+            acc, idx,
+            lambda m, i: F.least(
+                m,
+                (h * F.element_at(a_arr, i + 1)
+                 + F.element_at(b_arr, i + 1)) % F.lit(MINHASH_P),
+            ),
+        ),
+    )
+
+
 def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
                   bands: int) -> DataFrame:
     """(id, band, band-hash) rows from an (id, __sh) shingle DataFrame.
@@ -102,6 +126,8 @@ def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
     higher-order functions (transform/aggregate) run outside whole-stage
     codegen, so Catalyst's subexpression elimination does not merge
     repeated copies; nesting them 16× deep re-tokenizes the document 16×.
+    The signature itself is one single-pass fold (see
+    ``minhash_signature_array``).
     """
     rows = n_hashes // bands
     base_df = shingled.select(
@@ -109,14 +135,15 @@ def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
     )
     sig_df = base_df.select(
         F.col(id_col),
-        *[minhash_value(F.col("__bh"), i).alias(f"m{i}")
-          for i in range(n_hashes)],
+        minhash_signature_array(F.col("__bh"), n_hashes).alias("__sig"),
     )
     withb = sig_df.select(
         F.col(id_col),
         *[
-            F.md5(F.concat_ws(
-                "|", *[F.col(f"m{i}") for i in range(b * rows, (b + 1) * rows)]
+            F.md5(F.array_join(
+                F.transform(F.slice(F.col("__sig"), b * rows + 1, rows),
+                            lambda m: m.cast("string")),
+                "|",
             )).alias(f"b{b}")
             for b in range(bands)
         ],
