@@ -1430,6 +1430,37 @@ def q_sessionize(spark, sf_dir):
 
 
 @_q("""
+WITH base AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+), tagged AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), sess AS (
+  SELECT user_id, us,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM tagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(us) AS session_start_us, max(us) AS session_end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""")
+def q_sessionize_scalable(spark, sf_dir):
+    """Skew-proof two-level sessionization (local per time-chunk windows,
+    then interval-merge over the reduced session set) — the oracle is the
+    naive single-window sessionization, which it must equal exactly."""
+    from pydiverse_transform_spark.extras import events as ev
+
+    df = ev.load_events(spark, sf_dir)
+    return ev.sessionize_scalable(df, "user_id", "ts", gap_minutes=30,
+                                  chunk_minutes=120)
+
+
+@_q("""
 SELECT bucket, event_type, n_events, sum_value,
        make_timestamp(bucket * 3600000000) AS window_start
 FROM (

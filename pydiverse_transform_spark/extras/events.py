@@ -17,8 +17,8 @@ US_PER_DAY = 86_400_000_000
 US_PER_HOUR = 3_600_000_000
 US_PER_MIN = 60_000_000
 
-__all__ = ["load_events", "epoch_us", "sessionize", "tumbling_agg",
-           "ntz_from_epoch_us"]
+__all__ = ["load_events", "epoch_us", "sessionize", "sessionize_scalable",
+           "tumbling_agg", "ntz_from_epoch_us"]
 
 
 def _div(a: Column, b: Column) -> Column:
@@ -83,6 +83,75 @@ def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
         F.sum(new_sess).over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).cast("long"),
+    )
+
+
+def sessionize_scalable(df: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", gap_minutes: int = 30,
+                        chunk_minutes: int | None = None) -> DataFrame:
+    """Skew-proof two-level sessionization; returns one row per session
+    ``(user, session_id, session_start_us, session_end_us, n_events)``.
+
+    ``sessionize`` windows over *all* of a user's events, so one hot user
+    (a bot with 10^9 events in 100 TB) serializes on a single reducer.
+    This variant bounds per-task work independently of key skew:
+
+    1. events are bucketed into ``(user, time-chunk)`` and sessionized
+       *locally* — the window partition is (user, chunk), so a hot user's
+       timeline is spread over many tasks;
+    2. local sessions (orders of magnitude fewer rows than events) are
+       interval-merged per user: a local session merges with its
+       predecessor when the boundary gap is <= the session gap.
+
+    Exact — chunking only ever *splits* sessions at chunk edges, and the
+    merge joins exactly those splits back (intervals of one user are
+    disjoint and time-ordered), so the result equals ``sessionize``'s
+    session set for any chunk size.  Step 2's per-user window is over
+    session intervals, whose count per (user, chunk) is bounded by
+    chunk_minutes/gap_minutes + 1, not by the user's event count.
+    """
+    gap_us = gap_minutes * US_PER_MIN
+    chunk_us = (chunk_minutes or 32 * gap_minutes) * US_PER_MIN
+    us = epoch_us(F.col(ts_col))
+    e = df.select(F.col(user_col), us.alias("__us"))
+    # exact integer floor-division chunk id (epoch µs overflows double
+    # mantissa headroom too easily to trust float floor here)
+    e = e.withColumn(
+        "__chunk",
+        _div(F.col("__us") - F.pmod(F.col("__us"), F.lit(chunk_us)),
+             F.lit(chunk_us)),
+    )
+    w1 = Window.partitionBy(user_col, "__chunk").orderBy("__us")
+    prev1 = F.lag("__us").over(w1)
+    new1 = F.when(
+        prev1.isNull() | ((F.col("__us") - prev1) > gap_us), 1
+    ).otherwise(0)
+    local = e.withColumn(
+        "__ls",
+        F.sum(new1).over(
+            w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = local.groupBy(user_col, "__chunk", "__ls").agg(
+        F.min("__us").alias("__s"),
+        F.max("__us").alias("__e"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w2 = Window.partitionBy(user_col).orderBy("__s")
+    prev_end = F.lag("__e").over(w2)
+    new2 = F.when(
+        prev_end.isNull() | ((F.col("__s") - prev_end) > gap_us), 1
+    ).otherwise(0)
+    merged = sessions.withColumn(
+        "session_id",
+        F.sum(new2).over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return merged.groupBy(user_col, "session_id").agg(
+        F.min("__s").alias("session_start_us"),
+        F.max("__e").alias("session_end_us"),
+        F.sum("__n").alias("n_events"),
     )
 
 
