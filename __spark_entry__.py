@@ -432,6 +432,53 @@ def q_string_ops(spark, sf_dir):
 
 @_q("""
 SELECT o_orderkey,
+       len(string_split(o_orderpriority, '-'))                     AS n_parts,
+       string_split(o_orderpriority, '-')[1]                       AS part0,
+       string_split(o_orderpriority, '-')[2]                       AS part1,
+       list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS has_urgent,
+       array_to_string(string_split(o_orderpriority, '-'), '/')    AS rejoined
+FROM orders
+""")
+def q_split_list(spark, sf_dir):
+    """str.split (literal separator) + element-wise list namespace ops
+    (len / 0-based get / contains / join) — all JVM-side array functions."""
+    o = _t(spark, sf_dir, "orders")
+    parts = o.o_orderpriority.str.split("-")
+    return (
+        o
+        >> pdt.mutate(
+            n_parts=parts.list.len(),
+            part0=parts.list.get(0),
+            part1=parts.list.get(1),
+            has_urgent=parts.list.contains("URGENT"),
+            rejoined=parts.list.join("/"),
+        )
+        >> pdt.select(o.o_orderkey, C.n_parts, C.part0, C.part1,
+                      C.has_urgent, C.rejoined)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT count(*) AS n, true AS in_range FROM orders
+""")
+def q_rand_bounds(spark, sf_dir):
+    """pdt.rand() is nondeterministic by nature; the oracle checks the
+    range invariant (every draw in [0, 1)) plus the row count."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o
+        >> pdt.mutate(r=pdt.rand())
+        >> pdt.summarize(
+            n=pdt.count(),
+            in_range=((C.r >= pdt.lit(0.0)) & (C.r < pdt.lit(1.0))).all(),
+        )
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderkey,
        year(o_orderdate)       AS d_year,
        month(o_orderdate)      AS d_month,
        day(o_orderdate)        AS d_day,
@@ -1657,6 +1704,8 @@ SELECT event_id,
          // 1000000                                               AS s_since,
        (epoch_us(ts::TIMESTAMP) - epoch_us(TIMESTAMP '2024-01-01'))
          // 1000                                                  AS ms_since,
+       (epoch_us(ts::TIMESTAMP) - epoch_us(TIMESTAMP '2024-01-01'))
+                                                                  AS us_since,
        CAST(DATE '2024-03-15' AS VARCHAR)                         AS d_const
 FROM events
 """)
@@ -1679,11 +1728,13 @@ def q_datetime_fine(spark, sf_dir):
             m_since=since.dur.minutes(),
             s_since=since.dur.seconds(),
             ms_since=since.dur.milliseconds(),
+            us_since=since.dur.microseconds(),
             d_const=pdt.lit("2024-03-15").str.to_date()
             .cast(pdt.String()),
         )
         >> pdt.select(e.event_id, C.d_hour, C.d_minute, C.d_second, C.d_ms,
-                      C.d_us, C.m_since, C.s_since, C.ms_since, C.d_const)
+                      C.d_us, C.m_since, C.s_since, C.ms_since, C.us_since,
+                      C.d_const)
         >> pdt.export(pdt.Spark)
     )
 

@@ -771,6 +771,21 @@ class ListNamespace:
             filter=filter,
         )
 
+    # element-wise list ops (extensions; the reference has no list
+    # namespace beyond agg — these make array columns reducible to
+    # scalars, e.g. after str.split)
+    def len(self):
+        return _fn("list_len", self._e)
+
+    def get(self, index: int):
+        return _fn("list_get", self._e, LiteralCol(index, const=True))
+
+    def contains(self, value):
+        return _fn("list_contains", self._e, wrap_literal(value))
+
+    def join(self, sep: str = ""):
+        return _fn("list_join", self._e, LiteralCol(sep, const=True))
+
 
 class CMeta(type):
     def __getattr__(cls, name: str) -> ColName:

@@ -400,8 +400,11 @@ _reg("str_to_datetime", FTYPE_ELEMENT_WISE, lambda n: tp.Datetime(),
      lambda n, a: F.to_timestamp(a[0]))
 _reg("str_to_date", FTYPE_ELEMENT_WISE, lambda n: tp.Date(),
      lambda n, a: F.to_date(a[0]))
+# literal-substring split (an extension verb; not in the reference) —
+# \Q..\E-quote the separator so regex metacharacters split literally,
+# matching DuckDB's string_split
 _reg("str_split", FTYPE_ELEMENT_WISE, lambda n: tp.List(tp.String()),
-     lambda n, a: F.split(a[0], n.args[1].val))
+     lambda n, a: F.split(a[0], "\\Q" + n.args[1].val + "\\E"))
 
 
 # =============================================================================
@@ -506,6 +509,47 @@ _reg("approx_quantile", FTYPE_AGGREGATE, _infer_float,
 # collect_list(struct(keys..., v)) -> array_sort(comparator) -> transform.
 _reg("str_join", FTYPE_AGGREGATE, _infer_string, agg=None)
 _reg("list_agg", FTYPE_AGGREGATE, lambda n: tp.List(_dt(n)), agg=None)
+
+
+# --- element-wise list ops (extensions beyond the reference) ----------------
+
+def _infer_list_elem(node):
+    a = _dt(node)
+    if not isinstance(a, tp.List):
+        _err(node, "expected a list column")
+    return a.inner
+
+
+def _infer_list_len(node):
+    if not isinstance(_dt(node), tp.List):
+        _err(node, "expected a list column")
+    return tp.Int64()
+
+
+def _infer_list_contains(node):
+    a = _dt(node)
+    if not isinstance(a, tp.List):
+        _err(node, "expected a list column")
+    tp.lca_type(a.inner, _dt(node, 1))  # raises if incompatible
+    return tp.Bool()
+
+
+def _infer_list_join(node):
+    a = _dt(node)
+    if not isinstance(a, tp.List) or not isinstance(a.inner, tp.String):
+        _err(node, "expected a list<string> column")
+    return tp.String()
+
+
+_reg("list_len", FTYPE_ELEMENT_WISE, _infer_list_len,
+     lambda n, a: F.size(a[0]).cast("long"))
+# 0-based element access (python/polars convention); out of range -> null
+_reg("list_get", FTYPE_ELEMENT_WISE, _infer_list_elem,
+     lambda n, a: F.get(a[0], n.args[1].val))
+_reg("list_contains", FTYPE_ELEMENT_WISE, _infer_list_contains,
+     lambda n, a: F.array_contains(a[0], a[1]))
+_reg("list_join", FTYPE_ELEMENT_WISE, _infer_list_join,
+     lambda n, a: F.array_join(a[0], n.args[1].val))
 
 
 # =============================================================================

@@ -99,3 +99,37 @@ def test_export_schema_overrides(spark):
         pdt.Spark, schema_overrides={"a": pdt.Float64(), t.b: pdt.String()}
     )
     assert dict(out.dtypes) == {"a": "double", "b": "string"}
+
+
+def test_list_namespace_ops(spark):
+    t = pdt.Table({"s": ["a-b-c", "x", "", None]}, name="t")
+    parts = t.s.str.split("-")
+    out = (
+        t
+        >> pdt.mutate(
+            n=parts.list.len(),
+            first=parts.list.get(0),
+            oob=parts.list.get(9),
+            has_b=parts.list.contains("b"),
+            joined=parts.list.join("+"),
+        )
+        >> pdt.export(pdt.Pandas)
+    )
+    assert list(out["n"].fillna(-1)) == [3, 1, 1, -1]
+    assert list(out["first"].fillna("?")) == ["a", "x", "", "?"]
+    assert out["oob"].isna().all()
+    assert list(out["has_b"].fillna(False)) == [True, False, False, False]
+    assert list(out["joined"].fillna("?")) == ["a+b+c", "x", "", "?"]
+
+
+def test_split_literal_metachars(spark):
+    # split is literal-substring: '.' must not behave as regex any-char
+    t = pdt.Table({"s": ["a.b.c"]}, name="t")
+    out = (
+        t
+        >> pdt.mutate(n=t.s.str.split(".").list.len(),
+                      j=t.s.str.split(".").list.join("|"))
+        >> pdt.export(pdt.Pandas)
+    )
+    assert list(out["n"]) == [3]
+    assert list(out["j"]) == ["a|b|c"]
