@@ -460,6 +460,34 @@ def q_split_list(spark, sf_dir):
 
 
 @_q("""
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*)                                          AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def q_salted_join(spark, sf_dir):
+    """Deterministic salted equi-join (skew toolkit): lineitem's orderkey
+    spread over 8 salts, orders replicated 8x — must equal the plain
+    join bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .withColumnRenamed("l_orderkey", "okey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    j = salted_join(li, orders, on=["okey"], n_salt=8, how="inner",
+                    skewed="left")
+    return j.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_q("""
 SELECT count(*) AS n, true AS in_range FROM orders
 """)
 def q_rand_bounds(spark, sf_dir):
