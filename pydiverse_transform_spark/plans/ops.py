@@ -287,8 +287,12 @@ _reg("is_inf", FTYPE_ELEMENT_WISE, _infer_bool,
      lambda n, a: F.abs(a[0]) == F.lit(_INF))
 _reg("is_not_inf", FTYPE_ELEMENT_WISE, _infer_bool,
      lambda n, a: F.abs(a[0]) != F.lit(_INF))
-_reg("is_nan", FTYPE_ELEMENT_WISE, _infer_bool, lambda n, a: F.isnan(a[0]))
-_reg("is_not_nan", FTYPE_ELEMENT_WISE, _infer_bool, lambda n, a: ~F.isnan(a[0]))
+# null-propagating like every reference backend (duckdb isnan(NULL)=NULL,
+# polars is_nan on null=null) — Spark's bare F.isnan(NULL) is false
+_reg("is_nan", FTYPE_ELEMENT_WISE, _infer_bool,
+     lambda n, a: F.when(a[0].isNull(), F.lit(None)).otherwise(F.isnan(a[0])))
+_reg("is_not_nan", FTYPE_ELEMENT_WISE, _infer_bool,
+     lambda n, a: F.when(a[0].isNull(), F.lit(None)).otherwise(~F.isnan(a[0])))
 _reg("rand", FTYPE_ELEMENT_WISE, _infer_float, lambda n, a: F.rand())
 
 

@@ -42,6 +42,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == 0.0:
             v = 0.0  # -0.0 and 0.0 print identically
         if v == int(v) and abs(v) < 1e15:
