@@ -534,7 +534,13 @@ def union(left: Table, right: Table, *, distinct: bool = False) -> Table:
     """Vertical concatenation: UNION ALL (or UNION with distinct=True).
     Columns are matched by visible name; types reconcile via the
     least-common-ancestor rule (reference pipe/verbs.py:1357-1415).
-    Hidden columns are dropped (the two sides' hidden sets differ)."""
+    Hidden columns are dropped (the two sides' hidden sets differ).
+    Grouped tables are rejected (reference
+    tests/test_backend_equivalence/test_union.py:204-216)."""
+    if left._partition_by or right._partition_by:
+        raise ValueError(
+            "cannot union a grouped table; ungroup() or summarize first"
+        )
     ln2u, rn2u = left._name2uuid(), right._name2uuid()
     if set(ln2u) != set(rn2u):
         raise ValueError(
