@@ -571,10 +571,18 @@ def union(left: Table, right: Table, *, distinct: bool = False) -> Table:
 
 
 @verb
-def alias(table: Table, new_name: str | None = None) -> Table:
+def alias(table: Table, new_name: str | None = None, *,
+          keep_col_refs: bool = False) -> Table:
     """Rename the table and reset all column UUIDs — the self-join enabler
-    (reference pipe/verbs.py:100).  No subquery marker needed on Spark."""
+    (reference pipe/verbs.py:100).  No subquery marker needed on Spark.
+    With ``keep_col_refs=True`` the UUIDs are kept, so column references
+    from before the alias stay valid (reference pipe/verbs.py:156)."""
     nm = new_name or table._name
+    if keep_col_refs:
+        return Table._derived(
+            table._df.alias(nm), table._cols, list(table._select),
+            list(table._partition_by), list(table._order), nm,
+        )
     mapping = {}  # old uuid -> new uuid
     new_cols = {}
     sel_exprs = []

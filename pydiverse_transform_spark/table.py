@@ -102,6 +102,13 @@ class Table:
             return col.uuid in self._cols
         return col in self._name2uuid()
 
+    def __iter__(self):
+        """Iterate the visible columns as Col references, in select
+        order — enables ``for col in t`` / ``mutate(**{c.name: ... for
+        c in t})`` (reference pipe/table.py ``__iter__``; used
+        throughout reference tests, e.g. test_cast.py:30-38)."""
+        return iter([self[self._cols[u].name] for u in self._select])
+
     @property
     def columns(self) -> list[str]:
         return [self._cols[u].name for u in self._select]
