@@ -1964,6 +1964,170 @@ def q_stream_session(spark, sf_dir):
 
 
 # =============================================================================
+# verb-interaction shapes (mirrors tests/test_verb_interactions.py /
+# test_window_interactions.py / test_union_interactions.py /
+# test_casts_diff.py — the reference's chained-verb equivalence cases)
+# =============================================================================
+
+@_q("""
+SELECT r_name,
+       count(*)                          AS n_pairs,
+       CAST(sum(n_nationkey) AS BIGINT)  AS sum_nk
+FROM nation JOIN region ON n_regionkey <= r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""")
+def q_theta_join(spark, sf_dir):
+    """Inequality (theta) join — compiles to a broadcast nested-loop on
+    a small side, never a cartesian shuffle of the big side."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n
+        >> pdt.inner_join(r, on=n.n_regionkey <= r.r_regionkey)
+        >> pdt.group_by(r.r_name)
+        >> pdt.summarize(n_pairs=pdt.count(), sum_nk=n.n_nationkey.sum())
+        >> pdt.arrange(C.r_name)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_custkey, o_totalprice, mn, mx, round(span, 6) AS span
+FROM (
+    SELECT o_custkey, o_totalprice,
+           min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+           max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx,
+           max(o_totalprice) OVER (PARTITION BY o_custkey)
+             - min(o_totalprice) OVER (PARTITION BY o_custkey) AS span
+    FROM orders
+)
+ORDER BY o_custkey, o_totalprice
+LIMIT 500
+""")
+def q_window_chained(spark, sf_dir):
+    """Chained grouped mutates — the second references the first's
+    results; both windows share one hash-partition shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o
+        >> pdt.group_by(o.o_custkey)
+        >> pdt.mutate(mn=o.o_totalprice.min(), mx=o.o_totalprice.max())
+        >> pdt.mutate(span=(C.mx - C.mn).round(6))
+        >> pdt.ungroup()
+        >> pdt.arrange(o.o_custkey, o.o_totalprice)
+        >> pdt.slice_head(500)
+        >> pdt.select(o.o_custkey, o.o_totalprice, C.mn, C.mx, C.span)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderpriority,
+       round(avg(cnt), 6)  AS avg_cust_orders
+FROM (
+    SELECT o_custkey, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY o_custkey, o_orderpriority
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q_chained_summarize(spark, sf_dir):
+    """summarize over the result of a summarize (two agg scopes)."""
+    o = _t(spark, sf_dir, "orders")
+    g = (
+        o
+        >> pdt.group_by(o.o_custkey, o.o_orderpriority)
+        >> pdt.summarize(cnt=pdt.count())
+        >> pdt.alias("g")
+    )
+    return (
+        g
+        >> pdt.group_by(g.o_orderpriority)
+        >> pdt.summarize(avg_cust_orders=C.cnt.mean().round(6))
+        >> pdt.arrange(C.o_orderpriority)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderstatus,
+       round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 6)
+                                                           AS urgent_rev,
+       count(*) FILTER (WHERE year(o_orderdate) = 1995)    AS n_1995
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""")
+def q_agg_filter_kwarg(spark, sf_dir):
+    """filter= kwarg on aggregates (reference aggregation.py:29-33)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o
+        >> pdt.group_by(o.o_orderstatus)
+        >> pdt.summarize(
+            urgent_rev=o.o_totalprice.sum(
+                filter=o.o_orderpriority == "1-URGENT").round(6),
+            n_1995=pdt.count(filter=o.o_orderdate.dt.year() == 1995),
+        )
+        >> pdt.arrange(C.o_orderstatus)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT k, count(*) AS n FROM (
+    SELECT c_nationkey AS k FROM customer
+    UNION ALL
+    SELECT s_nationkey AS k FROM supplier
+)
+GROUP BY k
+ORDER BY k
+""")
+def q_union_rename(spark, sf_dir):
+    """union of two differently-named projections via rename."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    a = c >> pdt.select(c.c_nationkey) >> pdt.rename({"c_nationkey": "k"})
+    b = s >> pdt.select(s.s_nationkey) >> pdt.rename({"s_nationkey": "k"})
+    return (
+        a
+        >> pdt.union(b)
+        >> pdt.group_by(C.k)
+        >> pdt.summarize(n=pdt.count())
+        >> pdt.arrange(C.k)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT CAST(trunc(l_extendedprice) AS BIGINT)     AS price_int,
+       CAST(l_linenumber AS VARCHAR)              AS ln_str,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR)  AS ship_day,
+       l_orderkey
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+LIMIT 400
+""")
+def q_cast_roundtrip(spark, sf_dir):
+    """Cast semantics: float→int truncates toward zero (DuckDB CAST
+    rounds — the oracle uses trunc), int→string, timestamp→date→string."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li
+        >> pdt.mutate(
+            price_int=li.l_extendedprice.cast(pdt.Int64()),
+            ln_str=li.l_linenumber.cast(pdt.String()),
+            ship_day=li.l_shipdate.cast(pdt.Date()).cast(pdt.String()),
+        )
+        >> pdt.arrange(li.l_orderkey, li.l_linenumber)
+        >> pdt.slice_head(400)
+        >> pdt.select(C.price_int, C.ln_str, C.ship_day, li.l_orderkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+# =============================================================================
 # driver contract
 # =============================================================================
 
