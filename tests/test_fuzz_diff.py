@@ -35,19 +35,39 @@ MAX_DEPTH = 4
 
 
 class Gen:
-    def __init__(self, t, rng: random.Random):
+    """Typed random expression generator.  Column leaves come from
+    ``pools`` ({"int": [...], "float": [...], "str": [...], "bool":
+    [...]} of Col refs) so the same generator drives both the flat
+    expression fuzz (this file) and the pipeline fuzz
+    (test_fuzz_pipeline.py) where the column set evolves per verb."""
+
+    def __init__(self, t, rng: random.Random, pools=None):
         self.t = t
         self.rng = rng
+        self.pools = pools or {
+            "int": [t.ia, t.ib],
+            "float": [t.fx, t.fy],
+            "str": [t.sa, t.sb],
+            "bool": [t.pa, t.pb],
+        }
 
     def any_expr(self, depth):
-        kind = self.rng.choice(["int", "float", "str", "bool"])
+        kinds = [k for k in ("int", "float", "str", "bool") if self.pools[k]]
+        kind = self.rng.choice(kinds)
         return getattr(self, kind)(depth)
+
+    def _leaf(self, kind, fallback):
+        if self.pools[kind]:
+            return self.rng.choice(self.pools[kind])
+        return fallback
 
     # --- typed generators -------------------------------------------------
     def int(self, depth):
         r = self.rng
         if depth <= 0:
-            return r.choice([self.t.ia, self.t.ib, pdt.lit(r.randint(-9, 9))])
+            return r.choice(
+                self.pools["int"] + [pdt.lit(r.randint(-9, 9))]
+            )
         p = r.random()
         if p < 0.35:
             a, b = self.int(depth - 1), self.int(depth - 1)
@@ -79,7 +99,7 @@ class Gen:
         r = self.rng
         if depth <= 0:
             return r.choice(
-                [self.t.fx, self.t.fy, pdt.lit(r.choice([0.5, -2.5, 3.0]))]
+                self.pools["float"] + [pdt.lit(r.choice([0.5, -2.5, 3.0]))]
             )
         p = r.random()
         if p < 0.3:
@@ -104,7 +124,7 @@ class Gen:
     def str(self, depth):
         r = self.rng
         if depth <= 0:
-            return r.choice([self.t.sa, self.t.sb, pdt.lit("zz")])
+            return r.choice(self.pools["str"] + [pdt.lit("zz")])
         p = r.random()
         if p < 0.2:
             return self.str(depth - 1) + self.str(depth - 1)
@@ -129,7 +149,9 @@ class Gen:
     def bool(self, depth):
         r = self.rng
         if depth <= 0:
-            return r.choice([self.t.pa, self.t.pb])
+            if self.pools["bool"]:
+                return r.choice(self.pools["bool"])
+            return self.int(0) > pdt.lit(r.randint(-5, 5))
         p = r.random()
         if p < 0.15:
             return self.bool(depth - 1) & self.bool(depth - 1)
@@ -155,9 +177,8 @@ class Gen:
         )
 
     def any_col(self):
-        return self.rng.choice(
-            [self.t.ia, self.t.fx, self.t.sa, self.t.pa]
-        )
+        allc = [c for pool in self.pools.values() for c in pool]
+        return self.rng.choice(allc)
 
 
 @pytest.fixture(scope="module")
