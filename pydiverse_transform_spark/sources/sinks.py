@@ -64,11 +64,33 @@ def write_orc(table: Table, path: str, *, mode: str = "error",
 @verb
 def save_as_table(table: Table, name: str, *, mode: str = "error",
                   partition_by=None, format: str | None = None,
-                  **options) -> Table:
+                  bucket_by: tuple[int, list] | None = None,
+                  sort_by=None, **options) -> Table:
     """Catalog sink (hive metastore / in-session catalog / iceberg when
-    the catalog provides it)."""
+    the catalog provides it).
+
+    ``bucket_by=(n, cols)`` hash-buckets the table on write — two tables
+    bucketed identically on their join key co-locate, so the join reads
+    both WITHOUT a shuffle (the 100-TB fact-fact join strategy; see
+    tests/test_bucketed_join.py for the plan proof).  ``sort_by`` sorts
+    within each bucket, letting a sort-merge join skip its sort too.
+    Bucketing requires a catalog table (Spark restriction), hence only
+    here and not on the path-based sinks."""
     w = _writer(table, mode, partition_by, **options)
     if format:
         w = w.format(format)
+    if bucket_by is not None:
+        n, cols = bucket_by
+        if not isinstance(cols, (list, tuple)):
+            cols = [cols]
+        names = [table._cols[table._resolve_uuid(c)].name for c in cols]
+        w = w.bucketBy(n, *names)
+        if sort_by is not None:
+            if not isinstance(sort_by, (list, tuple)):
+                sort_by = [sort_by]
+            snames = [
+                table._cols[table._resolve_uuid(c)].name for c in sort_by
+            ]
+            w = w.sortBy(*snames)
     w.saveAsTable(name)
     return table
