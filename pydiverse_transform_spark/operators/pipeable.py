@@ -33,13 +33,41 @@ class Pipeable:
         return self._fn(arg)
 
 
+def _is_table(x) -> bool:
+    # duck-typed to avoid a circular import with ..table
+    return hasattr(x, "_df") and hasattr(x, "_cols")
+
+
+def _attach_lineage(out, inputs):
+    """Record the ancestor tables of a verb result (by object identity)
+    so ``ColExpr.uses_table`` can answer "was this table derived from
+    the table that column belongs to?" (reference col_expr.py:217-225
+    answers it via AST-subtree containment)."""
+    if not _is_table(out):
+        return out
+    ids: set[int] = set()
+    for t in inputs:
+        if _is_table(t) and t is not out:
+            ids.add(id(t))
+            ids |= getattr(t, "_lineage_ids", set())
+    if ids:
+        out._lineage_ids = ids | getattr(out, "_lineage_ids", set())
+    return out
+
+
 def verb(fn):
     """Turn ``fn(table, *args, **kwargs)`` into a pipe verb usable as
     ``table >> fn(*args, **kwargs)`` (also callable directly)."""
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
-        return Pipeable(lambda table: fn(table, *args, **kwargs))
+        def run(table):
+            out = fn(table, *args, **kwargs)
+            return _attach_lineage(
+                out, [table, *args, *kwargs.values()]
+            )
+
+        return Pipeable(run)
 
     wrapper.__wrapped_verb__ = fn
     return wrapper

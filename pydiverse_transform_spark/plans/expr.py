@@ -73,6 +73,87 @@ class ColExpr:
     def iter_children(self) -> Iterable["ColExpr"]:
         return ()
 
+    def _iter_cols_deep(self) -> Iterable["Col"]:
+        if isinstance(self, Col):
+            yield self
+        for c in self.iter_children():
+            yield from c._iter_cols_deep()
+
+    def uses_table(self, table) -> bool:
+        """Whether the expression contains a column of ``table`` or of a
+        table ``table`` was derived into — NOT of tables derived FROM the
+        column's table (reference col_expr.py:217-225: the check is
+        AST-subtree containment, so ``t.a.uses_table(t >> mutate(...))``
+        is False while ``(t >> mutate(...)).a.uses_table(t)`` is True)."""
+        tid = id(table)
+        for c in self._iter_cols_deep():
+            o = c._origin
+            if o is None:
+                continue
+            if o is table or tid in getattr(o, "_lineage_ids", ()):
+                return True
+        return False
+
+    def export(self, target=None):
+        """Evaluate this expression as a single column (reference
+        col_expr.py:136-178).  There is no ambient table, so the
+        expression must contain one column whose table snapshot contains
+        every other column used; that table provides the rows.  Returns
+        a pandas Series for ``Pandas`` (default), else whatever one-column
+        frame the target produces."""
+        from ..operators.verbs import export as _export
+        from ..operators.verbs import mutate as _mutate
+        from ..operators.verbs import select as _select
+        from ..targets import Pandas
+
+        cols = [c for c in self._iter_cols_deep() if c._origin is not None]
+        if not cols:
+            raise ValueError(
+                "cannot export an expression without table columns; "
+                "use pdt.Table + mutate for pure literals"
+            )
+        home = None
+        for cand in {id(c._origin): c._origin for c in cols}.values():
+            if all(c.uuid in cand._cols for c in cols):
+                home = cand
+                break
+        if home is None:
+            raise ValueError(
+                "expression columns come from unrelated tables; no single "
+                "table contains them all (reference col_expr.py:147-154)"
+            )
+        name = self.name if isinstance(self, Col) else "value"
+        out = (
+            home
+            >> _mutate(**{name: self})
+            >> _select(name)
+            >> _export(target if target is not None else Pandas())
+        )
+        import pandas as pd
+
+        if isinstance(out, pd.DataFrame):
+            return out[name]
+        return out
+
+    def __str__(self):
+        """Value preview (reference col_expr.py's ``__str__`` evaluates
+        the expression against its table; failures print 'failed to
+        execute query' instead of raising)."""
+        try:
+            s = self.export()
+            head = f"{self!r} ({self._dtype!r})" if self._dtype else repr(self)
+            return f"{head}\n{s.head(10).to_string(index=False)}"
+        except Exception as e:
+            return f"{self!r}\nfailed to execute query: {e}"
+
+    def _repr_html_(self) -> str:
+        try:
+            s = self.export()
+            return f"<code>{self!r}</code><br/>" + s.head(10).to_frame(
+            ).to_html(index=False)
+        except Exception as e:
+            return f"<pre>failed to execute query: {e}</pre>"
+
     # ---- arithmetic ---------------------------------------------------
     def __add__(self, o):
         return _fn("add", self, o)

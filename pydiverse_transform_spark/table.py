@@ -31,7 +31,8 @@ __all__ = ["Table"]
 
 
 class Table:
-    __slots__ = ("_df", "_cols", "_select", "_partition_by", "_order", "_name")
+    __slots__ = ("_df", "_cols", "_select", "_partition_by", "_order",
+                 "_name", "_lineage_ids")
 
     def __init__(self, df, name: str | None = None):
         if not isinstance(df, DataFrame):
@@ -129,7 +130,34 @@ class Table:
         return f"Table({self._name}, [{cols}])"
 
     def __str__(self):
-        return self.__repr__()
+        """Schema plus a data preview (reference pipe/table.py:243-295
+        prints the backend frame; failures render as 'failed to execute
+        query' rather than raising — prints must never crash a REPL)."""
+        try:
+            n = self._df.count()
+            pdf = (
+                self.to_spark().limit(20).toPandas()
+            )
+            head = (
+                f"Table `{self._name}` (backend: spark), "
+                f"shape: ({n}, {len(self._select)})"
+            )
+            body = pdf.to_string(index=False)
+            more = f"\n... ({n - 20} more rows)" if n > 20 else ""
+            return f"{head}\n{body}{more}"
+        except Exception as e:  # pragma: no cover - defensive
+            return f"{self.__repr__()}\nfailed to execute query: {e}"
+
+    def _repr_html_(self) -> str:
+        try:
+            pdf = self.to_spark().limit(20).toPandas()
+            return (
+                f"Table <code>{self._name}</code> "
+                f"(backend: <code>spark</code>)<br/>"
+                + pdf.to_html(index=False)
+            )
+        except Exception as e:  # pragma: no cover - defensive
+            return f"<pre>failed to execute query: {e}</pre>"
 
     # -- resolution helper used by verbs -------------------------------------
     def _resolve_uuid(self, c) -> _uuid.UUID:

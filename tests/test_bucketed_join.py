@@ -22,7 +22,22 @@ def no_broadcast(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def _fresh_table(spark, name):
+    """Drop catalog entry AND stale warehouse dir — a new session's
+    empty in-memory catalog can collide with a previous session's
+    leftover managed-table location."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        f"{loc.removeprefix('file:')}/{name}", ignore_errors=True
+    )
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir, no_broadcast):
+    _fresh_table(spark, "bj_orders")
+    _fresh_table(spark, "bj_lineitem")
     o = pdt.read_parquet(spark, f"{sf_dir}/orders.parquet")
     li = pdt.read_parquet(spark, f"{sf_dir}/lineitem.parquet")
     (o >> pdt.select(o.o_orderkey, o.o_orderpriority)

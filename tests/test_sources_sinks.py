@@ -50,6 +50,9 @@ def test_orc_roundtrip(spark, nation):
 
 
 def test_catalog_roundtrip(spark, nation):
+    from test_bucketed_join import _fresh_table
+
+    _fresh_table(spark, "nation_cat_test")
     nation >> pdt.save_as_table("nation_cat_test", mode="overwrite")
     back = pdt.read_table(spark, "nation_cat_test")
     assert _pdf(back)["n_name"].tolist() == _pdf(nation)["n_name"].tolist()
