@@ -1963,6 +1963,78 @@ def q_stream_session(spark, sf_dir):
     )
 
 
+@_q(f"""
+WITH RECURSIVE lshp AS ({_lsh_pairs_sql(0.2)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lshp
+  UNION
+  SELECT id_b, id_a FROM lshp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT node, CAST(comp AS BIGINT) AS comp FROM (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+)
+ORDER BY node
+""")
+def q_neardup_clusters(spark, sf_dir):
+    """Connected components over the verified LSH near-dup pairs —
+    hash-min label propagation on Spark vs a recursive-CTE transitive
+    closure in DuckDB."""
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", k=3,
+                                      n_hashes=16, bands=4, threshold=0.2)
+    cc = dedup.connected_components(pairs)
+    from pyspark.sql import functions as F
+
+    return cc.select("node", F.col("comp").cast("long").alias("comp")) \
+        .orderBy("node")
+
+
+@_q(f"""
+WITH RECURSIVE lshp AS ({_lsh_pairs_sql(0.2)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lshp
+  UNION
+  SELECT id_b, id_a FROM lshp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+)
+SELECT count(*)                        AS n_docs,
+       CAST(sum(doc_id) AS BIGINT)     AS id_sum
+FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != comp)
+""")
+def q_neardup_corpus(spark, sf_dir):
+    """Full corpus dedup: every near-dup cluster keeps only its
+    minimum-id document; summarized as (count, id-sum) for a
+    deterministic scalar comparison."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = dedup.neardup_dedup(docs, "text", "doc_id", k=3, n_hashes=16,
+                               bands=4, threshold=0.2)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 # =============================================================================
 # verb-interaction shapes (mirrors tests/test_verb_interactions.py /
 # test_window_interactions.py / test_union_interactions.py /

@@ -19,7 +19,7 @@ from .util import fan_out
 __all__ = [
     "exact_dedup", "word_shingles", "char_shingles", "minhash_signature",
     "lsh_candidate_pairs", "jaccard", "minhash_dedup_pairs", "simhash",
-    "char_shingled",
+    "char_shingled", "connected_components", "neardup_dedup",
 ]
 
 
@@ -283,3 +283,96 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return staged.select(
         F.col(id_col), _simhash_from_hashes(F.col("__th"), bits).alias(out_col)
     )
+
+
+def connected_components(pairs: DataFrame, a: str = "id_a",
+                         b: str = "id_b",
+                         max_iter: int = 30) -> DataFrame:
+    """(node, comp) for every node in ``pairs``, where ``comp`` is the
+    minimum node id in the node's connected component — hash-min label
+    propagation.
+
+    Each iteration pushes the current minimum label across one hop, so
+    the loop converges in O(component diameter) rounds; near-dup
+    clusters are dense (diameter 2-4), so 3-5 rounds is typical.  Every
+    round CHECKPOINTS its labels — an iterative plan that only persists
+    still grows its logical tree exponentially (labels appears twice per
+    round) and OOMs the analyzer around 8-10 rounds; checkpointing cuts
+    lineage so plan size stays constant.  A reliable ``checkpoint()`` is
+    used when ``sparkContext.setCheckpointDir`` was called (the cluster
+    deployment), else ``localCheckpoint`` (single-node/dev).  The
+    per-round driver action is a LIMIT-1 existence probe
+    (short-circuits), not a full count.  For graphs with pathological
+    diameters (chains), switch to large-star/small-star (O(log n)
+    rounds) — near-dup graphs never need it.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    def cut(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = cut(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = cut(
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                labels["node"].alias("node"),
+                F.least(
+                    labels["comp"],
+                    F.coalesce(F.col("nbr_comp"), labels["comp"]),
+                ).alias("comp"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def neardup_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", *, k: int = 3,
+                  n_hashes: int = 16, bands: int = 4,
+                  threshold: float = 0.7,
+                  max_iter: int = 30) -> DataFrame:
+    """End-to-end near-dup corpus dedup: MinHash-LSH candidate pairs →
+    exact Jaccard verification → connected components → keep only the
+    canonical (minimum-id) document of every duplicate cluster.  The
+    anti-join against the (tiny) non-canonical id set is broadcast by
+    Catalyst, so the full corpus is read exactly once."""
+    pairs = minhash_dedup_pairs(df, text_col, id_col, k=k,
+                                n_hashes=n_hashes, bands=bands,
+                                threshold=threshold)
+    cc = connected_components(pairs, max_iter=max_iter)
+    dupes = (
+        cc.filter(F.col("node") != F.col("comp"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(dupes, on=id_col, how="left_anti")

@@ -1,0 +1,48 @@
+"""connected_components must label every node with its component's
+minimum id — chains (worst-case diameter), separate components, and the
+end-to-end neardup_dedup canonical-keep behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras.dedup import (
+    connected_components,
+    neardup_dedup,
+)
+
+
+def _cc(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = connected_components(pairs)
+    return {r.node: r.comp for r in out.collect()}
+
+
+def test_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11), (12, 11)])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_chain_diameter(spark):
+    # a 9-hop chain exercises multi-round propagation
+    got = _cc(spark, [(i, i + 1) for i in range(1, 10)])
+    assert got == {i: 1 for i in range(1, 11)}
+
+
+def test_reversed_ids(spark):
+    # min id appears on the right side of the pair
+    got = _cc(spark, [(5, 4), (4, 3), (9, 8)])
+    assert got == {3: 3, 4: 3, 5: 3, 8: 8, 9: 8}
+
+
+def test_neardup_dedup_keeps_canonical(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again!"),
+            (3, "completely different text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = neardup_dedup(docs, "text", "doc_id", k=3, threshold=0.3)
+    ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    assert 3 in ids and 1 in ids and 2 not in ids
