@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "q_agg_in_mutate",
     "q_doc_stats",
     "q_dedup_minhash",
+    "q_neardup_corpus",
     "q_cosine_topk",
     "q_sessionize",
     "q_tumbling_agg",

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
-    "session_window_agg", "stateful_sessionize", "run_to_memory",
+    "session_window_agg", "stateful_sessionize", "run_to_memory", "write_stream_parquet",
 ]
 
 
@@ -207,3 +207,34 @@ def run_to_memory(stream_df: DataFrame, table_name: str,
     )
     q.awaitTermination(timeout_sec)
     return stream_df.sparkSession.table(table_name)
+
+
+def write_stream_parquet(stream_df: DataFrame, path: str,
+                         checkpoint: str, *,
+                         output_mode: str = "append",
+                         partition_by: list[str] | None = None,
+                         available_now: bool = False,
+                         trigger_seconds: int | None = None):
+    """Durable parquet sink with exactly-once semantics via the
+    checkpoint location (offsets + sink commit log).  At cluster scale
+    the checkpoint MUST be on shared storage (S3/HDFS) — it is what
+    makes a restarted query resume instead of reprocess.
+
+    ``available_now=True`` drains the currently-available input and
+    stops (batch-like backfill); otherwise the query runs continuously,
+    micro-batching every ``trigger_seconds`` (or as fast as data
+    arrives when None).  Returns the StreamingQuery handle.
+    """
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()

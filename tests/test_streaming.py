@@ -124,3 +124,27 @@ def test_file_sinks_roundtrip(spark, sf_dir):
     # partition column became a directory key
     assert any(p.startswith("n_regionkey=") for p in os.listdir(out_dir))
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_write_stream_parquet_exactly_once(spark, sf_dir, tmp_path):
+    """availableNow drain to a parquet sink, twice: the checkpoint must
+    make the second run a no-op (exactly-once), and the sink rows must
+    equal the batch equivalent."""
+    import pydiverse_transform_spark.streaming as st
+    from pydiverse_transform_spark.extras import events as ev
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = ev.load_events(spark, sf_dir).select("event_id", "user_id")
+    batch.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    for _ in range(2):  # second drain must add nothing
+        stream = st.read_event_stream(spark, src, schema=schema)
+        q = st.write_stream_parquet(stream, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == batch.count()
+    assert sorted(got.columns) == sorted(batch.columns)
