@@ -333,24 +333,22 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # the changed flag rides along in the update join, so the
+        # convergence probe below scans the checkpointed labels only —
+        # no second join, one extra boolean column per round
+        new_comp = F.least(
+            labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+        )
         new_labels = cut(
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 labels["node"].alias("node"),
-                F.least(
-                    labels["comp"],
-                    F.coalesce(F.col("nbr_comp"), labels["comp"]),
-                ).alias("comp"),
+                new_comp.alias("comp"),
+                (new_comp < labels["comp"]).alias("changed"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     edges.unpersist()
