@@ -262,3 +262,60 @@ def test_grouped_join_raises(spark, tbl):
         t3 >> pdt.inner_join(
             t4 >> pdt.group_by(t4.col2), on=t3.col1 == t4.col1
         )
+
+
+def test_arrange_by_expression(spark, con, tbl):
+    """arrange by a computed expression (reference test_arrange.py
+    test_arrange_expression: arrange(-t.col4 * 2))."""
+    t = tbl("df3")
+    out = (
+        t
+        >> pdt.arrange(-t.col4 * 2)
+        >> pdt.slice_head(6)
+        >> pdt.select("col4")
+    )
+    _check(con, out, """
+        SELECT col4 FROM df3 ORDER BY -col4 * 2 LIMIT 6
+    """, "arrange_by_expression")
+
+
+def test_group_by_const_and_window(spark, con, tbl):
+    """Constant mutate column as group key and as partition key
+    (reference test_group_by_scalar / test_partition_by_const_col)."""
+    t = tbl("df3")
+    out = (
+        t
+        >> pdt.mutate(x=pdt.lit(0))
+        >> pdt.group_by(pdt.C.x)
+        >> pdt.summarize(y=t.col1.sum())
+    )
+    _check(con, out, """
+        SELECT 0 AS x, CAST(sum(col1) AS BIGINT) AS y FROM df3
+    """, "group_by_const")
+
+    out2 = (
+        t
+        >> pdt.mutate(x=pdt.lit(0))
+        >> pdt.mutate(y=t.col3.sum(partition_by=pdt.C.x))
+        >> pdt.select("col4", "y")
+    )
+    _check(con, out2, """
+        SELECT col4, CAST(sum(col3) OVER () AS BIGINT) AS y FROM df3
+    """, "partition_by_const")
+
+
+def test_group_by_bool_window(spark, con, tbl):
+    t = tbl("df4")
+    out = (
+        t
+        >> pdt.mutate(x=t.col1 <= t.col2)
+        >> pdt.group_by(pdt.C.x)
+        >> pdt.mutate(y=pdt.C.col4.mean())
+        >> pdt.ungroup()
+        >> pdt.select("col4", "x", "y")
+    )
+    _check(con, out, """
+        SELECT col4, col1 <= col2 AS x,
+               avg(col4) OVER (PARTITION BY (col1 <= col2)) AS y
+        FROM df4
+    """, "group_by_bool_window")
