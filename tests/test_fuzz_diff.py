@@ -56,11 +56,6 @@ class Gen:
         kind = self.rng.choice(kinds)
         return getattr(self, kind)(depth)
 
-    def _leaf(self, kind, fallback):
-        if self.pools[kind]:
-            return self.rng.choice(self.pools[kind])
-        return fallback
-
     # --- typed generators -------------------------------------------------
     def int(self, depth):
         r = self.rng

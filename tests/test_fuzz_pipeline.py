@@ -49,6 +49,7 @@ class PipelineGen:
         self.rng = rng
         self.k = 0
         self.grouped_already = False
+        self.rid_unique = True
 
     def _gen(self):
         return Gen(self.t, self.rng, pools=_pools(self.t))
@@ -81,7 +82,9 @@ class PipelineGen:
         return True
 
     def step_arrange_slice(self):
-        if "rid" not in self.t.columns:
+        # rid is only a deterministic tiebreaker while it is still a key
+        # (a fan-out join duplicates it)
+        if "rid" not in self.t.columns or not self.rid_unique:
             return False
         pools = _pools(self.t)
         sortable = pools["int"] + pools["float"] + pools["str"]
@@ -147,9 +150,40 @@ class PipelineGen:
         self.grouped_already = True
         return True
 
+    def step_join_base(self):
+        """Equi-join the evolving pipeline back to the base table on a
+        modular bucket of rid — exercises column resolution and suffix
+        renaming mid-pipeline.  Joined columns get fresh names via
+        mutate so the mirrored SQL stays unambiguous."""
+        if "rid" not in self.t.columns or self.grouped_already:
+            return False
+        base = pdt.from_dict(
+            self.t._df.sparkSession, PFUZZ, name=f"b{self.k}"
+        ) >> pdt.alias(f"b{self.k}")
+        m = self.rng.choice([2, 3])
+        name = f"j{self.k}"
+        self.k += 1
+        joined = self.t >> pdt.inner_join(
+            base, on=(self.t.rid % m) == (base.rid % m)
+        )
+        keep = [c for c in self.t.columns]
+        self.t = (
+            joined
+            >> pdt.mutate(**{name: base.ia + base.ib.fill_null(pdt.lit(0))})
+            >> pdt.select(*keep, name)
+        )
+        self.sql = (
+            f"SELECT L.*, R.ia + coalesce(R.ib, 0) AS {name} "
+            f"FROM ({self.sql}) L JOIN pfuzz R "
+            f"ON L.rid % {m} = R.rid % {m}"
+        )
+        self.rid_unique = False
+        return True
+
     def run(self, n_steps):
         steps = [self.step_mutate, self.step_filter,
-                 self.step_arrange_slice, self.step_group_summarize]
+                 self.step_arrange_slice, self.step_group_summarize,
+                 self.step_join_base]
         for _ in range(n_steps):
             step = self.rng.choice(steps)
             step()
