@@ -15,6 +15,13 @@ build one composed DataFrame plan, Catalyst + Tungsten + AQE execute it.
 """
 
 from . import types  # noqa: F401
+from .errors import (  # noqa: F401
+    ColumnNotFoundError,
+    DataTypeError,
+    FunctionTypeError,
+    NotSupportedError,
+    SubqueryError,
+)
 from .functions import (  # noqa: F401
     all,
     any,

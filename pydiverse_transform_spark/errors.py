@@ -1,0 +1,45 @@
+"""Typed error classes matching the reference's public error surface
+(reference errors.py: ColumnNotFoundError, DataTypeError,
+FunctionTypeError, NotSupportedError, SubqueryError).
+
+Each subclasses the builtin it semantically refines, so code written
+against either surface (`except pdt.FunctionTypeError` or plain
+`except ValueError`) catches the same failures.
+"""
+
+from __future__ import annotations
+
+__all__ = [
+    "ColumnNotFoundError",
+    "DataTypeError",
+    "FunctionTypeError",
+    "NotSupportedError",
+    "SubqueryError",
+]
+
+
+class ColumnNotFoundError(KeyError):
+    """A referenced column does not exist in the table's scope."""
+
+    def __str__(self):  # KeyError quotes its arg; keep the message plain
+        return self.args[0] if self.args else ""
+
+
+class DataTypeError(TypeError):
+    """An operator was applied to operands of incompatible dtypes."""
+
+
+class FunctionTypeError(ValueError):
+    """An aggregate/window function appears where its function type is
+    not allowed (window in filter/summarize/join-on, nested aggregates,
+    bare columns in summarize, ...)."""
+
+
+class NotSupportedError(Exception):
+    """The operation is not supported by this backend."""
+
+
+class SubqueryError(Exception):
+    """Unused on Spark — Catalyst composes plans freely, so no verb ever
+    requires an explicit subquery boundary.  Exported for API parity so
+    ``except pdt.SubqueryError`` imports keep working."""

@@ -39,6 +39,7 @@ from ..plans.expr import (
     SeriesCol,
     wrap_literal,
 )
+from ..errors import FunctionTypeError
 from ..table import Table
 from .pipeable import Pipeable, verb
 
@@ -271,7 +272,7 @@ def _check_summarize_refs(e: ColExpr, group_uuids: set, nm: str):
 
     if isinstance(e, Col):
         if e.uuid not in group_uuids:
-            raise ValueError(
+            raise FunctionTypeError(
                 f"summarize expression `{nm}` references column `{e.name}` "
                 "outside an aggregate function; only grouping columns may "
                 "appear unaggregated"

@@ -26,6 +26,7 @@ from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from .. import types as tp
+from ..errors import ColumnNotFoundError, DataTypeError, FunctionTypeError
 from .expr import (
     FTYPE_AGGREGATE,
     FTYPE_ELEMENT_WISE,
@@ -85,7 +86,7 @@ def _prepare(e, scope: Scope, context: str, toplevel: bool = False) -> ColExpr:
     if isinstance(e, ColName):
         u = scope.name2uuid.get(e.name)
         if u is None:
-            raise ValueError(
+            raise ColumnNotFoundError(
                 f"column `{e.name}` not found; visible columns: "
                 f"{list(scope.name2uuid)}"
             )
@@ -102,7 +103,7 @@ def _prepare(e, scope: Scope, context: str, toplevel: bool = False) -> ColExpr:
     if isinstance(e, Cast):
         inner = _prepare(e.expr, scope, context)
         if not tp.can_cast(inner._dtype, e.target):
-            raise TypeError(f"cannot cast {inner._dtype!r} to {e.target!r}")
+            raise DataTypeError(f"cannot cast {inner._dtype!r} to {e.target!r}")
         out = Cast(inner, e.target, e.strict)
         out._ftype = inner.ftype()
         return out
@@ -166,7 +167,7 @@ def _prepare_fn(e: ColFn, scope: Scope, context: str) -> ColFn:
             _assert_no_agg_window(filt, f"filter= of `{e.op}`")
         if context == "summarize":
             if op.ftype == FTYPE_WINDOW:
-                raise ValueError(
+                raise FunctionTypeError(
                     f"window function `{e.op}` is not allowed in summarize"
                 )
             if partition_by is not None:
@@ -192,7 +193,7 @@ def _merge_ftypes(ftypes: set, what: str) -> str:
     if not ftypes:
         return FTYPE_ELEMENT_WISE
     if len(ftypes) > 1:
-        raise ValueError(
+        raise FunctionTypeError(
             f"cannot mix aggregate and window functions in {what}"
         )
     return ftypes.pop()
@@ -200,7 +201,7 @@ def _merge_ftypes(ftypes: set, what: str) -> str:
 
 def _assert_no_agg_window(e: ColExpr, where: str):
     if isinstance(e, ColFn) and REGISTRY[e.op].ftype != FTYPE_ELEMENT_WISE:
-        raise ValueError(
+        raise FunctionTypeError(
             f"aggregate/window function `{e.op}` is not allowed in {where}"
         )
     for c in e.iter_children():

@@ -84,7 +84,9 @@ class Table:
     def __getitem__(self, name: str) -> Col:
         n2u = self._name2uuid()
         if name not in n2u:
-            raise KeyError(
+            from .errors import ColumnNotFoundError
+
+            raise ColumnNotFoundError(
                 f"table `{self._name}` has no column `{name}`; "
                 f"columns: {list(n2u)}"
             )

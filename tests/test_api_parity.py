@@ -133,3 +133,27 @@ def test_split_literal_metachars(spark):
     )
     assert list(out["n"]) == [3]
     assert list(out["j"]) == ["a|b|c"]
+
+
+def test_typed_errors(spark):
+    """Typed error classes match the reference's public error surface
+    (reference errors.py) and stay catchable via the builtin they
+    semantically refine."""
+    t = pdt.Table({"a": [1, 2], "b": ["x", "y"]}, name="t")
+
+    with pytest.raises(pdt.ColumnNotFoundError, match="no column"):
+        t["nope"]
+    with pytest.raises(KeyError):  # backward-compatible base
+        t["nope"]
+    with pytest.raises(pdt.ColumnNotFoundError, match="not found"):
+        t >> pdt.mutate(x=C.missing + 1) >> pdt.export(pdt.Pandas)
+
+    with pytest.raises(pdt.DataTypeError):
+        t >> pdt.mutate(x=t.b.cast(pdt.Duration())) >> pdt.export(pdt.Pandas)
+
+    with pytest.raises(pdt.FunctionTypeError, match="summarize"):
+        t >> pdt.summarize(x=t.a.sum() + t.a)
+    with pytest.raises(ValueError):  # backward-compatible base
+        t >> pdt.summarize(x=t.a.sum() + t.a)
+    with pytest.raises(pdt.FunctionTypeError):
+        t >> pdt.filter(t.a.sum() > 1)
