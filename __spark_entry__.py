@@ -216,6 +216,473 @@ def q04_order_priority(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""")
+def q06_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: pure scan + predicate + global aggregate.  The whole
+    thing pushes to a single parquet scan with every filter in
+    PushedFilters — the 100-TB shape is one map stage plus a
+    2-row-per-partition final reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li
+        >> pdt.filter(
+            li.l_shipdate >= pdt.lit(dt.datetime(1997, 1, 1)),
+            li.l_shipdate < pdt.lit(dt.datetime(1998, 1, 1)),
+            li.l_discount >= 0.05,
+            li.l_discount <= 0.07,
+            li.l_quantity < 24,
+        )
+        >> pdt.summarize(
+            revenue=(li.l_extendedprice * li.l_discount).sum().round(6)
+        )
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 6) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier JOIN lineitem ON s_suppkey  = l_suppkey
+                JOIN orders   ON o_orderkey = l_orderkey
+                JOIN customer ON c_custkey  = o_custkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""")
+def q07_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: nation joined twice (alias = UUID reset), OR across the
+    two join branches, extracted-year grouping.  Both nation joins are
+    25-row broadcasts; the OR filter runs post-join JVM-side."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation") >> pdt.alias("n1")
+    n2 = _t(spark, sf_dir, "nation") >> pdt.alias("n2")
+    pair = ((n1.n_name == pdt.lit("NATION_1"))
+            & (n2.n_name == pdt.lit("NATION_2"))) | (
+           (n1.n_name == pdt.lit("NATION_2"))
+            & (n2.n_name == pdt.lit("NATION_1")))
+    return (
+        s
+        >> pdt.inner_join(li, on=s.s_suppkey == li.l_suppkey)
+        >> pdt.filter(
+            li.l_shipdate >= pdt.lit(dt.datetime(1996, 1, 1)),
+            li.l_shipdate < pdt.lit(dt.datetime(1998, 1, 1)),
+        )
+        >> pdt.inner_join(o, on=o.o_orderkey == li.l_orderkey)
+        >> pdt.inner_join(cu, on=cu.c_custkey == o.o_custkey)
+        >> pdt.inner_join(n1, on=s.s_nationkey == n1.n_nationkey)
+        >> pdt.inner_join(n2, on=cu.c_nationkey == n2.n_nationkey)
+        >> pdt.filter(pair)
+        >> pdt.mutate(
+            supp_nation=n1.n_name,
+            cust_nation=n2.n_name,
+            l_year=li.l_shipdate.dt.year(),
+            volume=li.l_extendedprice * (1 - li.l_discount),
+        )
+        >> pdt.group_by(C.supp_nation, C.cust_nation, C.l_year)
+        >> pdt.summarize(revenue=C.volume.sum().round(6))
+        >> pdt.arrange(C.supp_nation, C.cust_nation, C.l_year)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part JOIN lineitem  ON p_partkey  = l_partkey
+            JOIN supplier  ON s_suppkey  = l_suppkey
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey  = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region    ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1998-01-01'
+    AND p_type = 'ECONOMY'
+)
+GROUP BY o_year
+ORDER BY o_year
+""")
+def q08_market_share(spark, sf_dir):
+    """TPC-H Q8: 8-table join (nation twice), conditional-sum ratio.
+    part/supplier/nation/region broadcast; lineitem⋈orders⋈customer are
+    the only shuffle exchanges."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation") >> pdt.alias("n1")
+    n2 = _t(spark, sf_dir, "nation") >> pdt.alias("n2")
+    r = _t(spark, sf_dir, "region")
+    return (
+        p
+        >> pdt.filter(p.p_type == pdt.lit("ECONOMY"))
+        >> pdt.inner_join(li, on=p.p_partkey == li.l_partkey)
+        >> pdt.inner_join(s, on=s.s_suppkey == li.l_suppkey)
+        >> pdt.inner_join(o, on=li.l_orderkey == o.o_orderkey)
+        >> pdt.filter(
+            o.o_orderdate >= pdt.lit(dt.datetime(1996, 1, 1)),
+            o.o_orderdate < pdt.lit(dt.datetime(1998, 1, 1)),
+        )
+        >> pdt.inner_join(cu, on=o.o_custkey == cu.c_custkey)
+        >> pdt.inner_join(n1, on=cu.c_nationkey == n1.n_nationkey)
+        >> pdt.inner_join(r, on=n1.n_regionkey == r.r_regionkey)
+        >> pdt.filter(r.r_name == pdt.lit("AMERICA"))
+        >> pdt.inner_join(n2, on=s.s_nationkey == n2.n_nationkey)
+        >> pdt.mutate(
+            o_year=o.o_orderdate.dt.year(),
+            volume=li.l_extendedprice * (1 - li.l_discount),
+        )
+        >> pdt.group_by(C.o_year)
+        >> pdt.summarize(
+            mkt_share=(
+                pdt.when(n2.n_name == pdt.lit("NATION_3"))
+                .then(C.volume).otherwise(0.0).sum()
+                / C.volume.sum()
+            ).round(6)
+        )
+        >> pdt.arrange(C.o_year)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       c_acctbal, n_name
+FROM customer JOIN orders   ON c_custkey  = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: 4-table join, grouped top-20 by revenue (deterministic:
+    c_custkey tie-break).  LIMIT compiles to TakeOrderedAndProject — no
+    global sort materializes."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        cu
+        >> pdt.inner_join(o, on=cu.c_custkey == o.o_custkey)
+        >> pdt.filter(
+            o.o_orderdate >= pdt.lit(dt.datetime(1996, 7, 1)),
+            o.o_orderdate < pdt.lit(dt.datetime(1996, 10, 1)),
+        )
+        >> pdt.inner_join(li, on=li.l_orderkey == o.o_orderkey)
+        >> pdt.filter(li.l_returnflag == pdt.lit("R"))
+        >> pdt.inner_join(n, on=cu.c_nationkey == n.n_nationkey)
+        >> pdt.group_by(cu.c_custkey, cu.c_name, cu.c_acctbal, n.n_name)
+        >> pdt.summarize(
+            revenue=(li.l_extendedprice * (1 - li.l_discount)).sum().round(6)
+        )
+        >> pdt.select(cu.c_custkey, cu.c_name, C.revenue, cu.c_acctbal,
+                      n.n_name)
+        >> pdt.arrange(C.revenue.descending(), C.c_custkey)
+        >> pdt.slice_head(20)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: left join with a non-equi residual predicate in the ON
+    clause, count(col) null-skipping, then a re-aggregation of the
+    aggregate."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cu
+        >> pdt.left_join(
+            o,
+            on=[cu.c_custkey == o.o_custkey,
+                o.o_orderpriority != pdt.lit("1-URGENT")],
+        )
+        >> pdt.group_by(cu.c_custkey)
+        >> pdt.summarize(c_count=o.o_orderkey.count())
+    )
+    return (
+        per_cust
+        >> pdt.group_by(per_cust.c_count)
+        >> pdt.summarize(custdist=pdt.count())
+        >> pdt.arrange(C.custdist.descending(), C.c_count.descending())
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate <  TIMESTAMP '1997-10-01'
+""")
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: conditional aggregation ratio over a broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = li.l_extendedprice * (1 - li.l_discount)
+    return (
+        li
+        >> pdt.filter(
+            li.l_shipdate >= pdt.lit(dt.datetime(1997, 9, 1)),
+            li.l_shipdate < pdt.lit(dt.datetime(1997, 10, 1)),
+        )
+        >> pdt.inner_join(p, on=li.l_partkey == p.p_partkey)
+        >> pdt.summarize(
+            promo_revenue=(
+                100.0
+                * pdt.when(p.p_type == pdt.lit("PROMO"))
+                .then(disc).otherwise(0.0).sum()
+                / disc.sum()
+            ).round(6)
+        )
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: scalar subquery (max over derived table) expressed as
+    an unpartitioned window max over the aggregate — one extra exchange
+    of the already-aggregated (tiny) revenue table, never of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li
+        >> pdt.filter(
+            li.l_shipdate >= pdt.lit(dt.datetime(1997, 1, 1)),
+            li.l_shipdate < pdt.lit(dt.datetime(1997, 4, 1)),
+        )
+        >> pdt.group_by(li.l_suppkey)
+        >> pdt.summarize(
+            total_revenue=(li.l_extendedprice * (1 - li.l_discount))
+            .sum().round(6)
+        )
+        >> pdt.mutate(max_rev=C.total_revenue.max())
+        >> pdt.filter(C.total_revenue == C.max_rev)
+    )
+    return (
+        s
+        >> pdt.inner_join(revenue, on=s.s_suppkey == revenue.l_suppkey)
+        >> pdt.select(s.s_suppkey, s.s_name, revenue.total_revenue)
+        >> pdt.arrange(C.s_suppkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+FROM (
+  SELECT l_extendedprice, l_quantity,
+         avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+)
+WHERE l_quantity < 0.2 * avg_qty
+""")
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17: correlated scalar subquery (per-part avg quantity)
+    re-expressed as a window aggregate over the join — one pass instead
+    of a re-scan of lineitem, the idiomatic Spark decorrelation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li
+        >> pdt.inner_join(p, on=p.p_partkey == li.l_partkey)
+        >> pdt.filter(p.p_brand == pdt.lit("Brand#23"))
+        >> pdt.mutate(avg_qty=li.l_quantity.mean(partition_by=li.l_partkey))
+        >> pdt.filter(li.l_quantity < 0.2 * C.avg_qty)
+        >> pdt.summarize(
+            avg_yearly=(li.l_extendedprice.sum() / 7.0).round(6)
+        )
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM customer JOIN orders   ON c_custkey  = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""")
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18: IN-subquery with HAVING expressed as a semi-join
+    against the aggregated key set (aggregate → filter → join), the
+    standard Spark decorrelation."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li
+        >> pdt.group_by(li.l_orderkey)
+        >> pdt.summarize(qty=li.l_quantity.sum())
+        >> pdt.filter(C.qty > 300)
+        >> pdt.select(li.l_orderkey)
+    )
+    li2 = _t(spark, sf_dir, "lineitem") >> pdt.alias("li2")
+    return (
+        big
+        >> pdt.inner_join(o, on=big.l_orderkey == o.o_orderkey)
+        >> pdt.inner_join(cu, on=o.o_custkey == cu.c_custkey)
+        >> pdt.inner_join(li2, on=li2.l_orderkey == o.o_orderkey)
+        >> pdt.group_by(cu.c_name, cu.c_custkey, o.o_orderkey,
+                        o.o_orderdate, o.o_totalprice)
+        >> pdt.summarize(sum_qty=li2.l_quantity.sum().round(6))
+        >> pdt.select(cu.c_name, cu.c_custkey, o.o_orderkey, o.o_orderdate,
+                      o.o_totalprice, C.sum_qty)
+        >> pdt.arrange(C.o_totalprice.descending(), C.o_orderkey)
+        >> pdt.slice_head(100)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""")
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19: disjunction of conjunctive range predicates spanning
+    both join sides — Catalyst splits the common p_partkey equi-key out
+    and keeps the OR as a residual join condition."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    arm = (
+        lambda brand, smax, qlo, qhi:
+        (p.p_brand == pdt.lit(brand))
+        & (p.p_size >= 1) & (p.p_size <= smax)
+        & (li.l_quantity >= qlo) & (li.l_quantity <= qhi)
+    )
+    return (
+        li
+        >> pdt.inner_join(p, on=p.p_partkey == li.l_partkey)
+        >> pdt.filter(
+            arm("Brand#12", 5, 1, 11)
+            | arm("Brand#23", 10, 10, 20)
+            | arm("Brand#24", 15, 20, 30)
+        )
+        >> pdt.summarize(
+            revenue=(li.l_extendedprice * (1 - li.l_discount)).sum().round(6)
+        )
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 6) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2001-01-01'
+  )
+GROUP BY n_name
+ORDER BY n_name
+""")
+def q22_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 (adapted to the trimmed schema: nation instead of phone
+    country code): scalar subquery via unpartitioned window mean +
+    NOT EXISTS via left-anti pattern (left join on the filtered order
+    keys, keep is_null)."""
+    cu = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    recent = (
+        o
+        >> pdt.filter(o.o_orderdate >= pdt.lit(dt.datetime(2001, 1, 1)))
+        >> pdt.select(o.o_custkey)
+        >> pdt.distinct()
+    )
+    return (
+        cu
+        >> pdt.mutate(
+            avg_bal=pdt.when(cu.c_acctbal > 0.0).then(cu.c_acctbal)
+            .otherwise(pdt.lit(None, pdt.Float64())).mean()
+        )
+        >> pdt.filter(cu.c_acctbal > C.avg_bal)
+        >> pdt.left_join(recent, on=cu.c_custkey == recent.o_custkey)
+        >> pdt.filter(recent.o_custkey.is_null())
+        >> pdt.inner_join(n, on=cu.c_nationkey == n.n_nationkey)
+        >> pdt.group_by(n.n_name)
+        >> pdt.summarize(
+            numcust=pdt.count(),
+            totacctbal=cu.c_acctbal.sum().round(6),
+        )
+        >> pdt.arrange(C.n_name)
+        >> pdt.export(pdt.Spark)
+    )
+
+
 # =============================================================================
 # verb-focused queries
 # =============================================================================

@@ -23,6 +23,10 @@ BENCH_QUERIES = [
     "q01_pricing_summary",
     "q03_shipping_priority",
     "q05_local_supplier",
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume",
     "q_window_ops",
     "q_agg_in_mutate",
     "q_doc_stats",
