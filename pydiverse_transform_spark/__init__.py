@@ -109,7 +109,9 @@ from .types import (  # noqa: F401
     Date,
     Datetime,
     Decimal,
+    Dtype,
     Duration,
+    Enum,
     Float32,
     Float64,
     Int8,
@@ -118,7 +120,30 @@ from .types import (  # noqa: F401
     Int64,
     List,
     String,
+    UInt8,
+    UInt16,
+    UInt32,
+    UInt64,
 )
 from .types import Float, Int  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def backend(table) -> str:
+    """Backend of a table as a string (reference pipe/table.py:333-339
+    returns e.g. 'polars'/'postgres'; here every table is Spark-backed)."""
+    from .table import Table
+
+    if not isinstance(table, Table):
+        raise TypeError(f"backend() expects a Table, got {type(table)}")
+    return "spark"
+
+
+def is_sql_backed(table) -> bool:
+    """Whether the table has a SQL backend (reference
+    pipe/table.py:342-346).  Spark SQL is a SQL engine: pipelines compile
+    to Catalyst plans exactly as the reference's SQL backends compile to
+    SELECT statements, so this is True for every table here."""
+    backend(table)  # type-check
+    return True

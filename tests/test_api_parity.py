@@ -157,3 +157,26 @@ def test_typed_errors(spark):
         t >> pdt.summarize(x=t.a.sum() + t.a)
     with pytest.raises(pdt.FunctionTypeError):
         t >> pdt.filter(t.a.sum() > 1)
+
+
+def test_backend_introspection_and_dtype_exports(spark):
+    """Top-level exports matching reference __init__/types: backend(),
+    is_sql_backed(), Dtype/Enum/UInt* dtypes."""
+    t = pdt.Table({"a": [1, 2], "s": ["x", "y"]}, name="t")
+    assert pdt.backend(t) == "spark"
+    assert pdt.is_sql_backed(t) is True
+    with pytest.raises(TypeError):
+        pdt.backend("not a table")
+
+    assert issubclass(pdt.Enum, pdt.Dtype)
+    out = (
+        t
+        >> pdt.mutate(
+            u=t.a.cast(pdt.UInt16()),
+            e=t.s.cast(pdt.Enum("x", "y", "z")),
+        )
+        >> pdt.export(pdt.Pandas)
+    )
+    # UInt16 widens to the next signed Spark type (int32)
+    assert str(out["u"].dtype) == "int32"
+    assert list(out["e"]) == ["x", "y"]
