@@ -2667,6 +2667,138 @@ def q_cast_roundtrip(spark, sf_dir):
 
 
 # =============================================================================
+# deterministic sampling / splitting / mixing (extras.sampling)
+# =============================================================================
+
+# DuckDB twin of extras.sampling.hash_uniform
+def _uni_sql(key: str, salt: str = "") -> str:
+    return (f"(('0x' || substr(md5({key}::VARCHAR || '{salt}'), 1, 8))"
+            f"::BIGINT / 4294967296.0)")
+
+
+@_q(f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_uni_sql('doc_id')} < 0.2
+""")
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 20% sample keyed on md5(doc_id) — identical row
+    selection in any engine / any partitioning (extras/sampling.py)."""
+    from pydiverse_transform_spark.extras.sampling import hash_sample
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(df, 0.2, "doc_id").select(
+        "doc_id", "lang", "n_chars")
+
+
+@_q(f"""
+SELECT split, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM (
+  SELECT doc_id,
+         CASE WHEN {_uni_sql('doc_id', 'split')} < 0.8 THEN 'train'
+              WHEN {_uni_sql('doc_id', 'split')} < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+GROUP BY split
+ORDER BY split
+""")
+def q_hash_split(spark, sf_dir):
+    """Permanent train/val/test assignment: a row's split never changes
+    under appends/repartitioning (extras/sampling.py hash_split)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.sampling import hash_split
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     "doc_id", salt="split")
+    return (
+        out.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("doc_id").alias("min_id"),
+             F.max("doc_id").alias("max_id"))
+        .orderBy("split")
+    )
+
+
+@_q(f"""
+SELECT lang, count(*) AS n
+FROM documents
+WHERE {_uni_sql('doc_id', 'strat')} <
+      CASE WHEN lang = 'en' THEN 0.1
+           WHEN lang = 'de' THEN 0.5
+           ELSE 1.0 END
+GROUP BY lang
+ORDER BY lang
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum rates (downsample dominant languages, keep the rest)
+    as ONE map-stage CASE filter — no sampleByKey job, no count pass
+    (extras/sampling.py stratified_sample)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.sampling import stratified_sample
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(df, {"en": 0.1, "de": 0.5}, "lang", "doc_id",
+                            salt="strat", default_fraction=1.0)
+    return (out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang"))
+
+
+@_q(f"""
+SELECT src, count(*) AS n
+FROM (
+  SELECT 0 AS src FROM documents WHERE {_uni_sql('doc_id', 'mix#0')} < 1.0
+  UNION ALL
+  SELECT 1 AS src FROM documents WHERE {_uni_sql('doc_id', 'mix#1')} < 0.3
+)
+GROUP BY src
+ORDER BY src
+""")
+def q_weighted_mix(spark, sf_dir):
+    """Training-mixture recipe: per-source keep rates + UNION ALL, zero
+    shuffles before the final count (extras/sampling.py weighted_mix)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.sampling import weighted_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_mix([(docs, 1.0), (docs, 0.3)], "doc_id", salt="mix",
+                       source_col="src")
+    return (out.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("src"))
+
+
+@_q("""
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+""")
+def q_topk_per_group(spark, sf_dir):
+    """Top-k rows per group (quality filtering shape): one shuffle on
+    the group key, deterministic via tiebreak column
+    (extras/sampling.py topk_per_group)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.sampling import topk_per_group
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return topk_per_group(
+        o, ["o_orderpriority"], "o_totalprice", 3,
+        tiebreak_col="o_orderkey",
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice").orderBy(
+        "o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey")
+
+
+# =============================================================================
 # driver contract
 # =============================================================================
 

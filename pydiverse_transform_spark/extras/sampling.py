@@ -1,0 +1,149 @@
+"""Deterministic sampling / splitting / mixing for training-data
+pipelines.
+
+Everything here is keyed on ``md5(id || salt)`` rather than Spark's
+seed-based ``df.sample`` because at 100 TB the sampling decision must be
+
+- **reproducible**: re-running the pipeline (or recovering a failed
+  task) must select the SAME rows — seed-based Bernoulli sampling
+  depends on partition layout, hash sampling depends only on the row;
+- **portable**: the same rows are selected by any engine with md5, so
+  the selection is oracle-checkable and downstream consumers can verify
+  a split without Spark;
+- **stable under data growth**: a row's split assignment never changes
+  when other rows are added/removed (critical for train/test hygiene —
+  a test document must never silently migrate into train).
+
+The uniformity source is the first 8 hex chars of md5 → a 32-bit int →
+``u/2^32 ∈ [0,1)`` (reference analogue: the reference has no sampling
+surface; this extends it for the LLM-pipeline target per SURVEY §7).
+
+All pure Catalyst expressions — no UDFs, no shuffles beyond what the
+caller's plan already has: sampling is a pushable filter, splitting is a
+projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_uniform",
+    "hash_sample",
+    "hash_split",
+    "stratified_sample",
+    "weighted_mix",
+    "topk_per_group",
+]
+
+_U32 = float(1 << 32)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform [0,1) from a row key.
+
+    DuckDB-equivalent (used by every oracle below)::
+
+        ('0x' || substr(md5(key || salt), 1, 8))::BIGINT / 4294967296.0
+    """
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_U32))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str,
+                salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by row-key hash.
+
+    A plain filter: scales as a map-only stage, combines with predicate
+    pushdown (the md5 itself can't push into parquet, but every OTHER
+    filter in the plan still does), and never reshuffles.  Change
+    ``salt`` to draw an independent sample."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_uniform(F.col(key_col), salt) < F.lit(fraction))
+
+
+def hash_split(df: DataFrame, weights: dict[str, float], key_col: str,
+               salt: str = "", split_col: str = "split") -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test, ...)
+    by cumulative hash ranges.  Weights must sum to 1 (±1e-9).
+
+    A projection — zero shuffles; the assignment of a row is permanent
+    under appends, deletes, repartitioning, and engine changes."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_uniform(F.col(key_col), salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc),
+                                                     F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(df: DataFrame, fractions: dict, stratum_col: str,
+                      key_col: str, salt: str = "",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum hash sampling (e.g. keep 100% of rare languages, 1%
+    of the dominant one).  Still a pure filter — no groupBy, no count
+    pass, no sampleByKey job: the per-stratum threshold is a CASE
+    expression, so one map stage regardless of stratum count."""
+    u = hash_uniform(F.col(key_col), salt)
+    thr = None
+    for stratum, frac in fractions.items():
+        cond = F.col(stratum_col) == F.lit(stratum)
+        thr = (F.when(cond, F.lit(float(frac))) if thr is None
+               else thr.when(cond, F.lit(float(frac))))
+    thr = (F.lit(float(default_fraction)) if thr is None
+           else thr.otherwise(F.lit(float(default_fraction))))
+    return df.filter(u < thr)
+
+
+def weighted_mix(sources: list[tuple[DataFrame, float]], key_col: str,
+                 salt: str = "", source_col: str | None = None
+                 ) -> DataFrame:
+    """Mix datasets by per-source sampling rates then UNION ALL —
+    the standard training-mixture recipe (e.g. 3 epochs of wiki = rate
+    1.0 three salts, 0.3 of web crawl).  Rates are per-source keep
+    fractions, not normalized shares.  Plan: N filtered scans + a
+    metadata-only union, zero shuffles."""
+    parts = []
+    for i, (df, rate) in enumerate(sources):
+        part = hash_sample(df, rate, key_col, salt=f"{salt}#{i}")
+        if source_col is not None:
+            part = part.withColumn(source_col, F.lit(i))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str],
+                   order_col: str, k: int, descending: bool = True,
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Keep the top-k rows per group (e.g. k best-quality docs per
+    domain).  ONE hash-partition shuffle on the group key; the rank
+    filter is applied before anything downstream, so only k·groups rows
+    survive the stage.  ``tiebreak_col`` makes the cut deterministic
+    when ``order_col`` has ties (always supply one for reproducible
+    pipelines)."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).desc() if descending
+             else F.col(order_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -1,0 +1,118 @@
+"""Deterministic sampling/splitting properties (extras/sampling.py):
+the selection must be a pure function of the row key — independent of
+partitioning, repeatable across runs, and stable under data changes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras.sampling import (
+    hash_sample,
+    hash_split,
+    stratified_sample,
+    topk_per_group,
+    weighted_mix,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_hash_sample_partition_invariant(docs):
+    ids1 = {r.doc_id for r in
+            hash_sample(docs, 0.3, "doc_id").select("doc_id").collect()}
+    ids2 = {r.doc_id for r in
+            hash_sample(docs.repartition(17, "lang"), 0.3, "doc_id")
+            .select("doc_id").collect()}
+    assert ids1 == ids2
+    n = docs.count()
+    assert 0.2 * n < len(ids1) < 0.4 * n
+
+
+def test_hash_sample_salt_gives_independent_draw(docs):
+    a = {r.doc_id for r in
+         hash_sample(docs, 0.3, "doc_id", salt="a").collect()}
+    b = {r.doc_id for r in
+         hash_sample(docs, 0.3, "doc_id", salt="b").collect()}
+    assert a != b
+    # overlap ≈ 9% of total for independent 30% draws, not 30%
+    assert len(a & b) < 0.2 * docs.count()
+
+
+def test_hash_sample_fraction_bounds(docs):
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(docs, 1.5, "doc_id")
+
+
+def test_hash_split_partitions_every_row_once(docs):
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     "doc_id")
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts["val"]
+
+
+def test_hash_split_stable_under_subset(docs):
+    """A row's split must not change when other rows disappear —
+    train/test hygiene under dataset growth."""
+    full = {r.doc_id: r.split for r in
+            hash_split(docs, {"train": 0.5, "test": 0.5}, "doc_id")
+            .select("doc_id", "split").collect()}
+    sub = {r.doc_id: r.split for r in
+           hash_split(docs.filter(F.col("doc_id") % 3 == 0),
+                      {"train": 0.5, "test": 0.5}, "doc_id")
+           .select("doc_id", "split").collect()}
+    for k, v in sub.items():
+        assert full[k] == v
+
+
+def test_hash_split_weights_must_sum_to_one(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"a": 0.5, "b": 0.6}, "doc_id")
+
+
+def test_stratified_sample_rates(docs):
+    out = stratified_sample(docs, {"en": 0.0, "de": 1.0}, "lang",
+                            "doc_id", default_fraction=0.5)
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r.lang: r.n for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "en" not in got
+    assert got["de"] == base["de"]
+    others = [lang for lang in base if lang not in ("en", "de")]
+    for lang in others:
+        assert 0 < got.get(lang, 0) <= base[lang]
+
+
+def test_weighted_mix_counts_and_sources(docs):
+    out = weighted_mix([(docs, 1.0), (docs, 0.25)], "doc_id",
+                       source_col="src")
+    got = {r.src: r.n for r in
+           out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert got[0] == n
+    assert 0.1 * n < got[1] < 0.4 * n
+
+
+def test_topk_per_group_exact(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("b", 4, 5.0), ("b", 5, 5.0), ("b", 6, 5.0)],
+        ["g", "id", "score"],
+    )
+    out = topk_per_group(df, ["g"], "score", 2, tiebreak_col="id")
+    rows = {(r.g, r.id) for r in out.collect()}
+    # a: top-2 scores; b: all tied -> lowest ids win deterministically
+    assert rows == {("a", 2), ("a", 3), ("b", 4), ("b", 5)}
+
+
+def test_sampling_is_pure_filter_no_shuffle(docs):
+    """hash_sample must not add an Exchange: the plan is scan+filter."""
+    plan = hash_sample(docs, 0.5, "doc_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
