@@ -2187,6 +2187,52 @@ def q_stream_tumbling(spark, sf_dir):
 
 
 @_q("""
+SELECT window_start, event_type, n_events, sum_value
+FROM (
+  SELECT make_timestamp(
+           ((epoch_us(ts::TIMESTAMP) // 1800000000) - k) * 1800000000)
+           AS window_start,
+         event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+  FROM events, (SELECT unnest([0, 1]) AS k)
+  GROUP BY 1, 2
+)
+""")
+def q_stream_sliding(spark, sf_dir):
+    """Structured-Streaming sliding windows (1h window / 30m slide —
+    every event lands in 2 overlapping windows).  The oracle reproduces
+    Spark's epoch-aligned window family with a 2-offset cross join."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import events as ev
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.load_events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    batch_schema = spark.read.parquet(staged).schema
+    stream = st.read_event_stream(spark, staged, schema=batch_schema)
+    out = st.run_to_memory(
+        st.sliding_window_agg(
+            stream, "ts", window="1 hour", slide="30 minutes",
+            watermark="0 seconds", keys=["event_type"],
+            aggs={"n_events": "count(1)",
+                  "sum_value": "round(sum(value), 6)"},
+        ),
+        f"q_stream_sliding_{uuid.uuid4().hex[:8]}",
+        output_mode="complete",
+    )
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+@_q("""
 SELECT event_id,
        hour(ts::TIMESTAMP)                                        AS d_hour,
        minute(ts::TIMESTAMP)                                      AS d_minute,
