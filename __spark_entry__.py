@@ -2712,6 +2712,41 @@ def q_cast_roundtrip(spark, sf_dir):
     )
 
 
+def _bpe_oracle_sql() -> str:
+    from pydiverse_transform_spark.extras.text import BPE_PRETOKEN_PATTERN
+
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return f"""
+SELECT doc_id,
+       length(regexp_extract_all(text, '{pat}'))        AS n_bpe,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+       END                                              AS n_ws
+FROM documents
+"""
+
+
+@_q(_bpe_oracle_sql())
+def q_bpe_tokens(spark, sf_dir):
+    """Token-cost budgeting: whitespace count + GPT-2-shaped BPE
+    pre-token count, both pure codegen regex expressions with an
+    RE2-compatible pattern so any engine reproduces the exact stream
+    (extras/text.py BPE_PRETOKEN_PATTERN)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.text import (
+        bpe_token_count,
+        token_count,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        "doc_id",
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws"),
+    )
+
+
 # =============================================================================
 # deterministic sampling / splitting / mixing (extras.sampling)
 # =============================================================================

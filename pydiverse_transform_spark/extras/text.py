@@ -16,6 +16,7 @@ __all__ = [
     "tokens", "token_count", "char_count", "punct_ratio", "digit_ratio",
     "whitespace_ratio", "stopword_ratio", "quality_score", "lang_id",
     "fingerprint", "doc_stats", "STOPWORDS",
+    "BPE_PRETOKEN_PATTERN", "bpe_pretokens", "bpe_token_count",
 ]
 
 # small deterministic stopword lists per language (heuristic lang-id)
@@ -43,6 +44,33 @@ def token_count(text: Column) -> Column:
 
 def char_count(text: Column) -> Column:
     return F.length(text).cast("long")
+
+
+# GPT-2-shaped pre-tokenizer (the split BPE applies merges within):
+# contractions | space-prefixed letter runs | digit runs | symbol runs |
+# whitespace runs.  Restricted to RE2-compatible syntax (no lookahead,
+# no unicode property classes) so Java regex (Spark) and RE2 (DuckDB,
+# most log pipelines) produce IDENTICAL token streams — the count is
+# engine-portable and oracle-checkable.
+BPE_PRETOKEN_PATTERN = (
+    r"'(s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """array<string> of BPE pre-tokens (codegen regexp_extract_all)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-token count — the standard proxy for BPE token cost when
+    budgeting a training mix (actual merge count needs the vocab; this
+    stays a pure whole-stage-codegen expression)."""
+    return F.size(bpe_pretokens(text)).cast("long")
 
 
 def _ratio(matched_removed: Column, total: Column) -> Column:
