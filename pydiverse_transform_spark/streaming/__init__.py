@@ -15,12 +15,13 @@ driver-side loops, no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
     "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
-    "session_window_agg", "stateful_sessionize", "run_to_memory", "write_stream_parquet",
+    "session_window_agg", "stateful_sessionize", "dedup_stream",
+    "run_to_memory", "write_stream_parquet",
 ]
 
 
@@ -191,6 +192,31 @@ def stateful_sessionize(events: DataFrame, user_col: str = "user_id",
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(events: DataFrame, fingerprint_col: Column | str,
+                 ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication: keep the FIRST event per content
+    fingerprint (the streaming twin of ``extras.dedup.exact_dedup``).
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state: a
+    fingerprint is remembered only until the watermark passes it, so
+    state is O(distinct keys per watermark window), not O(all history)
+    — the property that makes this run forever on an unbounded firehose.
+    Duplicates arriving later than ``watermark`` are NOT caught (that is
+    the explicit trade; run a batch `exact_dedup` compaction downstream
+    for the long tail).
+
+    ``fingerprint_col`` may be a column name or an expression (e.g.
+    ``text.fingerprint(F.col("body"))``).
+    """
+    fp = (F.col(fingerprint_col) if isinstance(fingerprint_col, str)
+          else fingerprint_col)
+    w = (_with_event_time(events, ts_col)
+         .withColumn("__fp", fp)
+         .withWatermark(ts_col, watermark))
+    return w.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
 
 
 def run_to_memory(stream_df: DataFrame, table_name: str,

@@ -148,3 +148,27 @@ def test_write_stream_parquet_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == batch.count()
     assert sorted(got.columns) == sorted(batch.columns)
+
+
+def test_dedup_stream_matches_batch_distinct(spark, event_source):
+    """Streaming exact dedup: the surviving fingerprint set equals the
+    batch DISTINCT fingerprint set, with each fingerprint exactly once
+    (which row survives per fp is arrival-order-dependent by design)."""
+    batch = spark.read.parquet(event_source)
+    schema = batch.schema
+    # a coarse fingerprint so real duplicates exist in the input
+    fp = F.md5(F.concat_ws("|", F.col("event_type"),
+                           F.floor(F.col("value") * 10).cast("string")))
+
+    stream = st.read_event_stream(spark, event_source, schema=schema)
+    out = st.run_to_memory(
+        st.dedup_stream(stream, fp, ts_col="ts", watermark="365 days"),
+        "dedup_stream_t",
+    )
+    got = out.withColumn("__fp", fp).groupBy("__fp").count()
+    assert got.filter(F.col("count") > 1).count() == 0
+
+    want_fps = {r[0] for r in
+                batch.select(fp.alias("fp")).distinct().collect()}
+    got_fps = {r[0] for r in got.select("__fp").collect()}
+    assert got_fps == want_fps
