@@ -4,6 +4,7 @@ operator surface, evaluate through the engine on Spark, and compare
 against the same expression rendered to DuckDB SQL (tests/sqlgen.py).
 """
 
+import os
 import random
 
 import duckdb
@@ -30,7 +31,7 @@ FUZZ = {
     "pb": [True, True, False, None, None, False, True, None],
 }
 
-N_EXPRS = 80
+N_EXPRS = int(os.environ.get("FUZZ_N_EXPRS", "80"))
 MAX_DEPTH = 4
 
 

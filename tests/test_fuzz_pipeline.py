@@ -5,6 +5,7 @@ expression fuzz (test_fuzz_diff.py) to the interactions between verbs —
 where column scoping, grouping state, and ordering bugs actually live.
 """
 
+import os
 import random
 
 import duckdb
@@ -22,7 +23,7 @@ from test_fuzz_diff import FUZZ, Gen
 # unique key enables deterministic arrange+slice steps
 PFUZZ = {**FUZZ, "rid": list(range(len(FUZZ["ia"])))}
 
-N_PIPELINES = 30
+N_PIPELINES = int(os.environ.get("FUZZ_N_PIPELINES", "30"))
 MAX_STEPS = 4
 
 
