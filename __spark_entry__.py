@@ -1388,9 +1388,22 @@ def q_str_join_agg(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS exact_suppliers,
+       true AS hll_within_10pct,
+       true AS quantile_within_range
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
 def q_approx_sketches(spark, sf_dir):
-    """HLL++ distinct-count and GK-quantile sketches — estimates differ
-    per engine by design, so no SQL oracle (rows-only check)."""
+    """HLL++ distinct-count and GK-quantile sketches.  The raw estimates
+    differ per engine by design, so the oracle checks *invariants* that
+    both engines agree on: the HLL estimate is within 10% of the exact
+    distinct count (HLL++ default rsd is 5%) and the approximate median
+    lies between the group's min and max.  The exact distinct count
+    itself is hash-compared."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li
@@ -1399,18 +1412,28 @@ def q_approx_sketches(spark, sf_dir):
             approx_suppliers=li.l_suppkey.approx_n_distinct(),
             approx_median_qty=li.l_quantity.approx_quantile(0.5),
             exact_suppliers=li.l_suppkey.n_distinct(),
+            qty_min=li.l_quantity.min(),
+            qty_max=li.l_quantity.max(),
         )
+        >> pdt.mutate(
+            hll_within_10pct=(
+                (C.approx_suppliers - C.exact_suppliers).abs()
+                <= 0.1 * C.exact_suppliers
+            ),
+            quantile_within_range=(C.approx_median_qty >= C.qty_min)
+            & (C.approx_median_qty <= C.qty_max),
+        )
+        >> pdt.select(C.l_returnflag, C.exact_suppliers, C.hll_within_10pct,
+                      C.quantile_within_range)
         >> pdt.arrange(C.l_returnflag)
         >> pdt.export(pdt.Spark)
     )
 
 
-_QUERIES["q_approx_sketches"] = q_approx_sketches
-
-
 def q_list_agg(spark, sf_dir):
     """list.agg with ordered collection — no SQL oracle (array column);
-    the driver records a rows-only check."""
+    the driver records a rows-only check.  `q_list_agg_rendered` is the
+    hash-checked twin (same plan + a string rendering)."""
     n = _t(spark, sf_dir, "nation")
     return (
         n
@@ -1425,6 +1448,44 @@ def q_list_agg(spark, sf_dir):
 
 
 _QUERIES["q_list_agg"] = q_list_agg
+
+
+@_q("""
+SELECT n_regionkey,
+       array_to_string(list(n_nationkey ORDER BY n_nationkey), ',')
+           AS keys_rendered,
+       array_to_string(list(n_name ORDER BY n_nationkey DESC), '|')
+           AS names_rendered,
+       count(*) AS n
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""")
+def q_list_agg_rendered(spark, sf_dir):
+    """Ordered list.agg made hash-checkable: the collected arrays are
+    rendered to delimiter-joined strings on both engines (the driver's
+    value hash cannot compare raw array columns)."""
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n
+        >> pdt.group_by(n.n_regionkey)
+        >> pdt.summarize(
+            keys=n.n_nationkey.cast(pdt.String()).list.agg(
+                arrange=[C.n_nationkey]
+            ),
+            names=n.n_name.list.agg(
+                arrange=[C.n_nationkey.descending()]
+            ),
+            n=pdt.count(),
+        )
+        >> pdt.mutate(
+            keys_rendered=C.keys.list.join(","),
+            names_rendered=C.names.list.join("|"),
+        )
+        >> pdt.select(C.n_regionkey, C.keys_rendered, C.names_rendered, C.n)
+        >> pdt.arrange(C.n_regionkey)
+        >> pdt.export(pdt.Spark)
+    )
 
 
 @_q("""
