@@ -2080,6 +2080,37 @@ def q_tumbling_agg(spark, sf_dir):
 
 
 @_q("""
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right,
+       round(r.value, 6) AS purchase_value
+FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: each click matched to the user's latest
+    preceding purchase (inclusive).  Implemented as union + one
+    last-value window over (user_id, ts) — a single shuffle of
+    |left|+|right| rows, no range-join candidate explosion (see
+    extras/asof.py).  The oracle is DuckDB's native ASOF LEFT JOIN."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+    from pydiverse_transform_spark.extras.asof import asof_join
+
+    df = ev.load_events(spark, sf_dir)
+    clicks = df.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purchases = df.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    return asof_join(clicks, purchases, on="ts", by=["user_id"]).select(
+        "event_id", "user_id", "ts", "ts_right",
+        F.round(F.col("value"), 6).alias("purchase_value"),
+    )
+
+
+@_q("""
 WITH ev AS (
   SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events
 )
