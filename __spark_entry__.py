@@ -2111,6 +2111,46 @@ def q_asof_join(spark, sf_dir):
 
 
 @_q("""
+SELECT l.event_id, r.event_id AS error_id, l.user_id, l.ts
+FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      WHERE event_type = 'click') l
+JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 4 HOUR
+""")
+def q_interval_join(spark, sf_dir):
+    """Range join (clicks within 4h after an error, per user) via the
+    bucketized equi-join in extras/interval.py — replicate intervals to
+    fixed time buckets, equi-join on (user_id, bucket), residual exact
+    BETWEEN filter.  One bounded shuffle instead of the
+    BroadcastNestedLoopJoin the raw inequality predicate would plan."""
+    import datetime as _dtmod
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+    from pydiverse_transform_spark.extras.interval import interval_join
+
+    df = ev.load_events(spark, sf_dir)
+    clicks = df.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    windows = (
+        df.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("w_end"),
+            F.col("event_id").alias("error_id"),
+        )
+    )
+    return interval_join(
+        clicks, windows, on="ts", start="w_start", end="w_end",
+        by=["user_id"], bucket=_dtmod.timedelta(hours=4),
+    ).select("event_id", "error_id", "user_id", "ts")
+
+
+@_q("""
 WITH ev AS (
   SELECT event_id, user_id, value, ts::TIMESTAMP AS ts FROM events
 )
