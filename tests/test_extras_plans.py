@@ -1,0 +1,61 @@
+"""Plan-regression tests for the beyond-reference join operators:
+asof_join must cost exactly ONE hash-partition exchange (the union +
+window), and interval_join must plan as a shuffled equi-join — never a
+BroadcastNestedLoopJoin/CartesianProduct — with the range predicate as
+a residual filter."""
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras.asof import asof_join
+from pydiverse_transform_spark.extras.interval import interval_join
+
+
+def _physical(df):
+    return df._jdf.queryExecution().toString()
+
+
+def _events(spark, sf_dir):
+    from pydiverse_transform_spark.extras import events as ev
+
+    return ev.load_events(spark, sf_dir)
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    left = df.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    right = df.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    plan = _physical(asof_join(left, right, on="ts", by=["user_id"]))
+    i = plan.find("== Physical Plan ==")
+    phys = plan[i:]
+    # one exchange for the window partitioning; the union itself is free
+    assert len(re.findall(r"Exchange hashpartitioning", phys)) == 1, phys
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    clicks = df.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    windows = df.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("w_end"),
+    )
+    plan = _physical(
+        interval_join(clicks, windows, on="ts", start="w_start",
+                      end="w_end", by=["user_id"],
+                      bucket=dt.timedelta(hours=4))
+    )
+    i = plan.find("== Physical Plan ==")
+    phys = plan[i:]
+    assert "CartesianProduct" not in phys, phys
+    assert "BroadcastNestedLoopJoin" not in phys, phys
+    # the join keys are (user_id, bucket): an equi join (hash or sort-merge)
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+                     phys), phys
