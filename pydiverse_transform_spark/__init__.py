@@ -58,6 +58,8 @@ from .operators.verbs import (  # noqa: F401
     inner_join,
     join,
     left_join,
+    asof_join,
+    interval_join,
     map_batches,
     map_groups,
     mutate,

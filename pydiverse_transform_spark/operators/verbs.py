@@ -50,7 +50,7 @@ __all__ = [
     "export", "show", "show_query", "build_query", "name", "columns",
     "transfer_col_references", "ast_repr",
     "repartition", "coalesce_partitions", "broadcast",
-    "map_groups", "map_batches",
+    "map_groups", "map_batches", "asof_join", "interval_join",
 ]
 
 
@@ -787,6 +787,52 @@ def map_batches(table: Table, fn, schema) -> Table:
     via ``mapInPandas`` — the narrow-transformation path for per-row
     Python (e.g. codec work; see extras/multimodal.py)."""
     out = table.to_spark().mapInPandas(fn, _schema_to_spark(schema))
+    return Table(out, table._name)
+
+
+def _peer_names(table: Table, cols) -> list[str]:
+    """Resolve Col refs / C.x / strings to user-facing column names."""
+    out = []
+    for c in cols:
+        u = table._resolve_uuid(c)
+        out.append(table._cols[u].name)
+    return out
+
+
+@verb
+def asof_join(table: Table, right: Table, on, by=None, *,
+              direction: str = "backward", tolerance=None,
+              suffix: str = "_right") -> Table:
+    """Point-in-time join verb (extension, no reference analog): match
+    each left row to the nearest-predecessor (``backward``) or
+    nearest-successor (``forward``) right row on time column ``on``
+    within equality keys ``by``.  Compiles to union + one last-value
+    window — a single shuffle at any scale (extras/asof.py)."""
+    from ..extras.asof import asof_join as _asof
+
+    (on_name,) = _peer_names(table, [on])
+    by_names = _peer_names(table, by or [])
+    rdf = right.to_spark() if isinstance(right, Table) else right
+    out = _asof(table.to_spark(), rdf, on=on_name, by=by_names,
+                direction=direction, tolerance=tolerance, suffix=suffix)
+    return Table(out, table._name)
+
+
+@verb
+def interval_join(table: Table, right: Table, on, start, end, by=None, *,
+                  bucket=None, suffix: str = "_right") -> Table:
+    """Range-join verb (extension): left points to right intervals with
+    ``start <= on <= end``, as a bucketized equi-join — bounded
+    replication instead of a nested-loop product (extras/interval.py)."""
+    from ..extras.interval import interval_join as _ij
+
+    (on_name,) = _peer_names(table, [on])
+    by_names = _peer_names(table, by or [])
+    rdf = right.to_spark() if isinstance(right, Table) else right
+    start_n = start if isinstance(start, str) else start.name
+    end_n = end if isinstance(end, str) else end.name
+    out = _ij(table.to_spark(), rdf, on=on_name, start=start_n, end=end_n,
+              by=by_names, bucket=bucket, suffix=suffix)
     return Table(out, table._name)
 
 

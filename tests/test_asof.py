@@ -125,3 +125,47 @@ def test_differential_vs_bruteforce_events(spark, sf_dir):
         )
     )
     assert _rows(got, "event_id") == _rows(expected, "event_id")
+
+
+def test_dsl_verbs(spark, sf_dir):
+    import pydiverse_transform_spark as pdt
+    from pydiverse_transform_spark.extras import events as ev
+
+    df = ev.load_events(spark, sf_dir)
+    clicks = pdt.Table(
+        df.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts"), "clicks")
+    purchases = pdt.Table(
+        df.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value"), "purchases")
+
+    out = (
+        clicks
+        >> pdt.asof_join(purchases, on="ts", by=["user_id"])
+        >> pdt.filter(pdt.C.ts_right.is_not_null())
+        >> pdt.summarize(n=pdt.count())
+        >> pdt.export(pdt.Scalar)
+    )
+    raw = asof_join(
+        df.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts"),
+        df.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value"),
+        on="ts", by=["user_id"],
+    ).filter(F.col("ts_right").isNotNull()).count()
+    assert out == raw
+
+    windows = pdt.Table(
+        df.filter(F.col("event_type") == "error").select(
+            "user_id", F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("w_end"),
+        ), "windows")
+    n = (
+        clicks
+        >> pdt.interval_join(windows, on="ts", start="w_start",
+                             end="w_end", by=["user_id"],
+                             bucket=dt.timedelta(hours=4))
+        >> pdt.summarize(n=pdt.count())
+        >> pdt.export(pdt.Scalar)
+    )
+    assert n > 0
