@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "stateful_sessionize", "dedup_stream",
-    "run_to_memory", "write_stream_parquet",
+    "stream_interval_join", "run_to_memory", "write_stream_parquet",
 ]
 
 
@@ -264,3 +264,61 @@ def write_stream_parquet(stream_df: DataFrame, path: str,
     elif trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w.start()
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame, *,
+                         ts_col: str = "ts",
+                         by: list[str] | None = None,
+                         within: str = "1 hour",
+                         watermark: str | None = None,
+                         how: str = "inner",
+                         suffix: str = "_right") -> DataFrame:
+    """Watermarked stream-stream time-range join — the streaming twin of
+    ``extras.interval.interval_join``: each left event pairs with every
+    right event of the same ``by`` keys whose timestamp lies in
+    ``[left.ts - within, left.ts]`` (right happened up to ``within``
+    before the left, inclusive).
+
+    Both sides carry a watermark (default: 2x ``within``), which is what
+    lets Spark BOUND the join state: a buffered right event can be
+    dropped once the watermark guarantees no future left event can still
+    match it.  Without the time-range condition + watermarks the state
+    grows forever — this wrapper makes the bounded form the only form.
+
+    Output: all left columns + right's non-``by`` columns renamed with
+    ``suffix`` on collision.  Inner joins emit as soon as both sides
+    arrive; ``how="leftOuter"`` additionally emits unmatched left rows
+    after the watermark expires them (Spark requirement: outer
+    stream-stream joins need the watermark).
+    """
+    by = list(by or [])
+    wm = watermark or _double_interval(within)
+    left_names = set(left.columns)
+    renames = {c: (c + suffix if c in left_names else c)
+               for c in right.columns}
+
+    l = _with_event_time(left, ts_col).withWatermark(ts_col, wm)
+    r0 = _with_event_time(right, ts_col)
+    r = r0.select(
+        *[F.col(c).alias(renames[c]) for c in right.columns]
+    ).withWatermark(renames[ts_col], wm)
+
+    rts = F.col(renames[ts_col])
+    cond = (rts <= F.col(ts_col)) & (
+        rts >= F.col(ts_col) - F.expr(f"INTERVAL {within}")
+    )
+    for k in by:
+        cond = cond & (l[k] == r[renames[k]])
+    out = l.join(r, cond, how)
+    return out.drop(*[r[renames[k]] for k in by])
+
+
+def _double_interval(within: str) -> str:
+    """'30 minutes' -> '60 minutes' (default watermark = 2x the join
+    window, a safe slack for cross-stream skew)."""
+    parts = within.strip().split()
+    try:
+        n = int(parts[0])
+    except (ValueError, IndexError):
+        return within
+    return " ".join([str(2 * n), *parts[1:]])

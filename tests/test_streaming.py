@@ -172,3 +172,46 @@ def test_dedup_stream_matches_batch_distinct(spark, event_source):
                 batch.select(fp.alias("fp")).distinct().collect()}
     got_fps = {r[0] for r in got.select("__fp").collect()}
     assert got_fps == want_fps
+
+
+def test_stream_interval_join_matches_batch(spark, event_source):
+    """Stream-stream time-range join == batch interval_join on the same
+    bounded input (clicks matched to errors up to 4h before them)."""
+    import datetime as dt
+
+    from pydiverse_transform_spark.extras.interval import interval_join
+
+    batch = spark.read.parquet(event_source)
+    schema = batch.schema
+
+    def sides(df):
+        clicks = df.filter(F.col("event_type") == "click") \
+            .select("event_id", "user_id", "ts")
+        errors = df.filter(F.col("event_type") == "error") \
+            .select(F.col("event_id").alias("error_id"), "user_id", "ts")
+        return clicks, errors
+
+    sclicks, serrors = sides(st.read_event_stream(
+        spark, event_source, schema=schema))
+    joined = st.stream_interval_join(
+        sclicks, serrors, ts_col="ts", by=["user_id"], within="4 hours",
+    ).select("event_id", "error_id")
+    got = st.run_to_memory(joined, "t_ssj")
+    got_pairs = sorted((r.event_id, r.error_id) for r in got.collect())
+
+    bclicks, berrors = sides(batch)
+    windows = berrors.select(
+        "user_id", "error_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("w_end"),
+    )
+    expected = interval_join(
+        bclicks.withColumn("ts", F.col("ts").cast("timestamp")),
+        windows.withColumn("w_start", F.col("w_start").cast("timestamp"))
+        .withColumn("w_end", F.col("w_end").cast("timestamp")),
+        on="ts", start="w_start", end="w_end", by=["user_id"],
+        bucket=dt.timedelta(hours=4),
+    ).select("event_id", "error_id")
+    exp_pairs = sorted((r.event_id, r.error_id) for r in expected.collect())
+    assert got_pairs == exp_pairs
+    assert len(got_pairs) > 0
