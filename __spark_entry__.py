@@ -2319,6 +2319,54 @@ def q_stream_tumbling(spark, sf_dir):
 
 
 @_q("""
+SELECT l.event_id, r.event_id AS error_id, l.user_id, l.ts
+FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      WHERE event_type = 'click') l
+JOIN (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      WHERE event_type = 'error') r
+  ON l.user_id = r.user_id
+ AND l.ts >= r.ts AND l.ts <= r.ts + INTERVAL 4 HOUR
+""")
+def q_stream_interval_join(spark, sf_dir):
+    """Watermark-bounded stream-stream time-range join drained with
+    availableNow — must equal the batch range join (same oracle as
+    q_interval_join).  The watermark is what bounds the join state: a
+    buffered error event is dropped once no future click can match it."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import events as ev
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.load_events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    batch_schema = spark.read.parquet(staged).schema
+
+    def side(event_type, cols):
+        return st.read_event_stream(spark, staged, schema=batch_schema) \
+            .filter(F.col("event_type") == event_type).select(*cols)
+
+    clicks = side("click", ["event_id", "user_id", "ts"])
+    errors = side("error", [F.col("event_id").alias("error_id"),
+                            "user_id", "ts"])
+    joined = st.stream_interval_join(
+        clicks, errors, ts_col="ts", by=["user_id"], within="4 hours",
+    )
+    out = st.run_to_memory(
+        joined, f"q_stream_ivj_{uuid.uuid4().hex[:8]}"
+    )
+    return out.select(
+        "event_id", "error_id", "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    )
+
+
+@_q("""
 SELECT window_start, event_type, n_events, sum_value
 FROM (
   SELECT make_timestamp(
