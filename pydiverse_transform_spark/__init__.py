@@ -100,7 +100,10 @@ from .targets import (  # noqa: F401
     Arrow,
     Dict,
     DictOfLists,
+    DuckDb,
+    ListOfDicts,
     ListOfRows,
+    SqlAlchemy,
     Pandas,
     Polars,
     Scalar,

@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 from .plans.compile import phys
 
 __all__ = ["Pandas", "Polars", "Arrow", "Dict", "DictOfLists", "ListOfRows",
-           "Scalar", "Spark", "export_to"]
+           "ListOfDicts", "Scalar", "Spark", "DuckDb", "SqlAlchemy",
+           "export_to"]
 
 
 class Target:
@@ -35,6 +36,28 @@ DictOfLists = Dict
 
 class ListOfRows(Target):
     """list[dict] — row-oriented."""
+
+
+# the reference's name for the row-oriented target
+# (reference backend/targets.py:40)
+ListOfDicts = ListOfRows
+
+
+class DuckDb(Target):
+    """API-compat shim (reference backend/targets.py:22): this engine
+    executes on Spark only.  Accepted by ``collect``/``export`` solely to
+    give reference users a typed, actionable error instead of an
+    AttributeError."""
+
+
+class SqlAlchemy(Target):
+    """API-compat shim (reference backend/targets.py:25).  For SQL
+    sources use ``read_jdbc``/``read_table``; for SQL sinks use
+    ``save_as_table`` or ``to_spark().write.jdbc``."""
+
+    def __init__(self, engine=None, *, schema: str | None = None):
+        self.engine = engine
+        self.schema = schema
 
 
 class Scalar(Target):
@@ -71,4 +94,11 @@ def export_to(table, target):
                 "Scalar export requires exactly one row and one column"
             )
         return rows[0][0]
+    if isinstance(target, (DuckDb, SqlAlchemy)):
+        raise TypeError(
+            f"{type(target).__name__} is a SQL-backend selector of the "
+            "reference engine; this engine executes on Spark. Read SQL "
+            "sources with read_jdbc/read_table and write with "
+            "save_as_table or to_spark().write.jdbc"
+        )
     raise TypeError(f"unknown export target {target!r}")

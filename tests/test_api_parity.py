@@ -180,3 +180,17 @@ def test_backend_introspection_and_dtype_exports(spark):
     # UInt16 widens to the next signed Spark type (int32)
     assert str(out["u"].dtype) == "int32"
     assert list(out["e"]) == ["x", "y"]
+
+
+def test_list_of_dicts_and_backend_shims(spark):
+    import pytest as _pytest
+
+    import pydiverse_transform_spark as pdt
+
+    t = pdt.Table({"a": [1, 2]}, "t")
+    rows = t >> pdt.export(pdt.ListOfDicts)
+    assert rows == [{"a": 1}, {"a": 2}]
+    with _pytest.raises(TypeError, match="Spark"):
+        t >> pdt.export(pdt.DuckDb)
+    with _pytest.raises(TypeError, match="read_jdbc"):
+        t >> pdt.export(pdt.SqlAlchemy(None))
