@@ -32,10 +32,13 @@ operator for the training-data-pipeline surface.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "asof_join_scalable"]
 
 _SIDE = "__asof_is_left__"
 _MATCHED_ON = "__asof_matched_on__"
@@ -136,6 +139,164 @@ def asof_join(
         out = out.withColumn(
             _PAYLOAD,
             F.when(gap <= F.lit(tolerance), F.col(_PAYLOAD)),
+        )
+
+    sel: list[Column] = [
+        F.col(f"__asof_lrow__.{c}").alias(c) for c in lcols
+    ]
+    sel.append(F.col(f"{_PAYLOAD}.{_MATCHED_ON}").alias(matched_on_name))
+    sel.extend(
+        F.col(f"{_PAYLOAD}.{c}").alias(out_names[c]) for c in payload_cols
+    )
+    return out.select(*sel)
+
+
+def _signed_line(df: DataFrame, col: str, sign: int) -> Column:
+    """Orderable integer time line (epoch-µs for timestamps), negated
+    for direction='forward' so both directions run the same
+    carry-forward logic."""
+    from .events import epoch_us
+
+    t = df.schema[col].dataType
+    if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        line = epoch_us(F.col(col))
+    elif isinstance(t, T.DateType):
+        line = epoch_us(F.col(col).cast("timestamp_ntz"))
+    else:
+        line = F.col(col).cast("long")
+    return line * F.lit(sign)
+
+
+def asof_join_scalable(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    *,
+    direction: str = "backward",
+    tolerance=None,
+    suffix: str = "_right",
+    chunk=None,
+) -> DataFrame:
+    """Skew-proof two-level as-of join, exact-equal to ``asof_join``.
+
+    ``asof_join`` windows over ALL rows of a ``by`` key — one hot key
+    (a bot user with 10^9 events at 100 TB) serializes on a single
+    reducer.  This variant bounds per-task work independently of key
+    skew, the same two-level trick as ``events.sessionize_scalable``:
+
+    1. *local pass*: the carry-forward window partitions by
+       ``(by, time-chunk)`` — a hot key's timeline spreads over many
+       tasks;
+    2. *chunk summaries*: per ``(by, chunk)``, the last right payload in
+       that chunk (a groupBy max over a struct — map-side combinable);
+    3. *carry-in*: one tiny window over the per-chunk summaries (rows ∝
+       number of chunks, not events) finds each chunk's
+       latest-earlier-chunk payload;
+    4. left rows with no local match take the chunk's carry-in.
+
+    Exact for unique timestamps per key (ties within one timestamp are
+    resolved by payload struct-max here vs arbitrary window order in
+    ``asof_join`` — both are only deterministic when (by, on) is
+    unique).  ``chunk`` is a ``datetime.timedelta`` (default 1 day) for
+    timestamp columns, or an integer width for numeric ones (required).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = list(by or [])
+    sign = 1 if direction == "backward" else -1
+
+    if chunk is None:
+        t = left.schema[on].dataType
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            chunk = _dt.timedelta(days=1)
+        else:
+            raise ValueError("numeric `on` columns need an explicit chunk=")
+    if isinstance(chunk, _dt.timedelta):
+        chunk_w = int(chunk / _dt.timedelta(microseconds=1))
+    else:
+        chunk_w = int(chunk)
+
+    payload_cols = [c for c in right.columns if c not in by and c != on]
+    left_names = set(left.columns)
+    out_names = {
+        c: (c + suffix if c in left_names else c) for c in payload_cols
+    }
+    matched_on_name = on + suffix
+    lcols = list(left.columns)
+
+    def add_line(df, col):
+        line = _signed_line(df, col, sign)
+        # exact integer floor-division chunk id (µs epochs overflow
+        # double mantissa headroom)
+        chunk_id = F.call_function(
+            "div", line - F.pmod(line, F.lit(chunk_w)), F.lit(chunk_w)
+        )
+        return df.withColumn("__us", line).withColumn("__chunk", chunk_id)
+
+    payload = F.struct(
+        F.col(on).alias(_MATCHED_ON),
+        *[F.col(c) for c in payload_cols],
+    )
+    r = add_line(right, on).select(
+        *by, "__us", "__chunk", F.lit(0).alias(_SIDE),
+        payload.alias(_PAYLOAD),
+    )
+    lrow_t = left.select(
+        F.struct(*[F.col(c) for c in lcols]).alias("x")
+    ).schema["x"].dataType
+    l = add_line(left, on).select(  # noqa: E741
+        F.struct(*[F.col(c) for c in lcols]).alias("__asof_lrow__"),
+        *by, "__us", "__chunk", F.lit(1).alias(_SIDE),
+        F.lit(None).cast(r.schema[_PAYLOAD].dataType).alias(_PAYLOAD),
+    )
+    u = l.unionByName(
+        r.withColumn("__asof_lrow__", F.lit(None).cast(lrow_t)),
+        allowMissingColumns=False,
+    )
+
+    # 1. local carry within (by, chunk)
+    w_local = (
+        Window.partitionBy(*by, "__chunk")
+        .orderBy(F.col("__us").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = u.withColumn(
+        "__local", F.last(F.col(_PAYLOAD), ignorenulls=True).over(w_local)
+    )
+
+    # 2. per-(by, chunk) last right payload — struct-max on the line
+    summ = r.groupBy(*by, "__chunk").agg(
+        F.max(F.struct(F.col("__us"), F.col(_PAYLOAD))).alias("__m")
+    ).select(*by, "__chunk", F.col(f"__m.{_PAYLOAD}").alias("__sp"))
+
+    # 3. carry-in per chunk = last summary payload of any EARLIER chunk
+    chunks = u.select(*by, "__chunk").distinct()
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__chunk").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        chunks.join(summ, [*by, "__chunk"], "left")
+        .withColumn("__carry",
+                    F.last(F.col("__sp"), ignorenulls=True).over(w_carry))
+        .select(*by, "__chunk", "__carry")
+    )
+
+    # 4. resolve: local match, else the chunk's carry-in
+    out = (
+        local.filter(F.col(_SIDE) == 1)
+        .join(carry, [*by, "__chunk"], "left")
+        .withColumn(_PAYLOAD, F.coalesce(F.col("__local"), F.col("__carry")))
+    )
+
+    if tolerance is not None:
+        mo = F.col(f"{_PAYLOAD}.{_MATCHED_ON}")
+        lo = F.col(f"__asof_lrow__.{on}")
+        gap = (lo - mo) if direction == "backward" else (mo - lo)
+        out = out.withColumn(
+            _PAYLOAD, F.when(gap <= F.lit(tolerance), F.col(_PAYLOAD))
         )
 
     sel: list[Column] = [

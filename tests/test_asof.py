@@ -169,3 +169,64 @@ def test_dsl_verbs(spark, sf_dir):
         >> pdt.export(pdt.Scalar)
     )
     assert n > 0
+
+
+def test_scalable_matches_plain_on_events(spark, sf_dir):
+    from pydiverse_transform_spark.extras import events as ev
+    from pydiverse_transform_spark.extras.asof import asof_join_scalable
+
+    df = ev.load_events(spark, sf_dir)
+    left = df.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    right = df.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+
+    plain = _rows(asof_join(left, right, on="ts", by=["user_id"]),
+                  "event_id")
+    for chunk in (dt.timedelta(hours=6), dt.timedelta(days=3)):
+        got = _rows(
+            asof_join_scalable(left, right, on="ts", by=["user_id"],
+                               chunk=chunk),
+            "event_id",
+        )
+        assert got == plain
+
+    fw_plain = _rows(
+        asof_join(left, right, on="ts", by=["user_id"],
+                  direction="forward"), "event_id")
+    fw = _rows(
+        asof_join_scalable(left, right, on="ts", by=["user_id"],
+                           direction="forward",
+                           chunk=dt.timedelta(hours=6)), "event_id")
+    assert fw == fw_plain
+
+    tol_plain = _rows(
+        asof_join(left, right, on="ts", by=["user_id"],
+                  tolerance=dt.timedelta(hours=12)), "event_id")
+    tol = _rows(
+        asof_join_scalable(left, right, on="ts", by=["user_id"],
+                           tolerance=dt.timedelta(hours=12),
+                           chunk=dt.timedelta(hours=6)), "event_id")
+    assert tol == tol_plain
+
+
+def test_scalable_hot_key_numeric(spark):
+    """One key owning nearly every row — the shape the two-level variant
+    exists for; numeric time line with explicit chunk."""
+    left = spark.createDataFrame(
+        [(i, "hot", 10 * i + 5) for i in range(200)]
+        + [(1000, "cold", 55)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 40 * j, float(j)) for j in range(50)]
+        + [("cold", 50, -1.0)],
+        "k string, t long, v double",
+    )
+    from pydiverse_transform_spark.extras.asof import asof_join_scalable
+
+    plain = _rows(asof_join(left, right, on="t", by=["k"]), "id")
+    got = _rows(
+        asof_join_scalable(left, right, on="t", by=["k"], chunk=64), "id"
+    )
+    assert got == plain
