@@ -2111,6 +2111,40 @@ def q_asof_join(spark, sf_dir):
 
 
 @_q("""
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right,
+       round(r.value, 6) AS purchase_value
+FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def q_asof_join_scalable(spark, sf_dir):
+    """Skew-proof two-level as-of join (local per-chunk windows + a
+    chunk-summary carry-in pass; extras/asof.py) — must equal the plain
+    asof_join, so it shares the DuckDB ASOF JOIN oracle."""
+    import datetime as _dtmod
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+    from pydiverse_transform_spark.extras.asof import asof_join_scalable
+
+    df = ev.load_events(spark, sf_dir)
+    clicks = df.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    purchases = df.filter(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "value")
+    return asof_join_scalable(
+        clicks, purchases, on="ts", by=["user_id"],
+        chunk=_dtmod.timedelta(days=1),
+    ).select(
+        "event_id", "user_id", "ts", "ts_right",
+        F.round(F.col("value"), 6).alias("purchase_value"),
+    )
+
+
+@_q("""
 SELECT l.event_id, r.event_id AS error_id, l.user_id, l.ts
 FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
       WHERE event_type = 'click') l

@@ -90,7 +90,9 @@ def _fn_sql(e: ColFn) -> str:
     if op == "pow":
         return f"pow({a[0]}, {a[1]})"
     if op == "neg":
-        return f"(-{a[0]})"
+        # space after the minus: "-(-1)" rendered as "--1" would start a
+        # SQL line comment
+        return f"(- {a[0]})"
     if op == "pos":
         return f"({a[0]})"
     if op == "abs":
