@@ -35,6 +35,8 @@ BENCH_QUERIES = [
     "q_cosine_topk",
     "q_sessionize",
     "q_tumbling_agg",
+    "q_asof_join",
+    "q_interval_join",
 ]
 
 
