@@ -2111,6 +2111,21 @@ def q_asof_join(spark, sf_dir):
 
 
 @_q("""
+SELECT user_id, count(*) AS n_rows
+FROM events GROUP BY user_id HAVING count(*) > 70
+""")
+def q_heavy_hitters(spark, sf_dir):
+    """Skew-toolkit heavy-hitter detection: exact partial-aggregated
+    counts (shuffle volume = #distinct keys, not #rows), keys above the
+    threshold drive salted_join / pre-filtering decisions."""
+    from pydiverse_transform_spark.extras import events as ev
+    from pydiverse_transform_spark.extras.skew import heavy_hitters
+
+    df = ev.load_events(spark, sf_dir)
+    return heavy_hitters(df, ["user_id"], threshold=70)
+
+
+@_q("""
 SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right,
        round(r.value, 6) AS purchase_value
 FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
