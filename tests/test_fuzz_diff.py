@@ -31,7 +31,7 @@ FUZZ = {
     "pb": [True, True, False, None, None, False, True, None],
 }
 
-N_EXPRS = int(os.environ.get("FUZZ_N_EXPRS", "80"))
+N_EXPRS = int(os.environ.get("FUZZ_N_EXPRS", "120"))
 MAX_DEPTH = 4
 
 

@@ -23,7 +23,7 @@ from test_fuzz_diff import FUZZ, Gen
 # unique key enables deterministic arrange+slice steps
 PFUZZ = {**FUZZ, "rid": list(range(len(FUZZ["ia"])))}
 
-N_PIPELINES = int(os.environ.get("FUZZ_N_PIPELINES", "30"))
+N_PIPELINES = int(os.environ.get("FUZZ_N_PIPELINES", "40"))
 MAX_STEPS = 4
 
 
