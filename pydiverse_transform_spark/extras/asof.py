@@ -154,16 +154,30 @@ def asof_join(
 def _signed_line(df: DataFrame, col: str, sign: int) -> Column:
     """Orderable integer time line (epoch-µs for timestamps), negated
     for direction='forward' so both directions run the same
-    carry-forward logic."""
-    from .events import epoch_us
+    carry-forward logic.
 
+    Fractional numeric columns are rejected: the line must preserve the
+    column's exact order (a truncating cast would collapse values that
+    differ only in the fraction and silently mis-match them).  Timestamps
+    are exact at µs precision; integers are exact by definition."""
     t = df.schema[col].dataType
     if isinstance(t, (T.TimestampType, T.TimestampNTZType)):
+        from .events import epoch_us
+
         line = epoch_us(F.col(col))
     elif isinstance(t, T.DateType):
+        from .events import epoch_us
+
         line = epoch_us(F.col(col).cast("timestamp_ntz"))
-    else:
+    elif isinstance(t, (T.ByteType, T.ShortType, T.IntegerType,
+                        T.LongType)):
         line = F.col(col).cast("long")
+    else:
+        raise ValueError(
+            f"asof_join_scalable needs a timestamp/date/integer `on` "
+            f"column (got {t.simpleString()}); scale fractional values "
+            "to integers first, or use asof_join"
+        )
     return line * F.lit(sign)
 
 

@@ -230,3 +230,12 @@ def test_scalable_hot_key_numeric(spark):
         asof_join_scalable(left, right, on="t", by=["k"], chunk=64), "id"
     )
     assert got == plain
+
+
+def test_scalable_rejects_fractional_on(spark):
+    from pydiverse_transform_spark.extras.asof import asof_join_scalable
+
+    left = spark.createDataFrame([(1, 1.5)], "id int, t double")
+    right = spark.createDataFrame([(1.0, "x")], "t double, s string")
+    with pytest.raises(ValueError, match="integer"):
+        asof_join_scalable(left, right, on="t", chunk=2)
