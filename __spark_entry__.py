@@ -2111,6 +2111,45 @@ def q_asof_join(spark, sf_dir):
 
 
 @_q("""
+SELECT o_orderpriority, year(o_orderdate) AS o_year,
+       round(sum(o_totalprice), 6) AS total, count(*) AS n
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))
+""")
+def q_rollup(spark, sf_dir):
+    """Hierarchical subtotals via Spark's native rollup — (priority,
+    year), (priority), and grand-total grouping sets in ONE shuffle with
+    map-side partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o
+        >> pdt.mutate(o_year=o.o_orderdate.dt.year())
+        >> pdt.rollup(
+            C.o_orderpriority, C.o_year,
+            total=o.o_totalprice.sum().round(6),
+            n=pdt.count(),
+        )
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderpriority, year(o_orderdate) AS o_year, count(*) AS n
+FROM orders
+GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+""")
+def q_cube(spark, sf_dir):
+    """All-subsets aggregation via Spark's native cube."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o
+        >> pdt.mutate(o_year=o.o_orderdate.dt.year())
+        >> pdt.cube(C.o_orderpriority, C.o_year, n=pdt.count())
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
 SELECT user_id, count(*) AS n_rows
 FROM events GROUP BY user_id HAVING count(*) > 70
 """)

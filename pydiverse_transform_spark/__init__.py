@@ -71,6 +71,8 @@ from .operators.verbs import (  # noqa: F401
     show_query,
     slice_head,
     summarize,
+    rollup,
+    cube,
     transfer_col_references,
     ungroup,
     union,

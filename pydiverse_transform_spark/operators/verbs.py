@@ -45,7 +45,7 @@ from .pipeable import Pipeable, verb
 
 __all__ = [
     "select", "drop", "rename", "mutate", "filter", "arrange", "group_by",
-    "ungroup", "summarize", "slice_head", "join", "inner_join", "left_join",
+    "ungroup", "summarize", "rollup", "cube", "slice_head", "join", "inner_join", "left_join",
     "full_join", "cross_join", "union", "alias", "distinct", "collect",
     "export", "show", "show_query", "build_query", "name", "columns",
     "transfer_col_references", "ast_repr",
@@ -260,6 +260,59 @@ def summarize(table: Table, **kwargs) -> Table:
     else:
         df = table._df.agg(*aggs)
     return Table._derived(df, cols, select, [], [], table._name)
+
+
+def _grouping_sets_agg(table: Table, mode: str, cols, kwargs) -> Table:
+    if table._partition_by:
+        raise ValueError(f"{mode} cannot be combined with group_by; pass "
+                         "the grouping columns directly")
+    if not cols:
+        raise ValueError(f"{mode} needs at least one grouping column")
+    scope = table._scope()
+    ctx = _ctx(table, in_summarize=True)
+    group_uuids = [table._resolve_uuid(c) for c in cols]
+    out_cols: dict[_uuid.UUID, Col] = {}
+    select = []
+    # subtotal rows carry NULL in the rolled-up key columns
+    for u in group_uuids:
+        old = table._cols[u]
+        out_cols[u] = Col(old.name, u, old._dtype, table._name)
+        select.append(u)
+    aggs = []
+    for nm, e in kwargs.items():
+        prepared = prepare(wrap_literal(e), scope, mode)
+        _check_summarize_refs(prepared, set(group_uuids), nm)
+        c = _fresh_col(nm, prepared._dtype, table._name)
+        aggs.append(compile_expr(prepared, ctx).alias(phys(c.uuid)))
+        out_cols[c.uuid] = c
+        select.append(c.uuid)
+    if not aggs:
+        raise ValueError(f"{mode} requires at least one aggregation")
+    group_cols = [F.col(phys(u)) for u in group_uuids]
+    grouped = (table._df.rollup(*group_cols) if mode == "rollup"
+               else table._df.cube(*group_cols))
+    return Table._derived(
+        grouped.agg(*aggs), out_cols, select, [], [], table._name
+    )
+
+
+@verb
+def rollup(table: Table, *cols, **kwargs) -> Table:
+    """Hierarchical-subtotal aggregation (extension verb, no reference
+    analog — ANSI GROUP BY ROLLUP): aggregates at every prefix of the
+    grouping columns plus a grand total; rolled-up key columns are NULL
+    on subtotal rows.  Compiles to Spark's native ``Dataframe.rollup`` —
+    one shuffle with map-side partial aggregation, exactly like
+    ``summarize``."""
+    return _grouping_sets_agg(table, "rollup", cols, kwargs)
+
+
+@verb
+def cube(table: Table, *cols, **kwargs) -> Table:
+    """All-combinations aggregation (ANSI GROUP BY CUBE): aggregates at
+    every subset of the grouping columns.  Output size multiplies by
+    2^|cols| grouping sets — keep |cols| small at scale."""
+    return _grouping_sets_agg(table, "cube", cols, kwargs)
 
 
 def _check_summarize_refs(e: ColExpr, group_uuids: set, nm: str):

@@ -319,3 +319,26 @@ def test_group_by_bool_window(spark, con, tbl):
                avg(col4) OVER (PARTITION BY (col1 <= col2)) AS y
         FROM df4
     """, "group_by_bool_window")
+
+
+def test_rollup_cube_errors(spark):
+    import pytest as _pytest
+
+    import pydiverse_transform_spark as pdt
+
+    t = pdt.Table({"k": ["a", "a", "b"], "v": [1, 2, 3]}, "t")
+    rows = t >> pdt.rollup(pdt.C.k, s=pdt.C.v.sum()) >> pdt.export(
+        pdt.ListOfRows)
+    got = sorted(((r["k"] or ""), r["s"]) for r in rows)
+    assert got == [("", 6), ("a", 3), ("b", 3)]
+
+    cube_rows = t >> pdt.cube(pdt.C.k, n=pdt.count()) >> pdt.export(
+        pdt.ListOfRows)
+    assert len(cube_rows) == 3  # a, b, total
+
+    with _pytest.raises(ValueError, match="group_by"):
+        t >> pdt.group_by(t.k) >> pdt.rollup(t.k, s=t.v.sum())
+    with _pytest.raises(ValueError, match="grouping column"):
+        t >> pdt.rollup(s=t.v.sum())
+    with _pytest.raises(Exception, match="aggregat"):
+        t >> pdt.rollup(t.k, s=t.v)
