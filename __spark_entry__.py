@@ -2134,17 +2134,20 @@ def q_rollup(spark, sf_dir):
 
 
 @_q("""
-SELECT o_orderpriority, year(o_orderdate) AS o_year, count(*) AS n
+SELECT o_orderpriority, year(o_orderdate) AS o_year, count(*) AS n,
+       CAST(GROUPING(o_orderpriority, year(o_orderdate)) AS BIGINT) AS gid
 FROM orders
 GROUP BY CUBE (o_orderpriority, year(o_orderdate))
 """)
 def q_cube(spark, sf_dir):
-    """All-subsets aggregation via Spark's native cube."""
+    """All-subsets aggregation via Spark's native cube, with the
+    GROUPING_ID bitmask distinguishing subtotal NULLs from data NULLs."""
     o = _t(spark, sf_dir, "orders")
     return (
         o
         >> pdt.mutate(o_year=o.o_orderdate.dt.year())
-        >> pdt.cube(C.o_orderpriority, C.o_year, n=pdt.count())
+        >> pdt.cube(C.o_orderpriority, C.o_year, grouping_id="gid",
+                    n=pdt.count())
         >> pdt.export(pdt.Spark)
     )
 

@@ -262,7 +262,8 @@ def summarize(table: Table, **kwargs) -> Table:
     return Table._derived(df, cols, select, [], [], table._name)
 
 
-def _grouping_sets_agg(table: Table, mode: str, cols, kwargs) -> Table:
+def _grouping_sets_agg(table: Table, mode: str, cols, kwargs,
+                       grouping_id: str | None) -> Table:
     if table._partition_by:
         raise ValueError(f"{mode} cannot be combined with group_by; pass "
                          "the grouping columns directly")
@@ -288,6 +289,13 @@ def _grouping_sets_agg(table: Table, mode: str, cols, kwargs) -> Table:
         select.append(c.uuid)
     if not aggs:
         raise ValueError(f"{mode} requires at least one aggregation")
+    if grouping_id is not None:
+        # distinguishes "NULL because rolled up" from genuine NULL keys:
+        # bit i set <=> grouping column i is aggregated away in this row
+        c = _fresh_col(grouping_id, tp.Int64(), table._name)
+        aggs.append(F.grouping_id().alias(phys(c.uuid)))
+        out_cols[c.uuid] = c
+        select.append(c.uuid)
     group_cols = [F.col(phys(u)) for u in group_uuids]
     grouped = (table._df.rollup(*group_cols) if mode == "rollup"
                else table._df.cube(*group_cols))
@@ -297,22 +305,26 @@ def _grouping_sets_agg(table: Table, mode: str, cols, kwargs) -> Table:
 
 
 @verb
-def rollup(table: Table, *cols, **kwargs) -> Table:
+def rollup(table: Table, *cols, grouping_id: str | None = None,
+           **kwargs) -> Table:
     """Hierarchical-subtotal aggregation (extension verb, no reference
     analog — ANSI GROUP BY ROLLUP): aggregates at every prefix of the
     grouping columns plus a grand total; rolled-up key columns are NULL
-    on subtotal rows.  Compiles to Spark's native ``Dataframe.rollup`` —
-    one shuffle with map-side partial aggregation, exactly like
+    on subtotal rows.  ``grouping_id="g"`` adds the GROUPING_ID bitmask
+    column (bit i set = column i rolled up) to tell subtotal NULLs from
+    data NULLs.  Compiles to Spark's native ``Dataframe.rollup`` — one
+    shuffle with map-side partial aggregation, exactly like
     ``summarize``."""
-    return _grouping_sets_agg(table, "rollup", cols, kwargs)
+    return _grouping_sets_agg(table, "rollup", cols, kwargs, grouping_id)
 
 
 @verb
-def cube(table: Table, *cols, **kwargs) -> Table:
+def cube(table: Table, *cols, grouping_id: str | None = None,
+         **kwargs) -> Table:
     """All-combinations aggregation (ANSI GROUP BY CUBE): aggregates at
     every subset of the grouping columns.  Output size multiplies by
     2^|cols| grouping sets — keep |cols| small at scale."""
-    return _grouping_sets_agg(table, "cube", cols, kwargs)
+    return _grouping_sets_agg(table, "cube", cols, kwargs, grouping_id)
 
 
 def _check_summarize_refs(e: ColExpr, group_uuids: set, nm: str):
