@@ -342,3 +342,43 @@ def test_rollup_cube_errors(spark):
         t >> pdt.rollup(s=t.v.sum())
     with _pytest.raises(Exception, match="aggregat"):
         t >> pdt.rollup(t.k, s=t.v)
+
+
+def test_rollup_output_composes_with_verbs(spark, sf_dir):
+    """Rollup output is an ordinary table: filter out the grand total,
+    join back to a dimension, arrange — all downstream verbs work."""
+    import pydiverse_transform_spark as pdt
+    from pydiverse_transform_spark import C
+
+    n = pdt.read_parquet(spark, f"{sf_dir}/nation.parquet", name="nation")
+    cu = pdt.read_parquet(spark, f"{sf_dir}/customer.parquet",
+                          name="customer")
+    rolled = (
+        cu
+        >> pdt.rollup(C.c_nationkey, grouping_id="gid",
+                      total=cu.c_acctbal.sum().round(6),
+                      n_cust=pdt.count())
+    )
+    out = (
+        rolled
+        >> pdt.filter(C.gid == 0)  # keep only the per-nation rows
+        >> pdt.inner_join(n, on=rolled.c_nationkey == n.n_nationkey)
+        >> pdt.select(n.n_name, C.total, C.n_cust)
+        >> pdt.arrange(C.n_name)
+        >> pdt.export(pdt.ListOfRows)
+    )
+    # must equal a plain group_by+summarize of the same data
+    plain = (
+        pdt.read_parquet(spark, f"{sf_dir}/customer.parquet", name="c2")
+        >> pdt.group_by(C.c_nationkey)
+        >> pdt.summarize(total=C.c_acctbal.sum().round(6),
+                         n_cust=pdt.count())
+    )
+    expected = (
+        plain
+        >> pdt.inner_join(n, on=plain.c_nationkey == n.n_nationkey)
+        >> pdt.select(n.n_name, C.total, C.n_cust)
+        >> pdt.arrange(C.n_name)
+        >> pdt.export(pdt.ListOfRows)
+    )
+    assert out == expected and len(out) > 0
