@@ -683,6 +683,322 @@ def q22_sales_opportunity(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       round(l_extendedprice / l_quantity, 6) AS unit_price
+FROM (
+  SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+         l_extendedprice, l_quantity,
+         min(l_extendedprice / l_quantity)
+           OVER (PARTITION BY p_partkey) AS min_price
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_size >= 40 AND p_type = 'STANDARD'
+)
+WHERE l_extendedprice / l_quantity = min_price
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""")
+def q02_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 adapted to the trimmed schema (no partsupp): the
+    correlated `= (SELECT min(..))` subquery becomes a window min over
+    p_partkey — single pass, no re-scan (same decorrelation as Q17).
+    The LIMIT order is fully deterministic: rows tying on the whole sort
+    key are bit-identical in every output column (p_partkey determines
+    p_brand and min unit price)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    unit = li.l_extendedprice / li.l_quantity
+    return (
+        p
+        >> pdt.filter(p.p_size >= 40, p.p_type == pdt.lit("STANDARD"))
+        >> pdt.inner_join(li, on=p.p_partkey == li.l_partkey)
+        >> pdt.inner_join(s, on=s.s_suppkey == li.l_suppkey)
+        >> pdt.inner_join(n, on=s.s_nationkey == n.n_nationkey)
+        >> pdt.mutate(min_price=unit.min(partition_by=p.p_partkey))
+        >> pdt.filter(unit == C.min_price)
+        >> pdt.mutate(unit_price=unit.round(6))
+        >> pdt.select(s.s_acctbal, s.s_name, n.n_name, p.p_partkey,
+                      p.p_brand, C.unit_price)
+        >> pdt.arrange(C.s_acctbal.descending(), C.n_name, C.s_name,
+                       C.p_partkey)
+        >> pdt.slice_head(100)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS profit
+FROM lineitem JOIN supplier ON s_suppkey  = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN part     ON p_partkey  = l_partkey
+WHERE contains(p_name, 'red')
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+""")
+def q09_product_profit(spark, sf_dir):
+    """TPC-H Q9 adapted (no partsupp ⇒ profit = discounted revenue):
+    5-table join with a substring filter on part pushed below the big
+    joins; part/supplier/nation broadcast, lineitem⋈orders is the only
+    large exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    return (
+        p
+        >> pdt.filter(p.p_name.str.contains("red", allow_regex=False))
+        >> pdt.inner_join(li, on=p.p_partkey == li.l_partkey)
+        >> pdt.inner_join(s, on=s.s_suppkey == li.l_suppkey)
+        >> pdt.inner_join(o, on=o.o_orderkey == li.l_orderkey)
+        >> pdt.inner_join(n, on=s.s_nationkey == n.n_nationkey)
+        >> pdt.mutate(nation=n.n_name, o_year=o.o_orderdate.dt.year())
+        >> pdt.group_by(C.nation, C.o_year)
+        >> pdt.summarize(
+            profit=(li.l_extendedprice * (1 - li.l_discount)).sum().round(6)
+        )
+        >> pdt.arrange(C.nation, C.o_year.descending())
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+WITH val AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value FROM val
+WHERE value > (SELECT sum(value) * 0.001 FROM val)
+ORDER BY value DESC, l_partkey
+""")
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 adapted: per-part value restricted to one nation's
+    suppliers, kept when above a fraction of the total.  The scalar
+    subquery is an unpartitioned window sum over the already-aggregated
+    (small) value table — lineitem is scanned exactly once."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li
+        >> pdt.inner_join(s, on=s.s_suppkey == li.l_suppkey)
+        >> pdt.filter(s.s_nationkey == 7)
+        >> pdt.group_by(li.l_partkey)
+        >> pdt.summarize(
+            value=(li.l_extendedprice * (1 - li.l_discount)).sum().round(6)
+        )
+        >> pdt.mutate(threshold=C.value.sum() * 0.001)
+        >> pdt.filter(C.value > C.threshold)
+        >> pdt.select(li.l_partkey, C.value)
+        >> pdt.arrange(C.value.descending(), C.l_partkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""")
+def q12_late_shipments(spark, sf_dir):
+    """TPC-H Q12 adapted (no shipmode/commitdate): lines shipped ≥60
+    days after order placement, split into high/low-priority counts via
+    conditional sums.  The ship-vs-order-date predicate is a cross-table
+    comparison evaluated post-join, JVM-side."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    is_high = o.o_orderpriority.is_in(pdt.lit("1-URGENT"), pdt.lit("2-HIGH"))
+    return (
+        o
+        >> pdt.inner_join(li, on=o.o_orderkey == li.l_orderkey)
+        >> pdt.filter(
+            li.l_shipdate >= o.o_orderdate + pdt.lit(dt.timedelta(days=60)),
+            li.l_shipdate >= pdt.lit(dt.datetime(1996, 1, 1)),
+            li.l_shipdate < pdt.lit(dt.datetime(1997, 1, 1)),
+        )
+        >> pdt.group_by(li.l_linestatus)
+        >> pdt.summarize(
+            high_line_count=pdt.when(is_high).then(1).otherwise(0).sum(),
+            low_line_count=pdt.when(is_high).then(0).otherwise(1).sum(),
+        )
+        >> pdt.arrange(C.l_linestatus)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'MEDIUM'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""")
+def q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 adapted: distinct-supplier counts per part attribute,
+    excluding an unwanted supplier set.  NOT IN becomes a left join on
+    the (tiny, broadcast) exclusion keys + IS NULL filter; the count is
+    n_distinct after the hash-agg shuffle on the part attributes."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    bad = (
+        s
+        >> pdt.filter(s.s_acctbal < 0.0)
+        >> pdt.select(s.s_suppkey)
+    )
+    return (
+        p
+        >> pdt.filter(
+            p.p_brand != pdt.lit("Brand#45"),
+            p.p_type != pdt.lit("MEDIUM"),
+            p.p_size.is_in(1, 4, 9, 14, 23, 36, 45, 49),
+        )
+        >> pdt.inner_join(li, on=p.p_partkey == li.l_partkey)
+        >> pdt.left_join(bad, on=li.l_suppkey == bad.s_suppkey)
+        >> pdt.filter(bad.s_suppkey.is_null())
+        >> pdt.group_by(p.p_brand, p.p_type, p.p_size)
+        >> pdt.summarize(supplier_cnt=li.l_suppkey.n_distinct())
+        >> pdt.arrange(C.supplier_cnt.descending(), C.p_brand, C.p_type,
+                       C.p_size)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT s_name, round(s_acctbal, 6) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE contains(p_name, 'blue')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100
+  )
+ORDER BY s_name
+""")
+def q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 adapted: IN over an aggregated-and-filtered key set —
+    semi-join via inner join against the (distinct-by-construction)
+    grouped keys, the standard Spark decorrelation (same as Q18)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    heavy = (
+        li
+        >> pdt.inner_join(p, on=p.p_partkey == li.l_partkey)
+        >> pdt.filter(
+            p.p_name.str.contains("blue", allow_regex=False),
+            li.l_shipdate >= pdt.lit(dt.datetime(1997, 1, 1)),
+            li.l_shipdate < pdt.lit(dt.datetime(1998, 1, 1)),
+        )
+        >> pdt.group_by(li.l_suppkey)
+        >> pdt.summarize(qty=li.l_quantity.sum())
+        >> pdt.filter(C.qty > 100)
+        >> pdt.select(li.l_suppkey)
+    )
+    return (
+        s
+        >> pdt.inner_join(n, on=s.s_nationkey == n.n_nationkey)
+        >> pdt.filter(n.n_name == pdt.lit("NATION_5"))
+        >> pdt.inner_join(heavy, on=s.s_suppkey == heavy.l_suppkey)
+        >> pdt.mutate(s_acctbal=s.s_acctbal.round(6))
+        >> pdt.select(s.s_name, C.s_acctbal)
+        >> pdt.arrange(C.s_name)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 30 DAY AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM late GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM late JOIN per_order USING (l_orderkey)
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+WHERE is_late AND n_supp >= 2 AND n_late_supp = 1 AND n_name = 'NATION_3'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""")
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 adapted (late = shipped >30 days after order date):
+    the EXISTS / NOT EXISTS pair over correlated lineitem self-scans is
+    decorrelated into ONE per-order aggregate — n_supp ≥ 2 replaces
+    EXISTS(other supplier), n_late_supp = 1 replaces NOT EXISTS(other
+    late supplier) given the current row is late.  lineitem is scanned
+    once instead of three times; the filtered-distinct count uses the
+    `filter=` aggregation kwarg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    late = (
+        li
+        >> pdt.inner_join(o, on=o.o_orderkey == li.l_orderkey)
+        >> pdt.filter(o.o_orderstatus == pdt.lit("F"))
+        >> pdt.mutate(
+            is_late=li.l_shipdate
+            > o.o_orderdate + pdt.lit(dt.timedelta(days=30))
+        )
+    )
+    per_order = (
+        late
+        >> pdt.group_by(li.l_orderkey)
+        >> pdt.summarize(
+            n_supp=li.l_suppkey.n_distinct(),
+            n_late_supp=li.l_suppkey.n_distinct(filter=C.is_late),
+        )
+        >> pdt.alias("per_order")
+    )
+    return (
+        late
+        >> pdt.filter(C.is_late)
+        >> pdt.inner_join(per_order,
+                          on=li.l_orderkey == per_order.l_orderkey)
+        >> pdt.filter(per_order.n_supp >= 2, per_order.n_late_supp == 1)
+        >> pdt.inner_join(s, on=li.l_suppkey == s.s_suppkey)
+        >> pdt.inner_join(n, on=s.s_nationkey == n.n_nationkey)
+        >> pdt.filter(n.n_name == pdt.lit("NATION_3"))
+        >> pdt.group_by(s.s_name)
+        >> pdt.summarize(numwait=pdt.count())
+        >> pdt.arrange(C.numwait.descending(), C.s_name)
+        >> pdt.slice_head(100)
+        >> pdt.export(pdt.Spark)
+    )
+
+
 # =============================================================================
 # verb-focused queries
 # =============================================================================
