@@ -955,16 +955,17 @@ LIMIT 100
 def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 adapted (late = shipped >30 days after order date):
     the EXISTS / NOT EXISTS pair over correlated lineitem self-scans is
-    decorrelated into ONE per-order aggregate — n_supp ≥ 2 replaces
-    EXISTS(other supplier), n_late_supp = 1 replaces NOT EXISTS(other
-    late supplier) given the current row is late.  lineitem is scanned
-    once instead of three times; the filtered-distinct count uses the
-    `filter=` aggregation kwarg."""
+    decorrelated into per-order DISTINCT-count window aggregates —
+    n_supp ≥ 2 replaces EXISTS(other supplier), n_late_supp = 1 replaces
+    NOT EXISTS(other late supplier) given the current row is late.
+    lineitem is scanned ONCE (no self-join): the distinct counts are
+    size(collect_set) over a window on l_orderkey, a single shuffle.
+    The filtered-distinct count uses the `filter=` aggregation kwarg."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    late = (
+    return (
         li
         >> pdt.inner_join(o, on=o.o_orderkey == li.l_orderkey)
         >> pdt.filter(o.o_orderstatus == pdt.lit("F"))
@@ -972,22 +973,13 @@ def q21_waiting_supplier(spark, sf_dir):
             is_late=li.l_shipdate
             > o.o_orderdate + pdt.lit(dt.timedelta(days=30))
         )
-    )
-    per_order = (
-        late
         >> pdt.group_by(li.l_orderkey)
-        >> pdt.summarize(
+        >> pdt.mutate(
             n_supp=li.l_suppkey.n_distinct(),
             n_late_supp=li.l_suppkey.n_distinct(filter=C.is_late),
         )
-        >> pdt.alias("per_order")
-    )
-    return (
-        late
-        >> pdt.filter(C.is_late)
-        >> pdt.inner_join(per_order,
-                          on=li.l_orderkey == per_order.l_orderkey)
-        >> pdt.filter(per_order.n_supp >= 2, per_order.n_late_supp == 1)
+        >> pdt.ungroup()
+        >> pdt.filter(C.is_late, C.n_supp >= 2, C.n_late_supp == 1)
         >> pdt.inner_join(s, on=li.l_suppkey == s.s_suppkey)
         >> pdt.inner_join(n, on=s.s_nationkey == n.n_nationkey)
         >> pdt.filter(n.n_name == pdt.lit("NATION_3"))

@@ -25,8 +25,10 @@ BENCH_QUERIES = [
     "q05_local_supplier",
     "q06_forecast_revenue",
     "q08_market_share",
+    "q09_product_profit",
     "q13_customer_distribution",
     "q18_large_volume",
+    "q21_waiting_supplier",
     "q_window_ops",
     "q_agg_in_mutate",
     "q_doc_stats",

@@ -343,6 +343,15 @@ def _compile_agg(e: ColFn, op, ctx: CompileCtx) -> Column:
             args[0] = F.when(filt, args[0])
         else:
             args = [F.when(filt, F.lit(1))]
+    if not ctx.in_summarize and e.op == "n_distinct":
+        # count(DISTINCT ..) OVER is unsupported in Spark; collect_set
+        # drops nulls exactly like count_distinct, so its size over the
+        # window is the same number — and stays a single shuffle on the
+        # partition key (no self-join decorrelation needed)
+        return (
+            F.size(F.collect_set(args[0]).over(_partition_spec(e, ctx)))
+            .cast("long")
+        )
     agg = op.agg(e, args)
     if ctx.in_summarize:
         return agg

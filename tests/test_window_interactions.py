@@ -263,3 +263,27 @@ def test_rank_vs_dense_rank_ties(spark, con, tbl):
                row_number() OVER (ORDER BY col2, col4) AS rn
         FROM df3
     """, "rank_vs_dense_rank")
+
+
+def test_n_distinct_in_mutate_window(spark, con, tbl):
+    """n_distinct in mutate promotes to size(collect_set) over the
+    ambient window — count(DISTINCT) OVER is unsupported in Spark, and
+    collect_set drops nulls exactly like count_distinct."""
+    t = tbl("df4")
+    out = (
+        t
+        >> pdt.group_by(t.col3)
+        >> pdt.mutate(
+            nd=t.col1.n_distinct(),
+            nd_filt=t.col1.n_distinct(filter=(t.col4 % 2) == 0),
+        )
+        >> pdt.ungroup()
+        >> pdt.select("col4", "nd", "nd_filt")
+    )
+    _check(con, out, """
+        SELECT col4,
+               count(DISTINCT col1) OVER (PARTITION BY col3) AS nd,
+               count(DISTINCT CASE WHEN col4 % 2 = 0 THEN col1 END)
+                   OVER (PARTITION BY col3) AS nd_filt
+        FROM df4
+    """, "n_distinct_window")
