@@ -135,3 +135,26 @@ def test_whole_stage_codegen_covers_expressions(li):
     # codegen stages show as `*(n)` node prefixes in the plan string
     assert re.search(r"\*\(\d+\) Project", plan), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS decorrelation must stay a windowed
+    single pass: exactly one lineitem scan, no groupBy+self-join."""
+    import __spark_entry__ as se
+
+    df = se.queries()["q21_waiting_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    phys = _final_plan_section(plan)
+    assert phys.count("lineitem.parquet") == 1, phys
+
+
+def test_q02_window_min_single_pass(spark, sf_dir):
+    """Q2's correlated-min decorrelation: one lineitem scan feeding a
+    window min, and the final LIMIT is top-k (no global sort)."""
+    import __spark_entry__ as se
+
+    df = se.queries()["q02_min_cost_supplier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    phys = _final_plan_section(plan)
+    assert phys.count("lineitem.parquet") == 1, phys
+    assert "TakeOrderedAndProject" in phys, phys
