@@ -3326,6 +3326,28 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT doc_id, CAST(s // 150 AS BIGINT) AS chunk_id,
+       substring(text, CAST(s AS INT) + 1, 200) AS chunk
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text), 1), 150)) AS s
+  FROM documents
+)
+ORDER BY doc_id, chunk_id
+""")
+def q_chunk_text(spark, sf_dir):
+    """Overlapping character chunking (size=200, overlap=50) — the
+    training-data prep step between cleaning and tokenization.  Pure
+    map-side sequence+transform+posexplode, no shuffle
+    (extras/text.py chunk_text)."""
+    from pydiverse_transform_spark.extras.text import chunk_text
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_text(df, "text", size=200, overlap=50) \
+        .select("doc_id", "chunk_id", "chunk")
+
+
 # =============================================================================
 # deterministic sampling / splitting / mixing (extras.sampling)
 # =============================================================================

@@ -17,6 +17,7 @@ __all__ = [
     "whitespace_ratio", "stopword_ratio", "quality_score", "lang_id",
     "fingerprint", "doc_stats", "STOPWORDS",
     "BPE_PRETOKEN_PATTERN", "bpe_pretokens", "bpe_token_count",
+    "chunk_text",
 ]
 
 # small deterministic stopword lists per language (heuristic lang-id)
@@ -205,3 +206,33 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
     return out.drop("__ltoks", "__n_tok", "__punct", "__digit",
                     *[f"__sw_{lang}" for lang in STOPWORDS])
+
+
+def chunk_text(df: DataFrame, text_col: str = "text",
+               *, size: int = 200, overlap: int = 0) -> DataFrame:
+    """Split each document into overlapping character chunks — the
+    training-data prep step between cleaning and tokenization.
+
+    Chunk *i* covers ``[i*step, i*step + size)`` with
+    ``step = size - overlap``; the last chunk may be shorter, and an
+    empty document yields one empty chunk (so no document silently
+    disappears).  Purely map-side: ``sequence`` + ``transform`` +
+    ``posexplode`` run inside codegen with NO shuffle and no Python —
+    at 100 TB this is a streaming pass whose output partitioning
+    mirrors the input's.
+
+    Output: the input columns plus ``chunk_id`` (0-based) and
+    ``chunk`` (the substring).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(t) - 1, F.lit(0)), F.lit(step)
+    )
+    chunks = F.transform(starts, lambda s: t.substr(s + 1, F.lit(size)))
+    exploded = df.select(
+        "*", F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    return exploded.withColumn("chunk_id", F.col("chunk_id").cast("long"))

@@ -1,0 +1,60 @@
+"""chunk_text edge cases + plan shape: empty docs survive as one empty
+chunk, boundaries are exact, overlap works, and the whole thing is a
+map-only plan (no Exchange)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras.text import chunk_text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, ""),                     # empty -> one empty chunk
+        (1, "abc"),                  # shorter than size -> one chunk
+        (2, "a" * 10),               # exactly 2 steps with overlap
+        (3, "abcdefghijk"),          # 11 chars
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_chunk_boundaries_and_overlap(docs):
+    out = (
+        chunk_text(docs, "text", size=6, overlap=2)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    assert by_doc[0] == [(0, "")]
+    assert by_doc[1] == [(0, "abc")]
+    # step=4: starts 0,4,8 for len 10
+    assert by_doc[2] == [(0, "aaaaaa"), (1, "aaaaaa"), (2, "aa")]
+    # len 11: starts 0,4,8
+    assert by_doc[3] == [(0, "abcdef"), (1, "efghij"), (2, "ijk")]
+
+
+def test_chunks_reassemble_without_overlap(docs):
+    out = (
+        chunk_text(docs, "text", size=5, overlap=0)
+        .groupBy("doc_id")
+        .agg(F.concat_ws("", F.collect_list("chunk")).alias("joined"))
+        .collect()
+    )
+    orig = {r.doc_id: r.text for r in docs.collect()}
+    for r in out:
+        assert r.joined == orig[r.doc_id]
+
+
+def test_overlap_must_be_smaller_than_size(docs):
+    with pytest.raises(ValueError):
+        chunk_text(docs, "text", size=5, overlap=5)
+
+
+def test_chunking_is_map_only_no_shuffle(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = chunk_text(df, "text", size=200, overlap=50) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
