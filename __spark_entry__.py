@@ -3348,6 +3348,67 @@ def q_chunk_text(spark, sf_dir):
         .select("doc_id", "chunk_id", "chunk")
 
 
+def _shingle_all_sql(col: str, k: int = 3) -> str:
+    """Non-deduplicated k-word shingle list (mirrors the windows of
+    extras.dedup.word_shingles before array_distinct)."""
+    words = _TOKENS_SQL.format(col=col)
+    return (
+        f"list_transform(range(0, greatest(len({words}) - {k}, 0) + 1), "
+        f"j -> array_to_string(({words})[j + 1: j + {k}], ' '))"
+    )
+
+
+@_q(f"""
+SELECT doc_id,
+       round(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+         AS rep_ratio
+FROM (SELECT doc_id, {_shingle_all_sql('text')} AS sh FROM documents)
+ORDER BY doc_id
+""")
+def q_repetition_ratio(spark, sf_dir):
+    """Within-document repetition (1 - distinct/total 3-word shingles) —
+    boilerplate/template-spam quality signal, pure array expressions
+    (extras/text.py repetition_ratio)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.text import repetition_ratio
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("rep_ratio")
+    )
+
+
+@_q(f"""
+WITH probe AS (
+  SELECT DISTINCT unnest({_shingle_sql('text')}) AS psh
+  FROM documents WHERE doc_id % 97 = 0
+),
+doc_sh AS (
+  SELECT doc_id, unnest({_shingle_sql('text')}) AS psh FROM documents
+),
+bad AS (SELECT DISTINCT doc_id FROM doc_sh JOIN probe USING (psh))
+SELECT count(*) AS n_clean, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""")
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop every document sharing a 3-word
+    shingle with the probe set (doc_id % 97 = 0 stands in for an eval
+    benchmark).  The probe shingle set broadcasts, so the corpus never
+    shuffles (extras/dedup.py decontaminate)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = dedup.decontaminate(docs, probe)
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 # =============================================================================
 # deterministic sampling / splitting / mixing (extras.sampling)
 # =============================================================================

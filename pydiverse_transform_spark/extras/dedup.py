@@ -20,6 +20,7 @@ __all__ = [
     "exact_dedup", "word_shingles", "char_shingles", "minhash_signature",
     "lsh_candidate_pairs", "jaccard", "minhash_dedup_pairs", "simhash",
     "char_shingled", "connected_components", "neardup_dedup",
+    "contaminated_ids", "decontaminate",
 ]
 
 
@@ -374,3 +375,45 @@ def neardup_dedup(df: DataFrame, text_col: str = "text",
         .select(F.col("node").alias(id_col))
     )
     return df.join(dupes, on=id_col, how="left_anti")
+
+
+def contaminated_ids(df: DataFrame, probe: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     *, k: int = 3,
+                     probe_text_col: str | None = None) -> DataFrame:
+    """ids of corpus documents sharing at least one k-word shingle with
+    ``probe`` (benchmark/eval-set decontamination).
+
+    The probe's distinct shingle set is tiny relative to the corpus, so
+    Catalyst broadcasts it and the semi-join never shuffles the corpus:
+    at 100 TB this is one map-side pass over the documents (explode +
+    broadcast hash semi-join + partial-distinct on the id)."""
+    from pyspark.sql.functions import broadcast
+
+    doc_sh = shingled(df, text_col, id_col, k).select(
+        id_col, F.explode("__sh").alias("__psh")
+    )
+    probe_sh = (
+        probe.select(
+            F.explode(
+                word_shingles(F.col(probe_text_col or text_col), k)
+            ).alias("__psh")
+        )
+        .distinct()
+    )
+    return (
+        doc_sh.join(broadcast(probe_sh), "__psh", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def decontaminate(df: DataFrame, probe: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  *, k: int = 3,
+                  probe_text_col: str | None = None) -> DataFrame:
+    """Drop every corpus document that shares a k-word shingle with the
+    probe set (anti-join against :func:`contaminated_ids`)."""
+    bad = contaminated_ids(df, probe, text_col, id_col, k=k,
+                           probe_text_col=probe_text_col)
+    return df.join(bad, on=id_col, how="left_anti")

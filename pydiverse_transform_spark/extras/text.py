@@ -236,3 +236,22 @@ def chunk_text(df: DataFrame, text_col: str = "text",
         "*", F.posexplode(chunks).alias("chunk_id", "chunk")
     )
     return exploded.withColumn("chunk_id", F.col("chunk_id").cast("long"))
+
+
+def repetition_ratio(text: Column, k: int = 3) -> Column:
+    """Fraction of repeated k-word shingles: 1 - distinct/total over the
+    same shingle windows as extras.dedup.word_shingles (short/empty docs
+    produce one shingle, hence ratio 0).  High values flag boilerplate /
+    template spam — a standard training-data quality signal.  Pure
+    array expressions, no shuffle."""
+    words = tokens(F.lower(text))
+    n = F.size(words)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda j: F.array_join(F.slice(words, j + 1, k), " "),
+    )
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return F.round(
+        F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+    )

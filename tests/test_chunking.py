@@ -58,3 +58,41 @@ def test_chunking_is_map_only_no_shuffle(spark, sf_dir):
     plan = chunk_text(df, "text", size=200, overlap=50) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_decontaminate_broadcasts_probe(spark, sf_dir):
+    """The corpus side of decontamination must not shuffle: the probe
+    shingle set broadcasts into a semi-join."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.dedup import contaminated_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = contaminated_ids(docs, probe) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # only the final distinct on the (tiny) id set may exchange; the
+    # semi-join itself must not sort-merge
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_repetition_ratio_values(spark):
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),   # "a b c" windows repeat
+            (1, "x y z w"),             # all distinct
+            (2, ""),                    # empty -> 0.0
+            (3, "one two"),             # shorter than k -> one shingle
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.rep for r in df.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("rep")).collect()}
+    assert out[1] == 0.0 and out[2] == 0.0 and out[3] == 0.0
+    # 7 windows, 3 distinct ("a b c","b c a","c a b") -> 1 - 3/7
+    assert abs(out[0] - round(1 - 3 / 7, 6)) < 1e-9
