@@ -3409,6 +3409,64 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+@_q(r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact: ' || source || '@corp.example id '
+                || CAST(doc_id + 1000 AS VARCHAR),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+           '<EMAIL>', 'g'),
+         '[0-9][0-9][0-9]+', '<NUM>', 'g') AS scrubbed
+FROM documents
+ORDER BY doc_id
+""")
+def q_redact_pii(spark, sf_dir):
+    """PII scrubbing: email + long-digit-run redaction with an
+    RE2-compatible pattern so Java regex (Spark) and RE2 (DuckDB) make
+    identical replacements.  The redacted text is derived from real
+    columns (text ⧺ source-based address ⧺ numeric id) so the rewrite
+    actually fires on every row (extras/text.py redact_pii)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.text import redact_pii
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    synth = F.concat(
+        F.col("text"), F.lit(" contact: "), F.col("source"),
+        F.lit("@corp.example id "),
+        (F.col("doc_id") + 1000).cast("string"),
+    )
+    return df.select("doc_id", redact_pii(synth).alias("scrubbed"))
+
+
+@_q("""
+SELECT doc_id, source,
+       CAST(FLOOR(before / 512) AS BIGINT) AS bin_id,
+       CAST(before % 512 AS BIGINT)        AS bin_pos
+FROM (
+  SELECT doc_id, source,
+         coalesce(sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM documents
+)
+ORDER BY doc_id
+""")
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-split sequence packing for training batches: documents
+    laid out per source in doc_id order and cut every 512 tokens
+    (n_chars stands in for the token count).  One window cum-sum,
+    sharded on source so no single-reducer window at scale
+    (extras/sampling.py pack_sequences)."""
+    from pydiverse_transform_spark.extras.sampling import pack_sequences
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(df, "n_chars", budget=512, order_by="doc_id",
+                          partition_by="source") \
+        .select("doc_id", "source", "bin_id", "bin_pos")
+
+
 # =============================================================================
 # deterministic sampling / splitting / mixing (extras.sampling)
 # =============================================================================

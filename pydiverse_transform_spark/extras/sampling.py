@@ -25,7 +25,7 @@ projection.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -35,6 +35,7 @@ __all__ = [
     "stratified_sample",
     "weighted_mix",
     "topk_per_group",
+    "pack_sequences",
 ]
 
 _U32 = float(1 << 32)
@@ -147,3 +148,34 @@ def topk_per_group(df: DataFrame, group_cols: list[str],
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+def pack_sequences(df: DataFrame, token_col: str, *, budget: int,
+                   order_by: str, partition_by: str | None = None
+                   ) -> DataFrame:
+    """Concat-and-split sequence packing: documents are laid out in
+    ``order_by`` order and cut into bins of ``budget`` tokens — each row
+    gets ``bin_id`` (which context window it starts in) and ``bin_pos``
+    (its token offset inside that bin).  This is the deterministic
+    streaming packing used for LLM pre-training batches (greedy
+    first-fit would need stateful iteration; concat-and-split is a pure
+    window cum-sum and packs equally tightly when documents are chunked
+    to <= budget first).
+
+    ``partition_by`` shards the packing (e.g. by source): REQUIRED at
+    scale — an unpartitioned ordered window funnels through a single
+    reducer, fine only below ~10M rows.  Within a shard the layout is
+    one shuffle on the shard key.
+    """
+    w = Window.orderBy(order_by) if partition_by is None else \
+        Window.partitionBy(partition_by).orderBy(order_by)
+    before = F.coalesce(
+        F.sum(token_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    return df.withColumns({
+        "bin_id": F.floor(before / F.lit(budget)).cast("long"),
+        "bin_pos": (before % F.lit(budget)).cast("long"),
+    })

@@ -255,3 +255,25 @@ def repetition_ratio(text: Column, k: int = 3) -> Column:
     return F.round(
         F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
     )
+
+
+# RE2-compatible (no lookahead/backrefs) so Java regex and RE2 engines
+# make identical replacements — redaction is engine-portable.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+NUMBER_PATTERN = r"[0-9][0-9][0-9]+"
+
+
+def redact(text: Column, pattern: str = EMAIL_PATTERN,
+           token: str = "<PII>") -> Column:
+    """Replace every match of ``pattern`` with ``token`` — the scrub
+    step of a training-data pipeline (emails, long digit runs, ...).
+    Single codegen regexp_replace, map-side, no shuffle."""
+    return F.regexp_replace(text, pattern, token)
+
+
+def redact_pii(text: Column, *, email_token: str = "<EMAIL>",
+               number_token: str = "<NUM>") -> Column:
+    """Email + long-digit-run redaction (emails first so their digits
+    don't get partially rewritten by the number pass)."""
+    return redact(redact(text, EMAIL_PATTERN, email_token),
+                  NUMBER_PATTERN, number_token)

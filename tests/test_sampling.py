@@ -116,3 +116,31 @@ def test_sampling_is_pure_filter_no_shuffle(docs):
     plan = hash_sample(docs, 0.5, "doc_id")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_layout(spark):
+    from pydiverse_transform_spark.extras.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, "a", 300), (1, "a", 300), (2, "a", 300), (3, "b", 600)],
+        ["doc_id", "src", "n_tok"],
+    )
+    out = {r.doc_id: (r.bin_id, r.bin_pos) for r in pack_sequences(
+        df, "n_tok", budget=512, order_by="doc_id", partition_by="src"
+    ).collect()}
+    # src a: cum-before 0, 300, 600 -> bins 0,0,1; pos 0,300,88
+    assert out[0] == (0, 0)
+    assert out[1] == (0, 300)
+    assert out[2] == (1, 88)
+    # src b packs independently
+    assert out[3] == (0, 0)
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    from pydiverse_transform_spark.extras.sampling import pack_sequences
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = pack_sequences(df, "n_chars", budget=512, order_by="doc_id",
+                          partition_by="source") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
