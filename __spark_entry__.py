@@ -996,6 +996,99 @@ def q21_waiting_supplier(spark, sf_dir):
 # =============================================================================
 
 @_q("""
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6)
+         AS s_F,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 6)
+         AS s_O,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 6)
+         AS s_P,
+       CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+         AS n_F
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def q_pivot_wider(spark, sf_dir):
+    """Long→wide reshape: one conditional hash-aggregate, single
+    shuffle regardless of pivot width (operators/verbs.py pivot_wider;
+    no reference analog — dplyr/polars-style extension verb)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o
+        >> pdt.group_by(o.o_orderpriority)
+        >> pdt.pivot_wider(
+            names_from=o.o_orderstatus, values_from=o.o_totalprice,
+            values=["F", "O", "P"], agg="sum", name_fmt="s_{}",
+        )
+    )
+    cnt = (
+        o
+        >> pdt.group_by(o.o_orderpriority)
+        >> pdt.pivot_wider(
+            names_from=o.o_orderstatus, values_from=o.o_totalprice,
+            values=["F"], agg="count", name_fmt="n_{}",
+        )
+        >> pdt.alias("cnt")
+    )
+    return (
+        wide
+        >> pdt.inner_join(
+            cnt, on=wide.o_orderpriority == cnt.o_orderpriority
+        )
+        >> pdt.mutate(
+            s_F=wide.s_F.round(6), s_O=wide.s_O.round(6),
+            s_P=wide.s_P.round(6),
+        )
+        >> pdt.select(wide.o_orderpriority, C.s_F, C.s_O, C.s_P, cnt.n_F)
+        >> pdt.arrange(C.o_orderpriority)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+WITH wide AS (
+  SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 6)
+           AS s_F,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 6)
+           AS s_O,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 6)
+           AS s_P
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, total FROM (
+  SELECT o_orderpriority, 's_F' AS status, s_F AS total FROM wide
+  UNION ALL SELECT o_orderpriority, 's_O', s_O FROM wide
+  UNION ALL SELECT o_orderpriority, 's_P', s_P FROM wide
+)
+ORDER BY o_orderpriority, status
+""")
+def q_pivot_longer(spark, sf_dir):
+    """Wide→long round-trip: pivot_wider then pivot_longer — the melt
+    is a map-side explode of an inline array<struct>, no shuffle
+    (operators/verbs.py pivot_longer)."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o
+        >> pdt.group_by(o.o_orderpriority)
+        >> pdt.pivot_wider(
+            names_from=o.o_orderstatus, values_from=o.o_totalprice,
+            values=["F", "O", "P"], agg="sum", name_fmt="s_{}",
+        )
+        >> pdt.mutate(
+            s_F=C.s_F.round(6), s_O=C.s_O.round(6), s_P=C.s_P.round(6),
+        )
+    )
+    return (
+        wide
+        >> pdt.pivot_longer(["s_F", "s_O", "s_P"], names_to="status",
+                            values_to="total")
+        >> pdt.arrange(C.o_orderpriority, C.status)
+        >> pdt.export(pdt.Spark)
+    )
+
+@_q("""
 SELECT p_partkey,
        p_brand AS brand,
        round(p_retailprice * 1.1, 6)  AS markup,

@@ -73,6 +73,8 @@ from .operators.verbs import (  # noqa: F401
     summarize,
     rollup,
     cube,
+    pivot_wider,
+    pivot_longer,
     transfer_col_references,
     ungroup,
     union,

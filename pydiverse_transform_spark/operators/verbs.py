@@ -22,6 +22,7 @@ from .. import types as tp
 from ..plans.compile import (
     CompileCtx,
     Scope,
+    _assert_no_agg_window,
     compile_expr,
     compile_order,
     phys,
@@ -325,6 +326,116 @@ def cube(table: Table, *cols, grouping_id: str | None = None,
     every subset of the grouping columns.  Output size multiplies by
     2^|cols| grouping sets — keep |cols| small at scale."""
     return _grouping_sets_agg(table, "cube", cols, kwargs, grouping_id)
+
+
+_PIVOT_AGGS = {
+    "sum": F.sum, "min": F.min, "max": F.max, "mean": F.avg,
+    "count": F.count, "any": F.bool_or, "all": F.bool_and,
+}
+
+
+@verb
+def pivot_wider(table: Table, *, names_from, values_from, values: list,
+                agg: str = "sum", name_fmt: str = "{}") -> Table:
+    """Long→wide reshape (extension verb): one output column per entry
+    of ``values``, each holding ``agg`` of ``values_from`` over the rows
+    where ``names_from`` equals that entry; grouped by the ambient
+    ``group_by`` columns (none ⇒ one global row).
+
+    ``values`` must be given explicitly: discovering the distinct names
+    at plan-build time would run a Spark job (breaking laziness) and
+    make the output schema data-dependent.  Compiles to ONE conditional
+    hash-aggregate — same single-shuffle shape as ``summarize``, no
+    matter how many pivot columns (Spark's own ``pivot()`` needs an
+    extra distinct job when values are omitted; this never does)."""
+    if agg not in _PIVOT_AGGS:
+        raise ValueError(
+            f"agg must be one of {sorted(_PIVOT_AGGS)}, got {agg!r}"
+        )
+    scope = table._scope()
+    ctx = _ctx(table, in_summarize=True)
+    group_uuids = list(table._partition_by)
+    names_p = prepare(wrap_literal(names_from), scope, "pivot_wider")
+    vals_p = prepare(wrap_literal(values_from), scope, "pivot_wider")
+    _assert_no_agg_window(names_p, "pivot_wider names_from")
+    _assert_no_agg_window(vals_p, "pivot_wider values_from")
+    names_c = compile_expr(names_p, ctx)
+    vals_c = compile_expr(vals_p, ctx)
+    if agg == "count":
+        out_dtype: tp.Dtype = tp.Int64()
+    elif agg == "mean":
+        out_dtype = tp.Float64()
+    elif agg in ("any", "all"):
+        out_dtype = tp.Bool()
+    elif agg == "sum" and isinstance(vals_p._dtype, tp.Bool):
+        out_dtype = tp.Int64()
+    else:
+        out_dtype = vals_p._dtype
+    fn = _PIVOT_AGGS[agg]
+    cols: dict[_uuid.UUID, Col] = {u: table._cols[u] for u in group_uuids}
+    select = list(group_uuids)
+    aggs = []
+    seen = set()
+    for v in values:
+        nm = name_fmt.format(v)
+        if nm in seen:
+            raise ValueError(f"duplicate pivot column name `{nm}`")
+        seen.add(nm)
+        cell = vals_c if agg != "sum" or not isinstance(vals_p._dtype,
+                                                        tp.Bool) \
+            else vals_c.cast("long")
+        c = _fresh_col(nm, out_dtype, table._name)
+        aggs.append(
+            fn(F.when(names_c == F.lit(v), cell)).alias(phys(c.uuid))
+        )
+        cols[c.uuid] = c
+        select.append(c.uuid)
+    if not aggs:
+        raise ValueError("pivot_wider needs at least one value")
+    group_cols = [F.col(phys(u)) for u in group_uuids]
+    df = (table._df.groupBy(*group_cols).agg(*aggs) if group_cols
+          else table._df.agg(*aggs))
+    return Table._derived(df, cols, select, [], [], table._name)
+
+
+@verb
+def pivot_longer(table: Table, cols, *, names_to: str = "name",
+                 values_to: str = "value") -> Table:
+    """Wide→long reshape (extension verb): melts ``cols`` into
+    (``names_to``, ``values_to``) pairs, repeating every other visible
+    column.  The melted columns unify to their least-common-ancestor
+    type.  Pure map-side explode of an inline array<struct> — no
+    shuffle, rows multiply by ``len(cols)``."""
+    if table._partition_by:
+        raise ValueError("cannot use pivot_longer on a grouped table")
+    melt_uuids = [table._resolve_uuid(c) for c in cols]
+    if not melt_uuids:
+        raise ValueError("pivot_longer needs at least one column")
+    lca = table._cols[melt_uuids[0]]._dtype
+    for u in melt_uuids[1:]:
+        lca = tp.lca_type(lca, table._cols[u]._dtype)
+    keep = [u for u in table._select if u not in set(melt_uuids)]
+    spark_t = tp.to_spark_type(lca)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(table._cols[u].name).alias("n"),
+            F.col(phys(u)).cast(spark_t).alias("v"),
+        )
+        for u in melt_uuids
+    ])
+    name_c = _fresh_col(names_to, tp.String(), table._name)
+    val_c = _fresh_col(values_to, lca, table._name)
+    df = table._df.select(
+        "*", F.explode(pairs).alias("__melt")
+    ).withColumns({
+        phys(name_c.uuid): F.col("__melt.n"),
+        phys(val_c.uuid): F.col("__melt.v"),
+    }).drop("__melt")
+    out_cols: dict[_uuid.UUID, Col] = {u: table._cols[u] for u in keep}
+    out_cols[name_c.uuid] = name_c
+    out_cols[val_c.uuid] = val_c
+    select = keep + [name_c.uuid, val_c.uuid]
+    return Table._derived(df, out_cols, select, [], [], table._name)
 
 
 def _check_summarize_refs(e: ColExpr, group_uuids: set, nm: str):
