@@ -1598,6 +1598,67 @@ def q_full_join(spark, sf_dir):
 
 
 @_q("""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+ORDER BY c_custkey
+""")
+def q_semi_join(spark, sf_dir):
+    """semi_join extension verb — LeftSemi hash join, right columns
+    never materialize (operators/verbs.py semi_join)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    recent = o >> pdt.filter(o.o_orderdate >= pdt.lit(dt.datetime(1998, 1, 1)))
+    return (
+        cu
+        >> pdt.semi_join(recent, on=cu.c_custkey == recent.o_custkey)
+        >> pdt.select(cu.c_custkey, cu.c_name)
+        >> pdt.arrange(C.c_custkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+ORDER BY c_custkey
+""")
+def q_anti_join(spark, sf_dir):
+    """anti_join extension verb — LeftAnti, no null-flag column, row
+    never widens (operators/verbs.py anti_join)."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    recent = o >> pdt.filter(o.o_orderdate >= pdt.lit(dt.datetime(1998, 1, 1)))
+    return (
+        cu
+        >> pdt.anti_join(recent, on=cu.c_custkey == recent.o_custkey)
+        >> pdt.select(cu.c_custkey, cu.c_name)
+        >> pdt.arrange(C.c_custkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
+SELECT o_orderkey, unnest(string_split(o_orderpriority, '-')) AS piece
+FROM orders
+ORDER BY o_orderkey, piece
+""")
+def q_unnest(spark, sf_dir):
+    """unnest extension verb: list column → one row per element, a
+    map-side generator with no shuffle (operators/verbs.py unnest)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o
+        >> pdt.mutate(piece=o.o_orderpriority.str.split("-"))
+        >> pdt.unnest(C.piece)
+        >> pdt.select(o.o_orderkey, C.piece)
+        >> pdt.arrange(C.o_orderkey, C.piece)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
 SELECT a.r_name AS name_a, b.r_name AS name_b
 FROM region a CROSS JOIN region b
 WHERE a.r_regionkey <> b.r_regionkey

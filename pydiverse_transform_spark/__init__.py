@@ -75,6 +75,9 @@ from .operators.verbs import (  # noqa: F401
     cube,
     pivot_wider,
     pivot_longer,
+    semi_join,
+    anti_join,
+    unnest,
     transfer_col_references,
     ungroup,
     union,

@@ -706,6 +706,95 @@ def cross_join(left: Table, right: Table, *, suffix: str | None = None
     return _do_join(left, right, [], "inner", suffix=suffix)
 
 
+def _filtering_join(left: Table, right: Table, on, how: str) -> Table:
+    """Shared body of semi_join/anti_join: the output is the LEFT table
+    filtered by key existence — right columns never materialize, Spark
+    plans a LeftSemi/LeftAnti hash join (broadcast when the key side is
+    small) with no suffix/rename bookkeeping at all."""
+    if not isinstance(right, Table):
+        raise TypeError("join right side must be a Table")
+    if left._partition_by or right._partition_by:
+        raise ValueError("cannot join a grouped table; use summarize/"
+                         "ungroup first")
+    if set(left._cols) & set(right._cols):
+        raise ValueError(
+            "the two tables share columns (self-join or common ancestor); "
+            "apply `>> alias()` to one side first"
+        )
+    if on is None:
+        on = []
+    if not isinstance(on, list):
+        on = [on]
+    on = [
+        left[p] == right[p] if isinstance(p, str) else wrap_literal(p)
+        for p in on
+    ]
+    if not on:
+        raise ValueError("semi/anti join requires at least one condition")
+    combined_cols = {**left._cols, **right._cols}
+    combined_n2u = dict(right._name2uuid())
+    for k, v in left._name2uuid().items():
+        if k in combined_n2u:
+            del combined_n2u[k]
+        else:
+            combined_n2u[k] = v
+    scope = Scope(combined_cols, combined_n2u, [])
+    prepared = [prepare(p, scope, "join") for p in on]
+    for p in prepared:
+        if not isinstance(p._dtype, tp.Bool):
+            raise TypeError("join conditions must have boolean type")
+    ctx = CompileCtx()
+    cond = functools.reduce(
+        _py_op.and_, [compile_expr(p, ctx) for p in prepared]
+    )
+    df = left._df.join(right._df, on=cond, how=how)
+    return Table._derived(
+        df, dict(left._cols), list(left._select), [], left._order,
+        left._name,
+    )
+
+
+@verb
+def semi_join(left: Table, right: Table, on=None) -> Table:
+    """Keep left rows with at least one match in ``right`` (extension
+    verb — the explicit form of the filter the reference writes as
+    ``join + distinct``).  Right columns are not added; compiles to a
+    LeftSemi hash join, broadcast when the key side is small."""
+    return _filtering_join(left, right, on, "leftsemi")
+
+
+@verb
+def anti_join(left: Table, right: Table, on=None) -> Table:
+    """Keep left rows with NO match in ``right`` (extension verb — the
+    planful form of ``left_join + filter(is_null)``: LeftAnti needs no
+    null-flag column and never widens the row)."""
+    return _filtering_join(left, right, on, "leftanti")
+
+
+@verb
+def unnest(table: Table, col, *, keep_empty: bool = False) -> Table:
+    """Explode a list column into one row per element (extension verb).
+    The exploded column keeps its visible name but becomes
+    element-typed; other columns repeat.  ``keep_empty=True`` keeps
+    rows with empty/NULL lists (element becomes NULL), matching
+    ``explode_outer``.  Map-side generator — no shuffle; row order and
+    grouping state are dropped (row count changes)."""
+    if table._partition_by:
+        raise ValueError("cannot use unnest on a grouped table")
+    u = table._resolve_uuid(col)
+    old = table._cols[u]
+    if not isinstance(old._dtype, tp.List):
+        raise TypeError(
+            f"unnest needs a list column, `{old.name}` is {old._dtype!r}"
+        )
+    fn = F.explode_outer if keep_empty else F.explode
+    new = _fresh_col(old.name, old._dtype.inner, table._name)
+    df = table._df.withColumn(phys(new.uuid), fn(F.col(phys(u))))
+    cols = {**table._cols, new.uuid: new}
+    select = [new.uuid if s == u else s for s in table._select]
+    return Table._derived(df, cols, select, [], [], table._name)
+
+
 @verb
 def union(left: Table, right: Table, *, distinct: bool = False) -> Table:
     """Vertical concatenation: UNION ALL (or UNION with distinct=True).

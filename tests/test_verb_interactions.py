@@ -382,3 +382,71 @@ def test_rollup_output_composes_with_verbs(spark, sf_dir):
         >> pdt.export(pdt.ListOfRows)
     )
     assert out == expected and len(out) > 0
+
+
+def test_semi_anti_join_theta(spark, con, tbl):
+    """semi/anti with a theta condition; anti must keep NULL-key rows
+    (NULL = anything is unknown, never a match)."""
+    t1 = tbl("df1")
+    t2 = tbl("df2")
+    semi = (
+        t1
+        >> pdt.semi_join(t2, on=[t1.col1 == t2.col1, t2.col3 > 1.0])
+        >> pdt.select(t1.col1, t1.col2)
+    )
+    _check(con, semi, """
+        SELECT a.col1, a.col2 FROM df1 a
+        WHERE EXISTS (SELECT 1 FROM df2 b
+                      WHERE a.col1 = b.col1 AND b.col3 > 1.0)
+    """, "semi_theta")
+    anti = (
+        t1
+        >> pdt.anti_join(t2, on=[t1.col1 == t2.col1, t2.col3 > 1.0])
+        >> pdt.select(t1.col1, t1.col2)
+    )
+    _check(con, anti, """
+        SELECT a.col1, a.col2 FROM df1 a
+        WHERE NOT EXISTS (SELECT 1 FROM df2 b
+                          WHERE a.col1 = b.col1 AND b.col3 > 1.0)
+    """, "anti_theta")
+
+
+def test_semi_join_preserves_order_for_window(spark, con, tbl):
+    """A filtering join is a row filter: the left order survives, so a
+    following window op needs no re-arrange."""
+    t1 = tbl("df1")
+    t2 = tbl("df2")
+    out = (
+        t1
+        >> pdt.arrange(t1.col1)
+        >> pdt.semi_join(t2, on=t1.col1 == t2.col1)
+        >> pdt.mutate(prev=t1.col2.shift(1))
+        >> pdt.select(t1.col1, t1.col2, pdt.C.prev)
+    )
+    _check(con, out, """
+        SELECT col1, col2,
+               lag(col2) OVER (ORDER BY col1) AS prev
+        FROM df1 a
+        WHERE EXISTS (SELECT 1 FROM df2 b WHERE a.col1 = b.col1)
+    """, "semi_order")
+
+
+def test_unnest_keep_empty(spark):
+    df = pdt.from_dict(spark, {
+        "id": [1, 2, 3],
+        "xs": [[10, 20], [], None],
+    }, name="u")
+    dropped = [(r["id"], r["xs"]) for r in
+               (df >> pdt.unnest(df.xs) >> pdt.export(pdt.ListOfRows))]
+    assert sorted(dropped) == [(1, 10), (1, 20)]
+    kept = [(r["id"], r["xs"]) for r in
+            (df >> pdt.unnest(df.xs, keep_empty=True)
+                >> pdt.export(pdt.ListOfRows))]
+    assert sorted(kept, key=lambda r: (r[0], r[1] is None, r[1] or 0)) == \
+        [(1, 10), (1, 20), (2, None), (3, None)]
+
+
+def test_unnest_type_error(spark, tbl):
+    t1 = tbl("df1")
+    with pytest.raises(TypeError, match="list column"):
+        t1 >> pdt.unnest(t1.col1)
