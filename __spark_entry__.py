@@ -190,26 +190,22 @@ GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """)
 def q04_order_priority(spark, sf_dir):
-    """Semi-join expressed as join + distinct (no EXISTS verb in the
-    reference surface)."""
+    """EXISTS as a true semi-join (LeftSemi with a theta residual): no
+    row multiplication, so the join+distinct workaround — and its extra
+    dedup shuffle — disappears."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    matched = (
+    return (
         o
         >> pdt.filter(
             o.o_orderdate >= pdt.lit(dt.datetime(1997, 1, 1)),
             o.o_orderdate < pdt.lit(dt.datetime(1997, 10, 1)),
         )
-        >> pdt.inner_join(
+        >> pdt.semi_join(
             li,
             on=[li.l_orderkey == o.o_orderkey, li.l_shipdate > o.o_orderdate],
         )
-        >> pdt.select(o.o_orderkey, o.o_orderpriority)
-        >> pdt.distinct()
-    )
-    return (
-        matched
-        >> pdt.group_by(matched.o_orderpriority)
+        >> pdt.group_by(o.o_orderpriority)
         >> pdt.summarize(order_count=pdt.count())
         >> pdt.arrange(C.o_orderpriority)
         >> pdt.export(pdt.Spark)
@@ -661,7 +657,6 @@ def q22_sales_opportunity(spark, sf_dir):
         o
         >> pdt.filter(o.o_orderdate >= pdt.lit(dt.datetime(2001, 1, 1)))
         >> pdt.select(o.o_custkey)
-        >> pdt.distinct()
     )
     return (
         cu
@@ -670,8 +665,7 @@ def q22_sales_opportunity(spark, sf_dir):
             .otherwise(pdt.lit(None, pdt.Float64())).mean()
         )
         >> pdt.filter(cu.c_acctbal > C.avg_bal)
-        >> pdt.left_join(recent, on=cu.c_custkey == recent.o_custkey)
-        >> pdt.filter(recent.o_custkey.is_null())
+        >> pdt.anti_join(recent, on=cu.c_custkey == recent.o_custkey)
         >> pdt.inner_join(n, on=cu.c_nationkey == n.n_nationkey)
         >> pdt.group_by(n.n_name)
         >> pdt.summarize(
@@ -873,8 +867,7 @@ def q16_supplier_cnt(spark, sf_dir):
             p.p_size.is_in(1, 4, 9, 14, 23, 36, 45, 49),
         )
         >> pdt.inner_join(li, on=p.p_partkey == li.l_partkey)
-        >> pdt.left_join(bad, on=li.l_suppkey == bad.s_suppkey)
-        >> pdt.filter(bad.s_suppkey.is_null())
+        >> pdt.anti_join(bad, on=li.l_suppkey == bad.s_suppkey)
         >> pdt.group_by(p.p_brand, p.p_type, p.p_size)
         >> pdt.summarize(supplier_cnt=li.l_suppkey.n_distinct())
         >> pdt.arrange(C.supplier_cnt.descending(), C.p_brand, C.p_type,
