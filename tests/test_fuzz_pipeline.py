@@ -181,10 +181,36 @@ class PipelineGen:
         self.rid_unique = False
         return True
 
+    def step_semi_anti(self):
+        """semi/anti join against a filtered base table on an int-column
+        equality — exercises the filtering joins' NULL semantics (NULL
+        keys never match, so anti KEEPS them) mid-pipeline."""
+        pools = _pools(self.t)
+        if not pools["int"]:
+            return False
+        key = self.rng.choice(pools["int"])
+        base = pdt.from_dict(
+            self.t._df.sparkSession, PFUZZ, name=f"f{self.k}"
+        ) >> pdt.alias(f"f{self.k}")
+        self.k += 1
+        m = self.rng.choice([2, 3, 5])
+        r = self.rng.randint(0, m - 1)
+        sub = base >> pdt.filter((base.ib % m) == r)
+        how = self.rng.choice(["semi", "anti"])
+        verb = pdt.semi_join if how == "semi" else pdt.anti_join
+        self.t = self.t >> verb(sub, on=key == sub.ia)
+        op = "EXISTS" if how == "semi" else "NOT EXISTS"
+        self.sql = (
+            f"SELECT * FROM ({self.sql}) a WHERE {op} "
+            f"(SELECT 1 FROM pfuzz b WHERE a.{key.name} = b.ia "
+            f"AND b.ib % {m} = {r})"
+        )
+        return True
+
     def run(self, n_steps):
         steps = [self.step_mutate, self.step_filter,
                  self.step_arrange_slice, self.step_group_summarize,
-                 self.step_join_base]
+                 self.step_join_base, self.step_semi_anti]
         for _ in range(n_steps):
             step = self.rng.choice(steps)
             step()
