@@ -1817,6 +1817,33 @@ def q_agg_extras(spark, sf_dir):
 
 
 @_q("""
+SELECT c_nationkey,
+       arg_min(c_name, c_custkey)                  AS first_name,
+       arg_max(c_name, c_custkey)                  AS last_name,
+       round(arg_max(c_acctbal, c_custkey), 6)     AS last_bal
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""")
+def q_arg_minmax(spark, sf_dir):
+    """Value-at-extremum aggregates (min_by/max_by): one hash-agg, same
+    single-shuffle shape as min/max.  The by-key (c_custkey) is unique,
+    so ties cannot occur and both engines agree exactly."""
+    cu = _t(spark, sf_dir, "customer")
+    return (
+        cu
+        >> pdt.group_by(cu.c_nationkey)
+        >> pdt.summarize(
+            first_name=cu.c_name.arg_min(cu.c_custkey),
+            last_name=cu.c_name.arg_max(cu.c_custkey),
+            last_bal=cu.c_acctbal.arg_max(cu.c_custkey).round(6),
+        )
+        >> pdt.arrange(C.c_nationkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
 SELECT n_regionkey,
        string_agg(n_name, ',' ORDER BY n_name)          AS names_asc,
        string_agg(n_name, '|' ORDER BY n_nationkey DESC) AS names_by_key_desc,

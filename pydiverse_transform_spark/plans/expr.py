@@ -323,6 +323,17 @@ class ColExpr:
     def max(self, *, partition_by=None, filter=None):
         return _fn("max", self, partition_by=partition_by, filter=filter)
 
+    def arg_min(self, by, *, partition_by=None, filter=None):
+        """The value of ``self`` on the row where ``by`` is minimal
+        (ties engine-arbitrary; null ``by`` keys are ignored)."""
+        return _fn("arg_min", self, by, partition_by=partition_by,
+                   filter=filter)
+
+    def arg_max(self, by, *, partition_by=None, filter=None):
+        """The value of ``self`` on the row where ``by`` is maximal."""
+        return _fn("arg_max", self, by, partition_by=partition_by,
+                   filter=filter)
+
     def mean(self, *, partition_by=None, filter=None):
         return _fn("mean", self, partition_by=partition_by, filter=filter)
 

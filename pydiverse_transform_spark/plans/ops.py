@@ -480,6 +480,13 @@ def _agg_sum(node, args):
 
 _reg("min", FTYPE_AGGREGATE, _infer_agg_same, agg=lambda n, a: F.min(a[0]))
 _reg("max", FTYPE_AGGREGATE, _infer_agg_same, agg=lambda n, a: F.max(a[0]))
+# value-at-extremum: x.arg_min(by) = the x of the row minimizing `by`
+# (F.min_by/max_by — single hash-agg, same shuffle shape as min/max;
+# ties are engine-arbitrary, so oracle checks use unique keys)
+_reg("arg_min", FTYPE_AGGREGATE, _infer_agg_same,
+     agg=lambda n, a: F.min_by(a[0], a[1]))
+_reg("arg_max", FTYPE_AGGREGATE, _infer_agg_same,
+     agg=lambda n, a: F.max_by(a[0], a[1]))
 _reg("mean", FTYPE_AGGREGATE, _infer_mean, agg=lambda n, a: F.avg(a[0]))
 _reg("sum", FTYPE_AGGREGATE, _infer_sum, agg=_agg_sum)
 _reg("any", FTYPE_AGGREGATE, _infer_bool, agg=lambda n, a: F.bool_or(a[0]))

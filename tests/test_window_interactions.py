@@ -287,3 +287,32 @@ def test_n_distinct_in_mutate_window(spark, con, tbl):
                    OVER (PARTITION BY col3) AS nd_filt
         FROM df4
     """, "n_distinct_window")
+
+
+def test_arg_minmax_window_and_agg(spark, con, tbl):
+    """arg_min/arg_max in summarize and as a window over the ambient
+    grouping; rid-unique by-keys so ties cannot occur."""
+    t = tbl("df4")
+    agg = (
+        t
+        >> pdt.group_by(t.col3)
+        >> pdt.summarize(
+            lo=t.col2.arg_min(t.col4),
+            hi=t.col2.arg_max(t.col4),
+        )
+    )
+    _check(con, agg, """
+        SELECT col3, arg_min(col2, col4) AS lo, arg_max(col2, col4) AS hi
+        FROM df4 GROUP BY col3
+    """, "arg_minmax_agg")
+    win = (
+        t
+        >> pdt.group_by(t.col3)
+        >> pdt.mutate(w=t.col2.arg_max(t.col4))
+        >> pdt.ungroup()
+        >> pdt.select("col4", "w")
+    )
+    _check(con, win, """
+        SELECT col4, arg_max(col2, col4) OVER (PARTITION BY col3) AS w
+        FROM df4
+    """, "arg_minmax_window")
