@@ -1421,7 +1421,9 @@ SELECT o_orderkey, o_custkey,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-                                                             AS cum_spend
+                                                             AS cum_spend,
+       round(percent_rank() OVER w, 6)                       AS pr,
+       ntile(4) OVER w                                       AS quartile
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """)
@@ -1438,10 +1440,13 @@ def q_window_ops(spark, sf_dir):
             prev_price=o.o_totalprice.shift(1, arrange=key),
             next_price=o.o_totalprice.shift(-1, arrange=key),
             cum_spend=o.o_totalprice.cum_sum(arrange=key).round(6),
+            pr=pdt.percent_rank(arrange=key).round(6),
+            quartile=pdt.ntile(4, arrange=key),
         )
         >> pdt.ungroup()
         >> pdt.select(o.o_orderkey, o.o_custkey, C.rn, C.rnk, C.drnk,
-                      C.prev_price, C.next_price, C.cum_spend)
+                      C.prev_price, C.next_price, C.cum_spend, C.pr,
+                      C.quartile)
         >> pdt.export(pdt.Spark)
     )
 

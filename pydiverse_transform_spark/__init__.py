@@ -28,6 +28,8 @@ from .functions import (  # noqa: F401
     coalesce,
     count,
     dense_rank,
+    ntile,
+    percent_rank,
     lit,
     max,
     min,

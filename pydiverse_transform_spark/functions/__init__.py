@@ -49,6 +49,20 @@ def dense_rank(*, arrange, partition_by=None) -> ColFn:
     return ColFn("dense_rank", arrange=arrange, partition_by=partition_by)
 
 
+def percent_rank(*, arrange, partition_by=None) -> ColFn:
+    """(rank - 1) / (rows in partition - 1), in [0, 1] — the exact
+    quantile position, for percentile-based filtering."""
+    return ColFn("percent_rank", arrange=arrange, partition_by=partition_by)
+
+
+def ntile(n: int, *, arrange, partition_by=None) -> ColFn:
+    """Bucket 1..n by position within the ordered partition."""
+    from ..plans.expr import wrap_literal
+
+    return ColFn("ntile", wrap_literal(n), arrange=arrange,
+                 partition_by=partition_by)
+
+
 def rand() -> ColFn:
     return ColFn("rand")
 

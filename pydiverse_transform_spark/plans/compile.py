@@ -434,6 +434,10 @@ def _compile_window(e: ColFn, op, ctx: CompileCtx) -> Column:
         return F.rank().over(w).cast("long")
     if e.op == "dense_rank":
         return F.dense_rank().over(w).cast("long")
+    if e.op == "percent_rank":
+        return F.percent_rank().over(w)
+    if e.op == "ntile":
+        return F.ntile(e.args[0].val).over(w).cast("long")
     if e.op == "cum_sum":
         x = compile_expr(e.args[0], ctx)
         if isinstance(e.args[0]._dtype, tp.Bool):

@@ -575,6 +575,9 @@ _reg("shift", FTYPE_WINDOW, _infer_shift, needs_order=True)
 _reg("row_number", FTYPE_WINDOW, lambda n: tp.Int64(), needs_order=True)
 _reg("rank", FTYPE_WINDOW, lambda n: tp.Int64(), needs_order=True)
 _reg("dense_rank", FTYPE_WINDOW, lambda n: tp.Int64(), needs_order=True)
+_reg("percent_rank", FTYPE_WINDOW, lambda n: tp.Float64(),
+     needs_order=True)
+_reg("ntile", FTYPE_WINDOW, lambda n: tp.Int64(), needs_order=True)
 _reg("cum_sum", FTYPE_WINDOW, _infer_sum, needs_order=True)
 
 

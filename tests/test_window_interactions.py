@@ -316,3 +316,26 @@ def test_arg_minmax_window_and_agg(spark, con, tbl):
         SELECT col4, arg_max(col2, col4) OVER (PARTITION BY col3) AS w
         FROM df4
     """, "arg_minmax_window")
+
+
+def test_percent_rank_ntile(spark, con, tbl):
+    """percent_rank 0 for single-row partitions; ntile split matches
+    DuckDB when the order is total (rid tie-break)."""
+    t = tbl("df4")
+    out = (
+        t
+        >> pdt.group_by(t.col3)
+        >> pdt.mutate(
+            pr=pdt.percent_rank(arrange=[t.col4]),
+            tile=pdt.ntile(3, arrange=[t.col4]),
+        )
+        >> pdt.ungroup()
+        >> pdt.select("col4", "pr", "tile")
+    )
+    _check(con, out, """
+        SELECT col4,
+               percent_rank() OVER w AS pr,
+               ntile(3) OVER w AS tile
+        FROM df4
+        WINDOW w AS (PARTITION BY col3 ORDER BY col4 NULLS FIRST)
+    """, "percent_rank_ntile")
