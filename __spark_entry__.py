@@ -3336,6 +3336,33 @@ def q_theta_join(spark, sf_dir):
 
 
 @_q("""
+SELECT o_orderkey, o_custkey,
+       round(max(o_totalprice) OVER w, 6) AS run_max,
+       round(min(o_totalprice) OVER w, 6) AS run_min
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""")
+def q_cum_extrema(spark, sf_dir):
+    """Running max/min per customer in order-date order (extension
+    window ops cum_max/cum_min — same single-shuffle frame as
+    cum_sum)."""
+    o = _t(spark, sf_dir, "orders")
+    key = [C.o_orderdate, C.o_orderkey]
+    return (
+        o
+        >> pdt.group_by(o.o_custkey)
+        >> pdt.mutate(
+            run_max=o.o_totalprice.cum_max(arrange=key).round(6),
+            run_min=o.o_totalprice.cum_min(arrange=key).round(6),
+        )
+        >> pdt.ungroup()
+        >> pdt.select(o.o_orderkey, o.o_custkey, C.run_max, C.run_min)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
 SELECT o_custkey, o_totalprice, mn, mx, round(span, 6) AS span
 FROM (
     SELECT o_custkey, o_totalprice,

@@ -444,4 +444,9 @@ def _compile_window(e: ColFn, op, ctx: CompileCtx) -> Column:
             x = x.cast("long")
         frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         return F.sum(x).over(frame)
+    if e.op in ("cum_max", "cum_min"):
+        x = compile_expr(e.args[0], ctx)
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        fn = F.max if e.op == "cum_max" else F.min
+        return fn(x).over(frame)
     raise ValueError(f"unknown window op `{e.op}`")

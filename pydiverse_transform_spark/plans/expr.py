@@ -397,6 +397,14 @@ class ColExpr:
     def cum_sum(self, *, partition_by=None, arrange=None):
         return _fn("cum_sum", self, partition_by=partition_by, arrange=arrange)
 
+    def cum_max(self, *, partition_by=None, arrange=None):
+        """Running maximum over the ordered partition (extension op)."""
+        return _fn("cum_max", self, partition_by=partition_by, arrange=arrange)
+
+    def cum_min(self, *, partition_by=None, arrange=None):
+        """Running minimum over the ordered partition (extension op)."""
+        return _fn("cum_min", self, partition_by=partition_by, arrange=arrange)
+
     # ---- ordering markers ------------------------------------------------
     def ascending(self):
         return Order(self, descending=False)

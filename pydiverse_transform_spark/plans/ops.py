@@ -579,6 +579,8 @@ _reg("percent_rank", FTYPE_WINDOW, lambda n: tp.Float64(),
      needs_order=True)
 _reg("ntile", FTYPE_WINDOW, lambda n: tp.Int64(), needs_order=True)
 _reg("cum_sum", FTYPE_WINDOW, _infer_sum, needs_order=True)
+_reg("cum_max", FTYPE_WINDOW, _infer_agg_same, needs_order=True)
+_reg("cum_min", FTYPE_WINDOW, _infer_agg_same, needs_order=True)
 
 
 # =============================================================================

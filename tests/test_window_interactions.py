@@ -339,3 +339,23 @@ def test_percent_rank_ntile(spark, con, tbl):
         FROM df4
         WINDOW w AS (PARTITION BY col3 ORDER BY col4 NULLS FIRST)
     """, "percent_rank_ntile")
+
+
+def test_cum_extrema(spark, con, tbl):
+    t = tbl("df4")
+    out = (
+        t
+        >> pdt.group_by(t.col3)
+        >> pdt.mutate(
+            cmx=t.col1.cum_max(arrange=[t.col4]),
+            cmn=t.col1.cum_min(arrange=[t.col4]),
+        )
+        >> pdt.ungroup()
+        >> pdt.select("col4", "cmx", "cmn")
+    )
+    _check(con, out, """
+        SELECT col4, max(col1) OVER w AS cmx, min(col1) OVER w AS cmn
+        FROM df4
+        WINDOW w AS (PARTITION BY col3 ORDER BY col4 NULLS FIRST
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """, "cum_extrema")
