@@ -1849,6 +1849,39 @@ def q_arg_minmax(spark, sf_dir):
 
 
 @_q("""
+SELECT o_custkey,
+       first(o_totalprice ORDER BY o_orderdate, o_orderkey)
+         AS first_total,
+       last(o_orderpriority ORDER BY o_orderdate, o_orderkey)
+         AS last_prio,
+       first(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)
+         AS biggest_order
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""")
+def q_first_last(spark, sf_dir):
+    """Ordered first/last aggregates — collect_list(struct)+array_sort,
+    JVM-side, deterministic because the arrange key is made total with
+    the unique o_orderkey tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    key = [C.o_orderdate, C.o_orderkey]
+    return (
+        o
+        >> pdt.group_by(o.o_custkey)
+        >> pdt.summarize(
+            first_total=o.o_totalprice.first(arrange=key),
+            last_prio=o.o_orderpriority.last(arrange=key),
+            biggest_order=o.o_orderkey.first(
+                arrange=[C.o_totalprice.descending(), C.o_orderkey]
+            ),
+        )
+        >> pdt.arrange(C.o_custkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
 SELECT n_regionkey,
        string_agg(n_name, ',' ORDER BY n_name)          AS names_asc,
        string_agg(n_name, '|' ORDER BY n_nationkey DESC) AS names_by_key_desc,

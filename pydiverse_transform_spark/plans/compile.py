@@ -334,7 +334,7 @@ def _order_cols(e: ColFn, ctx: CompileCtx) -> list[Column]:
 # --- aggregates ---------------------------------------------------------------
 
 def _compile_agg(e: ColFn, op, ctx: CompileCtx) -> Column:
-    if e.op in ("str_join", "list_agg"):
+    if e.op in ("str_join", "list_agg", "first", "last"):
         return _compile_ordered_agg(e, ctx)
     args = [compile_expr(a, ctx) for a in e.args]
     if e.filter is not None:
@@ -389,6 +389,12 @@ def _compile_ordered_agg(e: ColFn, ctx: CompileCtx) -> Column:
     of the reference's ordered aggregation, backend/sql.py:284-288)."""
     value = compile_expr(e.args[0], ctx)
     orders = e.arrange or []
+    if not orders and e.op in ("first", "last"):
+        raise ValueError(
+            f"`{e.op}` requires `arrange=` — without an order the result "
+            "would depend on partition layout (Spark DataFrames have no "
+            "intrinsic row order)"
+        )
     fields = [
         compile_expr(o.expr, ctx).alias(f"k{i}") for i, o in enumerate(orders)
     ]
@@ -409,6 +415,13 @@ def _compile_ordered_agg(e: ColFn, ctx: CompileCtx) -> Column:
     if e.op == "str_join":
         delim = e.args[1].val
         return F.array_join(vals, delim)
+    if e.op == "first":
+        # struct elements are never null, so null VALUES survive the
+        # collect (unlike a bare collect_list) — polars first/last
+        # semantics
+        return F.element_at(vals, 1)
+    if e.op == "last":
+        return F.element_at(vals, -1)
     return vals
 
 

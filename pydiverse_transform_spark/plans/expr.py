@@ -394,6 +394,17 @@ class ColExpr:
             partition_by=partition_by,
         )
 
+    def first(self, *, partition_by=None, arrange=None, filter=None):
+        """Value on the first row of the ``arrange=`` order (ordered
+        aggregate, extension op; nulls are kept, polars semantics)."""
+        return _fn("first", self, partition_by=partition_by,
+                   arrange=arrange, filter=filter)
+
+    def last(self, *, partition_by=None, arrange=None, filter=None):
+        """Value on the last row of the ``arrange=`` order."""
+        return _fn("last", self, partition_by=partition_by,
+                   arrange=arrange, filter=filter)
+
     def cum_sum(self, *, partition_by=None, arrange=None):
         return _fn("cum_sum", self, partition_by=partition_by, arrange=arrange)
 

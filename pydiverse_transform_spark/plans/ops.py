@@ -520,6 +520,10 @@ _reg("approx_quantile", FTYPE_AGGREGATE, _infer_float,
 # collect_list(struct(keys..., v)) -> array_sort(comparator) -> transform.
 _reg("str_join", FTYPE_AGGREGATE, _infer_string, agg=None)
 _reg("list_agg", FTYPE_AGGREGATE, lambda n: tp.List(_dt(n)), agg=None)
+# ordered positional aggregates: the value on the first/last row of the
+# arrange= order (nulls kept — collect_list(struct) never drops rows)
+_reg("first", FTYPE_AGGREGATE, _infer_agg_same, agg=None)
+_reg("last", FTYPE_AGGREGATE, _infer_agg_same, agg=None)
 
 
 # --- element-wise list ops (extensions beyond the reference) ----------------

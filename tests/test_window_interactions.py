@@ -359,3 +359,38 @@ def test_cum_extrema(spark, con, tbl):
         WINDOW w AS (PARTITION BY col3 ORDER BY col4 NULLS FIRST
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """, "cum_extrema")
+
+
+def test_first_last_ordered(spark, con, tbl):
+    """Ordered first/last keep null VALUES (struct-wrapped collect) and
+    work as windows over the ambient grouping; bare first() raises."""
+    t = tbl("df4")
+    agg = (
+        t
+        >> pdt.group_by(t.col3)
+        >> pdt.summarize(
+            f=t.col2.first(arrange=[t.col4.nulls_first()]),
+            l=t.col2.last(arrange=[t.col4.nulls_first()]),
+        )
+    )
+    _check(con, agg, """
+        SELECT col3,
+               first(col2 ORDER BY col4 NULLS FIRST) AS f,
+               last(col2 ORDER BY col4 NULLS FIRST) AS l
+        FROM df4 GROUP BY col3
+    """, "first_last_agg")
+    win = (
+        t
+        >> pdt.group_by(t.col3)
+        >> pdt.mutate(f=t.col2.first(arrange=[t.col4.nulls_first()]))
+        >> pdt.ungroup()
+        >> pdt.select("col4", "f")
+    )
+    _check(con, win, """
+        SELECT a.col4, b.f FROM df4 a JOIN (
+            SELECT col3, first(col2 ORDER BY col4 NULLS FIRST) AS f
+            FROM df4 GROUP BY col3
+        ) b ON a.col3 IS NOT DISTINCT FROM b.col3
+    """, "first_last_window")
+    with pytest.raises(ValueError, match="requires `arrange="):
+        t >> pdt.summarize(f=t.col2.first()) >> pdt.export(pdt.Spark)
