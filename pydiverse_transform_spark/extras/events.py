@@ -1,9 +1,9 @@
 """Event-stream batch operators: loader, sessionization, window rollups.
 
-The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-vectorized parquet reader rejects; ``load_events`` flips the
-``nanosAsLong`` switch and rebuilds an exact TIMESTAMP_NTZ (wall-clock,
-timezone-independent) from the integer nanoseconds.
+``load_events`` schema-sniffs the physical encoding of ``ts`` in
+events.parquet (nanosecond int64 via ``nanosAsLong``, or native
+``timestamp[us]``) and normalizes to an exact TIMESTAMP_NTZ
+(wall-clock, timezone-independent) either way.
 """
 
 from __future__ import annotations
@@ -58,12 +58,27 @@ def epoch_us(ts: Column) -> Column:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet with ``ts`` as TIMESTAMP_NTZ (µs, truncated from ns,
-    matching what µs-native engines see)."""
+    """events.parquet with ``ts`` normalized to TIMESTAMP_NTZ (µs).
+
+    The testdata has shipped ``ts`` in two physical encodings across
+    driver versions — TIMESTAMP(NANOS), which Spark's vectorized reader
+    only surfaces as an int64 via ``nanosAsLong``, and plain
+    ``timestamp[us]`` — so we sniff the schema instead of assuming:
+
+    * LongType       → nanosecond integers; truncate ns→µs and rebuild
+                       an exact TIMESTAMP_NTZ (what µs-native engines see);
+    * Timestamp(NTZ) → already wall-clock µs; cast to TIMESTAMP_NTZ so
+                       downstream arithmetic is session-timezone-free.
+    """
+    from pyspark.sql.types import LongType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    us = _div(F.col("ts"), F.lit(1000))
-    return df.withColumn("ts", ntz_from_epoch_us(us))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        us = _div(F.col("ts"), F.lit(1000))
+        return df.withColumn("ts", ntz_from_epoch_us(us))
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def sessionize(df: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
