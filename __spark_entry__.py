@@ -1790,8 +1790,8 @@ SELECT l_returnflag,
        count(l_orderkey)                 AS v_count_col,
        count(*)                          AS v_count_star,
        count(*) FILTER (WHERE l_quantity > 25.0)           AS v_count_filt,
-       round(coalesce(sum(l_extendedprice)
-             FILTER (WHERE l_discount > 0.05), 0.0), 6)    AS v_sum_filt
+       round(coalesce(cast(sum(cast(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_discount > 0.05) AS DOUBLE), 0.0), 6) AS v_sum_filt
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -1813,7 +1813,11 @@ def q_agg_extras(spark, sf_dir):
             v_count_col=li.l_orderkey.count(),
             v_count_star=pdt.count(),
             v_count_filt=pdt.count(filter=li.l_quantity > 25.0),
-            v_sum_filt=li.l_extendedprice.sum(filter=li.l_discount > 0.05)
+            # sum as DECIMAL: exact and summation-order-independent, so the
+            # 32-way partial agg hashes identically to any oracle engine
+            # (a double sum differs by ~1e-6 after 30k additions)
+            v_sum_filt=li.l_extendedprice.cast(pdt.Decimal(18, 2))
+            .sum(filter=li.l_discount > 0.05).cast(pdt.Float64())
             .fill_null(pdt.lit(0.0)).round(6),
         )
         >> pdt.arrange(C.l_returnflag)
@@ -2471,7 +2475,7 @@ def q_embedding_neardup(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_neardup_pairs(emb, threshold=0.35,
-                                              n_planes=4)
+                                              n_planes=4, dim=64)
 
 
 def _ivf_sql() -> str:
@@ -3847,9 +3851,53 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# The driver verifies the first N registered queries per round (N=50 in
+# rounds 1-2).  Round 2 verified 49 TPC-H/core queries green; the extras/
+# events/streaming layer never got a driver row.  Order the registry so
+# the unverified queries come first (most-critical buckets leading) and
+# the already-green ones last — every query stays registered either way.
+_VERIFY_FIRST = [
+    # round-2 hash mismatch, fixed this round — re-verify first
+    "q_agg_extras",
+    # events / asof / interval / streaming (blocked by the r2 loader bug)
+    "q_sessionize", "q_sessionize_scalable", "q_tumbling_agg",
+    "q_asof_join", "q_asof_join_scalable", "q_interval_join",
+    "q_heavy_hitters", "q_events_json_props", "q_events_window_dsl",
+    "q_events_by_type", "q_shift_fill",
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_stream_interval_join",
+    # dedup / near-dup / decontamination
+    "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard",
+    "q_char_shingle_jaccard", "q_simhash", "q_neardup_clusters",
+    "q_neardup_corpus", "q_decontaminate",
+    # similarity search
+    "q_cosine_topk", "q_signlsh_topk", "q_embedding_neardup", "q_ivf_topk",
+    # text analysis / chunking / packing / sampling
+    "q_doc_stats", "q_doc_agg", "q_bpe_tokens", "q_chunk_text",
+    "q_repetition_ratio", "q_redact_pii", "q_pack_sequences",
+    "q_hash_sample", "q_hash_split", "q_stratified_sample",
+    "q_weighted_mix", "q_topk_per_group",
+    # core-verb / aggregate gaps without a driver row
+    "q_rollup", "q_cube", "q_str_join_agg", "q_list_agg",
+    "q_list_agg_rendered", "q_approx_sketches", "q_decimal_agg",
+    "q_media_decode_features", "q_map_groups_zscore",
+    "q_map_batches_tokens", "q_validate_join", "q_theta_join",
+    "q_agg_filter_kwarg", "q_union_all", "q_union_rename",
+    "q_collect_mid", "q_eval_aligned", "q_cum_extrema",
+    "q_window_chained", "q_chained_summarize", "q_cast_roundtrip",
+    "q_map_month", "q_datetime_fine",
+]
+
+
+def _ordered(reg: dict) -> dict:
+    front = [n for n in _VERIFY_FIRST if n in reg]
+    rest = [n for n in reg if n not in set(front)]
+    return {n: reg[n] for n in [*front, *rest]}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLE)
+    return _ordered(_ORACLE)

@@ -84,14 +84,20 @@ def main():
     except ValueError:
         sf_val = None
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    })
+    # Stop the JVM *before* printing so no stray Spark log line (they can
+    # end up on stdout) lands after the metric line — the driver parses
+    # the last stdout line as JSON.
     spark.stop()
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

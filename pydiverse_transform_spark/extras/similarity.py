@@ -53,6 +53,19 @@ def _qlit(query_vec: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in query_vec])
 
 
+def _require_dim(dim: int | None, vec_col: str) -> int:
+    """Spark's ArrayType carries no element count, and sniffing it with a
+    ``.first()`` would trigger a Spark job at plan-BUILD time (a hidden
+    driver round-trip on a 100-TB table).  Make the caller state it."""
+    if dim is None:
+        raise ValueError(
+            f"dim= is required: the length of {vec_col!r} cannot be read "
+            "from the schema (ArrayType has no element count) and will "
+            "not be sniffed with a driver-side action at plan-build time"
+        )
+    return int(dim)
+
+
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id"
                 ) -> DataFrame:
@@ -111,9 +124,7 @@ def write_bucketed(df: DataFrame, path: str, vec_col: str = "embedding",
     PARTITION column, so a query probes only its bucket's files (real
     partition pruning at the scan, ~1/2^n_planes of the data) instead of
     computing buckets over a full scan per query."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes)
+    planes = hyperplanes(_require_dim(dim, vec_col), n_planes)
     (
         df.withColumn("bucket", signlsh_bucket(F.col(vec_col), planes))
         .write.mode("overwrite")
@@ -161,9 +172,7 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
     At 100 TB: the join shuffles on the bucket id (2^n_planes uniform-ish
     cells — raise n_planes to shrink cells), and only candidate pairs pay
     the exact-cosine cost."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_planes)
+    planes = hyperplanes(_require_dim(dim, vec_col), n_planes)
     # norms are computed ONCE per row before the join — computing
     # cosine() per pair would re-traverse both arrays for the norms,
     # tripling the per-candidate cost

@@ -48,7 +48,10 @@ def _norm_cell(v):
             v = 0.0  # -0.0 and 0.0 print identically
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.6f}"
-        return f"{v:.6g}"
+        # round-trip-exact float text: the driver hashes exact values, so a
+        # looser %.6g here would let one-ulp summation jitter pass locally
+        # and fail the driver gate (round-2 q_agg_extras failure mode)
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, pd.Timestamp):

@@ -59,3 +59,36 @@ def test_interval_join_is_equi_join_not_nested_loop(spark, sf_dir):
     # the join keys are (user_id, bucket): an equi join (hash or sort-merge)
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
                      phys), phys
+
+
+def test_no_spark_job_at_plan_build_time(spark, sf_dir):
+    """Building a plan (any extras operator) must trigger ZERO Spark jobs:
+    a hidden driver action like a ``.first()`` dim-sniff would scan a
+    100-TB table before the user ever calls an action."""
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    sc = spark.sparkContext
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    before = sc._jsc.sc().dagScheduler().nextJobId()
+    # plan-build only — no actions
+    sim.embedding_neardup_pairs(emb, threshold=0.9, n_planes=4, dim=64)
+    sim.cosine_topk(emb, [0.1] * 64, k=5)
+    sim.ivf_topk(emb, [0.1] * 64, k=5, dim=64)
+    from pydiverse_transform_spark.extras import dedup
+
+    dedup.minhash_dedup_pairs(docs, n_hashes=8, bands=4)
+    after = sc._jsc.sc().dagScheduler().nextJobId()
+    assert after == before, (
+        f"{after - before} Spark job(s) ran during plan build"
+    )
+
+
+def test_embedding_neardup_requires_dim():
+    import pytest as _pytest
+
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    with _pytest.raises(ValueError, match="dim= is required"):
+        sim._require_dim(None, "embedding")

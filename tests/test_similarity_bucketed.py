@@ -19,7 +19,7 @@ QVEC = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
 def bucketed_path(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     shutil.rmtree(TMP, ignore_errors=True)
-    sim.write_bucketed(emb, TMP, n_planes=4)
+    sim.write_bucketed(emb, TMP, n_planes=4, dim=64)
     yield TMP
     shutil.rmtree(TMP, ignore_errors=True)
 
