@@ -19,6 +19,7 @@ from .errors import (  # noqa: F401
     ColumnNotFoundError,
     DataTypeError,
     FunctionTypeError,
+    NonStandardWarning,
     NotSupportedError,
     SubqueryError,
 )
@@ -134,6 +135,7 @@ from .types import (  # noqa: F401
     Int64,
     List,
     String,
+    Time,
     UInt8,
     UInt16,
     UInt32,

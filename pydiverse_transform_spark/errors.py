@@ -15,6 +15,7 @@ __all__ = [
     "FunctionTypeError",
     "NotSupportedError",
     "SubqueryError",
+    "NonStandardWarning",
 ]
 
 
@@ -37,6 +38,14 @@ class FunctionTypeError(ValueError):
 
 class NotSupportedError(Exception):
     """The operation is not supported by this backend."""
+
+
+class NonStandardWarning(UserWarning):
+    """Emitted when the Spark backend deviates from the reference's
+    standard behaviour (reference errors/__init__.py:47-51) — e.g.
+    unsigned ints widening to the next signed type, or Time being
+    carried as µs-since-midnight.  Filterable via the standard
+    ``warnings`` machinery."""
 
 
 class SubqueryError(Exception):

@@ -102,6 +102,18 @@ def _prepare(e, scope: Scope, context: str, toplevel: bool = False) -> ColExpr:
         return e
     if isinstance(e, Cast):
         inner = _prepare(e.expr, scope, context)
+        if isinstance(e.target, tp.Time) or isinstance(inner._dtype, tp.Time):
+            # documented divergence: Spark SQL has no TimeType; columns
+            # read as time-of-day do not occur (parquet TIME maps to
+            # int64), so a cast through Time has nothing to attach to
+            from ..errors import NotSupportedError
+
+            raise NotSupportedError(
+                "the Time dtype is not supported on the Spark backend: "
+                "Spark SQL has no TIME type (reference tree/types.py Time)."
+                " Store time-of-day as µs-since-midnight Int64, or as a "
+                "Datetime on a fixed epoch date"
+            )
         if not tp.can_cast(inner._dtype, e.target):
             raise DataTypeError(f"cannot cast {inner._dtype!r} to {e.target!r}")
         out = Cast(inner, e.target, e.strict)

@@ -178,7 +178,33 @@ class Decimal(Float):
 
 
 class String(Dtype):
+    """``max_length`` mirrors the reference's ``String(max_length=)``
+    (reference tree/types.py:104-109): a declared upper bound on the
+    string length.  Spark's StringType is unbounded, so the bound is a
+    *type-lattice* fact (it gates implicit conversions exactly like the
+    reference) rather than a storage fact; ``to_spark_type`` still maps
+    to StringType because VarcharType is not usable in DataFrame casts.
+    """
+
+    __slots__ = ("max_length",)
     name = "str"
+
+    def __init__(self, max_length: int | None = None):
+        self.max_length = max_length
+
+    def __eq__(self, other):
+        return (
+            type(self) is type(other)
+            and getattr(other, "max_length", None) == self.max_length
+        )
+
+    def __hash__(self):
+        return hash((type(self), self.max_length))
+
+    def __repr__(self):
+        if self.max_length is not None:
+            return f"str({self.max_length})"
+        return "str"
 
 
 class Enum(String):
@@ -186,6 +212,7 @@ class Enum(String):
     name = "enum"
 
     def __init__(self, *values: str):
+        super().__init__()
         self.values = tuple(values)
 
 
@@ -248,8 +275,17 @@ def converts_to(src: Dtype, dst: Dtype) -> bool:
         return True
     if src == dst:
         return True
+    # String family with max_length (reference tree/types.py:104-109):
+    # any string converts to unbounded String(); a bounded target only
+    # accepts a source whose bound is known and strictly tighter.
+    if isinstance(src, String) and type(dst) is String:
+        if dst.max_length is None:
+            return True
+        return (
+            src.max_length is not None and dst.max_length > src.max_length
+        )
     # concrete -> abstract family (Int64 -> Int, Float32 -> Float)
-    if isinstance(src, type(dst)) and type(dst) in (Int, Float, String):
+    if isinstance(src, type(dst)) and type(dst) in (Int, Float):
         return True
     if isinstance(src, Int) and isinstance(dst, (Float, Decimal)):
         return True
@@ -364,7 +400,9 @@ def from_spark_type(st: T.DataType) -> Dtype:
         return Float64()
     if isinstance(st, T.DecimalType):
         return Decimal(st.precision, st.scale)
-    if isinstance(st, (T.StringType, T.VarcharType, T.CharType)):
+    if isinstance(st, (T.VarcharType, T.CharType)):
+        return String(st.length)
+    if isinstance(st, T.StringType):
         return String()
     if isinstance(st, T.DateType):
         return Date()

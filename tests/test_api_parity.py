@@ -194,3 +194,47 @@ def test_list_of_dicts_and_backend_shims(spark):
         t >> pdt.export(pdt.DuckDb)
     with _pytest.raises(TypeError, match="read_jdbc"):
         t >> pdt.export(pdt.SqlAlchemy(None))
+
+
+def test_string_max_length_lattice():
+    """String(max_length=) mirrors the reference lattice
+    (reference tree/types.py:104-109): any string implicitly converts to
+    unbounded String(); a bounded target only accepts a source whose
+    bound is known and strictly tighter."""
+    from pydiverse_transform_spark import types as tp
+
+    assert pdt.String(10) == pdt.String(10)
+    assert pdt.String(10) != pdt.String(5)
+    assert pdt.String(10) != pdt.String()
+    assert repr(pdt.String(10)) == "str(10)"
+
+    assert tp.converts_to(pdt.String(5), pdt.String())
+    assert tp.converts_to(pdt.String(5), pdt.String(10))
+    assert not tp.converts_to(pdt.String(10), pdt.String(5))
+    assert not tp.converts_to(pdt.String(), pdt.String(5))
+    # bounds don't change the physical Spark type
+    from pyspark.sql import types as T
+
+    assert tp.to_spark_type(pdt.String(10)) == T.StringType()
+    assert tp.from_spark_type(T.VarcharType(7)) == pdt.String(7)
+
+
+def test_non_standard_warning_export():
+    """NonStandardWarning matches reference errors/__init__.py:47-51 and
+    is filterable via the warnings machinery."""
+    import warnings
+
+    assert issubclass(pdt.NonStandardWarning, UserWarning)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        warnings.warn("backend divergence", pdt.NonStandardWarning)
+    assert rec and rec[0].category is pdt.NonStandardWarning
+
+
+def test_time_dtype_rejected_with_clear_error(spark):
+    """Spark SQL has no TIME type; a cast through pdt.Time() must fail
+    with NotSupportedError naming the workaround, not a generic
+    analysis error (reference tree/types.py Time)."""
+    t = pdt.Table({"a": [1, 2]}, name="t")
+    with pytest.raises(pdt.NotSupportedError, match="no TIME type"):
+        t >> pdt.mutate(x=t.a.cast(pdt.Time())) >> pdt.export(pdt.Pandas)
