@@ -52,3 +52,13 @@ class SubqueryError(Exception):
     """Unused on Spark — Catalyst composes plans freely, so no verb ever
     requires an explicit subquery boundary.  Exported for API parity so
     ``except pdt.SubqueryError`` imports keep working."""
+
+
+def warn_non_standard(message: str, stacklevel: int = 1) -> None:
+    """Emit a NonStandardWarning (reference util/warnings.py:46-53) at a
+    divergence site — e.g. unsigned ints widening to signed, Duration
+    carried as µs.  Python's default warning filter dedupes per call
+    site, so hot loops don't spam."""
+    import warnings
+
+    warnings.warn(message, NonStandardWarning, stacklevel=stacklevel + 1)

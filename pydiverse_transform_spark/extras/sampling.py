@@ -36,6 +36,7 @@ __all__ = [
     "weighted_mix",
     "topk_per_group",
     "pack_sequences",
+    "deterministic_shuffle",
 ]
 
 _U32 = float(1 << 32)
@@ -179,3 +180,36 @@ def pack_sequences(df: DataFrame, token_col: str, *, budget: int,
         "bin_id": F.floor(before / F.lit(budget)).cast("long"),
         "bin_pos": (before % F.lit(budget)).cast("long"),
     })
+
+
+def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "",
+                          n_shards: int = 256) -> DataFrame:
+    """Deterministic global shuffle for training-corpus ordering: every
+    row gets a ``(shard, shard_pos)`` address, where ``shard`` is the
+    first byte-pair of ``md5(key || salt)`` (mod ``n_shards``) and
+    ``shard_pos`` ranks rows within the shard by the full hash.  Reading
+    shards in order (shard asc, shard_pos asc) yields the same
+    pseudo-random permutation on ANY engine and any partitioning —
+    unlike ``df.orderBy(rand())``, which changes per run, or a global
+    ``row_number()`` over the hash, which funnels 100 TB through ONE
+    reducer.
+
+    Scale shape: one hash-partition shuffle on ``shard`` (bounded,
+    uniform md5 buckets), per-shard sort inside the window — each shard
+    sorts ~1/n_shards of the corpus in parallel.  Raise ``n_shards`` so
+    a shard fits an executor's spill budget (256 shards × ~400 GB at
+    100 TB; 4096 for tighter memory).
+    """
+    if n_shards < 1 or n_shards > 65536:
+        raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+             % F.lit(n_shards))
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(),
+                                            F.col(key_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )

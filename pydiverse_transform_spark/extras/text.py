@@ -17,7 +17,7 @@ __all__ = [
     "whitespace_ratio", "stopword_ratio", "quality_score", "lang_id",
     "fingerprint", "doc_stats", "STOPWORDS",
     "BPE_PRETOKEN_PATTERN", "bpe_pretokens", "bpe_token_count",
-    "chunk_text",
+    "chunk_text", "segment_words", "remove_repeated_segments",
 ]
 
 # small deterministic stopword lists per language (heuristic lang-id)
@@ -277,3 +277,71 @@ def redact_pii(text: Column, *, email_token: str = "<EMAIL>",
     don't get partially rewritten by the number pass)."""
     return redact(redact(text, EMAIL_PATTERN, email_token),
                   NUMBER_PATTERN, number_token)
+
+
+def segment_words(text: Column, seg_words: int = 3) -> Column:
+    """Consecutive ``seg_words``-word segments of a document as an
+    array<string> (the unit of corpus-level repeated-segment removal —
+    the array analog of "lines" for text without newlines).  The last
+    segment may be shorter; an empty/whitespace document yields an
+    empty array.  Pure array expressions, map-side."""
+    words = tokens(text)
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    # sequence(1, 0) would yield a DESCENDING [1, 0]; guard empty docs
+    return F.when(n_seg < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_seg, F.lit(1))),
+            lambda i: F.array_join(
+                F.slice(words, (i - 1) * seg_words + 1, seg_words), " "
+            ),
+        )
+    )
+
+
+def remove_repeated_segments(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id", *,
+                             seg_words: int = 3,
+                             max_df: int = 2) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4 / RefinedWeb trick at
+    line granularity, generalized to word-window segments): drop every
+    segment that occurs more than ``max_df`` times across the WHOLE
+    corpus, then reassemble each document from its surviving segments in
+    order.  Returns ``(id_col, clean_text)`` for every input document —
+    a fully-boilerplate document comes back as the empty string rather
+    than disappearing.
+
+    Scale shape (100 TB): one shuffle to count segment frequencies
+    (uniform md5-distributed keys, map-side partial counts), where the
+    over-threshold "hot" set is tiny (boilerplate is by definition a
+    small set of high-frequency strings) so Catalyst broadcasts it into
+    the anti-join; then one shuffle on the document id to reassemble.
+    No Python, no skew (the hot segments are REMOVED, not grouped on).
+    """
+    from .util import fan_out
+
+    segs = fan_out(df).select(
+        F.col(id_col),
+        F.posexplode(segment_words(F.col(text_col), seg_words))
+        .alias("__pos", "__seg"),
+    )
+    hot = (
+        segs.groupBy("__seg")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") > max_df)
+        .select("__seg")
+    )
+    kept = segs.join(hot, on="__seg", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, on=id_col, how="left")
+        .withColumn("clean_text", F.coalesce(F.col("clean_text"), F.lit("")))
+    )

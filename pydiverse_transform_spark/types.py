@@ -366,6 +366,14 @@ def to_spark_type(dtype: Dtype) -> T.DataType:
         return T.BooleanType()
     if isinstance(dtype, Decimal):
         return T.DecimalType(dtype.precision, dtype.scale)
+    if isinstance(dtype, (UInt8, UInt16, UInt32, UInt64)):
+        from .errors import warn_non_standard
+
+        warn_non_standard(
+            f"Spark has no unsigned integer types; {dtype!r} is widened "
+            f"to the next signed type ({dtype.spark.simpleString()})"
+        )
+        return dtype.spark
     if isinstance(dtype, (Int, Float)):
         return dtype.spark
     if isinstance(dtype, String):

@@ -238,3 +238,19 @@ def test_time_dtype_rejected_with_clear_error(spark):
     t = pdt.Table({"a": [1, 2]}, name="t")
     with pytest.raises(pdt.NotSupportedError, match="no TIME type"):
         t >> pdt.mutate(x=t.a.cast(pdt.Time())) >> pdt.export(pdt.Pandas)
+
+
+def test_uint_widening_warns_non_standard(spark):
+    """Casting to an unsigned dtype emits NonStandardWarning (Spark has
+    no unsigned ints; reference backends warn at divergence sites via
+    util/warnings.py warn_non_standard)."""
+    import warnings
+
+    t = pdt.Table({"a": [1, 2]}, name="t")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = t >> pdt.mutate(x=t.a.cast(pdt.UInt32())) >> pdt.export(pdt.Pandas)
+    assert list(out["x"]) == [1, 2]
+    assert any(r.category is pdt.NonStandardWarning for r in rec), (
+        [str(r.message) for r in rec]
+    )
