@@ -1954,10 +1954,26 @@ def q_approx_sketches(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT n_regionkey,
+       len(keys) AS n_keys,
+       keys[1] AS first_key,
+       list_contains(keys, 0) AS has_zero,
+       n
+FROM (
+  SELECT n_regionkey,
+         list(n_nationkey ORDER BY n_nationkey) AS keys,
+         count(*) AS n
+  FROM nation GROUP BY n_regionkey
+)
+ORDER BY n_regionkey
+""")
 def q_list_agg(spark, sf_dir):
-    """list.agg with ordered collection — no SQL oracle (array column);
-    the driver records a rows-only check.  `q_list_agg_rendered` is the
-    hash-checked twin (same plan + a string rendering)."""
+    """list.agg with ordered collection, reduced to scalar columns
+    (len / first element / membership) so the driver's pandas
+    canonicalizer never sorts a raw array column — the r3 failure mode
+    (TypeError: unhashable type 'list').  Exercises list.agg +
+    list.len/get/contains end-to-end with a full hash-checked oracle."""
     n = _t(spark, sf_dir, "nation")
     return (
         n
@@ -1966,12 +1982,15 @@ def q_list_agg(spark, sf_dir):
             keys=n.n_nationkey.list.agg(arrange=[C.n_nationkey]),
             n=pdt.count(),
         )
+        >> pdt.mutate(
+            n_keys=C.keys.list.len(),
+            first_key=C.keys.list.get(0),
+            has_zero=C.keys.list.contains(0),
+        )
+        >> pdt.select(C.n_regionkey, C.n_keys, C.first_key, C.has_zero, C.n)
         >> pdt.arrange(C.n_regionkey)
         >> pdt.export(pdt.Spark)
     )
-
-
-_QUERIES["q_list_agg"] = q_list_agg
 
 
 @_q("""
@@ -3851,41 +3870,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# The driver verifies the first N registered queries per round (N=50 in
-# rounds 1-2).  Round 2 verified 49 TPC-H/core queries green; the extras/
-# events/streaming layer never got a driver row.  Order the registry so
-# the unverified queries come first (most-critical buckets leading) and
-# the already-green ones last — every query stays registered either way.
+# The driver verifies the first N registered queries per round (N=50).
+# Round 4 ordering: (a) the 13 queries that never got a driver row in
+# rounds 2-3 (they sat past slot 50 both times), (b) q_list_agg, fixed
+# this round (r3's only red row — raw array column broke the driver's
+# pandas canonicalizer), (c) canary core queries (ADVICE r3: keep a few
+# always-inside-the-window so a regression in the core path is caught
+# by the external gate, not only by pytest), then (d) round 3's green
+# set so it re-verifies for free.  Every query stays registered.
 _VERIFY_FIRST = [
-    # round-2 hash mismatch, fixed this round — re-verify first
-    "q_agg_extras",
-    # events / asof / interval / streaming (blocked by the r2 loader bug)
+    # (a) never driver-verified (rounds 2+3 tail) — 13 queries
+    "q_validate_join", "q_theta_join", "q_agg_filter_kwarg",
+    "q_union_all", "q_union_rename", "q_collect_mid", "q_eval_aligned",
+    "q_cum_extrema", "q_window_chained", "q_chained_summarize",
+    "q_cast_roundtrip", "q_map_month", "q_datetime_fine",
+    # (b) r3's one red row, canonicalization fixed this round
+    "q_list_agg",
+    # (c) canaries: core scan/agg, single-scan-window rewrite, window ops
+    "q01_pricing_summary", "q21_waiting_supplier", "q_window_ops",
+    # (d) round-3 green set, most-load-bearing buckets first
     "q_sessionize", "q_sessionize_scalable", "q_tumbling_agg",
     "q_asof_join", "q_asof_join_scalable", "q_interval_join",
     "q_heavy_hitters", "q_events_json_props", "q_events_window_dsl",
     "q_events_by_type", "q_shift_fill",
     "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
     "q_stream_interval_join",
-    # dedup / near-dup / decontamination
     "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard",
     "q_char_shingle_jaccard", "q_simhash", "q_neardup_clusters",
     "q_neardup_corpus", "q_decontaminate",
-    # similarity search
     "q_cosine_topk", "q_signlsh_topk", "q_embedding_neardup", "q_ivf_topk",
-    # text analysis / chunking / packing / sampling
     "q_doc_stats", "q_doc_agg", "q_bpe_tokens", "q_chunk_text",
     "q_repetition_ratio", "q_redact_pii", "q_pack_sequences",
     "q_hash_sample", "q_hash_split", "q_stratified_sample",
     "q_weighted_mix", "q_topk_per_group",
-    # core-verb / aggregate gaps without a driver row
-    "q_rollup", "q_cube", "q_str_join_agg", "q_list_agg",
-    "q_list_agg_rendered", "q_approx_sketches", "q_decimal_agg",
-    "q_media_decode_features", "q_map_groups_zscore",
-    "q_map_batches_tokens", "q_validate_join", "q_theta_join",
-    "q_agg_filter_kwarg", "q_union_all", "q_union_rename",
-    "q_collect_mid", "q_eval_aligned", "q_cum_extrema",
-    "q_window_chained", "q_chained_summarize", "q_cast_roundtrip",
-    "q_map_month", "q_datetime_fine",
+    "q_rollup", "q_cube", "q_str_join_agg", "q_list_agg_rendered",
+    "q_approx_sketches", "q_decimal_agg", "q_media_decode_features",
+    "q_map_groups_zscore", "q_map_batches_tokens", "q_agg_extras",
 ]
 
 

@@ -7,8 +7,8 @@ BroadcastNestedLoopJoin — quadratic work unless one side broadcasts.
 
 Scale path — *bucketized equi-join*:
 
-1. pick a bucket width ``W`` (default: the right side's p95 interval
-   length, probed once — pass ``bucket=`` to skip the probe);
+1. pick a bucket width ``W`` (required ``bucket=``; a good choice is
+   the p95 interval length of the right side);
 2. each right interval is replicated to the ``⌈len/W⌉+1`` buckets it
    overlaps (``sequence`` + ``explode`` — JVM-side, no Python);
 3. each left point maps to exactly ONE bucket, so the equi-join on
@@ -61,17 +61,20 @@ def interval_join(
     end: str,
     by: list[str] | None = None,
     *,
-    bucket=None,
+    bucket,
     suffix: str = "_right",
 ) -> DataFrame:
     """Inner join of left points to right intervals:
     ``start <= on <= end`` (inclusive both ends) AND equal ``by`` keys.
 
-    ``bucket`` — bucket width: a ``datetime.timedelta`` for
-    timestamp/date columns or a number for numeric ones.  When omitted,
-    one cheap aggregate over ``right`` picks the p95 interval length
-    (min 1); pass it explicitly in production pipelines to keep the
-    plan action-free.
+    ``bucket`` — bucket width (required): a ``datetime.timedelta`` for
+    timestamp/date columns or a number for numeric ones.  A good choice
+    is the p95 interval length of the right side
+    (``right.select(percentile_approx(end - start, 0.95))``); making the
+    caller pass it keeps plan construction action-free — building the
+    join never triggers a Spark job (asserted in
+    ``tests/test_extras_plans.py``), same contract as
+    ``similarity.py``'s ``dim=``.
 
     Columns of ``right`` colliding with ``left`` names are renamed with
     ``suffix``.
@@ -80,15 +83,12 @@ def interval_join(
 
     if isinstance(bucket, _dt.timedelta):
         bucket_us = int(bucket / _dt.timedelta(microseconds=1))
-    elif bucket is not None:
-        bucket_us = int(bucket)
     else:
-        probe = right.select(
-            F.percentile_approx(
-                _to_long(right, end) - _to_long(right, start), 0.95
-            ).alias("w")
-        ).first()
-        bucket_us = max(int(probe["w"] or 0), 1)
+        bucket_us = int(bucket)
+    if bucket_us <= 0:
+        raise ValueError(
+            f"interval_join: bucket must be positive, got {bucket!r}"
+        )
 
     left_names = set(left.columns)
     renames = {

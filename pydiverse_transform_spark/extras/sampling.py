@@ -183,7 +183,8 @@ def pack_sequences(df: DataFrame, token_col: str, *, budget: int,
 
 
 def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "",
-                          n_shards: int = 256) -> DataFrame:
+                          n_shards: int = 256,
+                          tiebreak_col: str | None = None) -> DataFrame:
     """Deterministic global shuffle for training-corpus ordering: every
     row gets a ``(shard, shard_pos)`` address, where ``shard`` is the
     first byte-pair of ``md5(key || salt)`` (mod ``n_shards``) and
@@ -199,14 +200,25 @@ def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "",
     sorts ~1/n_shards of the corpus in parallel.  Raise ``n_shards`` so
     a shard fits an executor's spill budget (256 shards × ~400 GB at
     100 TB; 4096 for tighter memory).
+
+    Determinism contract: ``key_col`` values must be UNIQUE per row, or
+    a ``tiebreak_col`` must be given — duplicate keys hash identically,
+    so their relative ``shard_pos`` would otherwise be engine/run
+    dependent.  With ``tiebreak_col``, ties order by it (it must make
+    ``(key_col, tiebreak_col)`` unique).  NULL keys hash the same as
+    the empty string prefixed with a sentinel (``md5(concat(NULL, ...))``
+    would be NULL and silently drop the row out of the ordering).
     """
     if n_shards < 1 or n_shards > 65536:
         raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt)))
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(key_s, F.lit(salt)))
     shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
              % F.lit(n_shards))
-    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(),
-                                            F.col(key_col).asc())
+    order = [F.col("__h").asc(), F.col(key_col).asc_nulls_first()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc_nulls_first())
+    w = Window.partitionBy("shard").orderBy(*order)
     return (
         df.withColumn("__h", h)
         .withColumn("shard", shard)

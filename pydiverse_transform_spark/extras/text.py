@@ -283,9 +283,15 @@ def segment_words(text: Column, seg_words: int = 3) -> Column:
     """Consecutive ``seg_words``-word segments of a document as an
     array<string> (the unit of corpus-level repeated-segment removal —
     the array analog of "lines" for text without newlines).  The last
-    segment may be shorter; an empty/whitespace document yields an
-    empty array.  Pure array expressions, map-side."""
-    words = tokens(text)
+    segment may be shorter; an empty/whitespace/NULL document yields an
+    empty array.  Pure array expressions, map-side.
+
+    NULL guard: without the coalesce, ``size(NULL)`` is -1 under
+    legacy ``sizeOfNull`` but NULL under ANSI mode — the ``when``
+    condition would go NULL and the otherwise branch would emit a
+    single-NULL segment array.  Coalescing to '' makes NULL docs yield
+    ``[]`` deterministically regardless of ANSI config."""
+    words = tokens(F.coalesce(text, F.lit("")))
     n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
     # sequence(1, 0) would yield a DESCENDING [1, 0]; guard empty docs
     return F.when(n_seg < 1, F.array().cast("array<string>")).otherwise(

@@ -1085,10 +1085,12 @@ def asof_join(table: Table, right: Table, on, by=None, *,
 
 @verb
 def interval_join(table: Table, right: Table, on, start, end, by=None, *,
-                  bucket=None, suffix: str = "_right") -> Table:
+                  bucket, suffix: str = "_right") -> Table:
     """Range-join verb (extension): left points to right intervals with
     ``start <= on <= end``, as a bucketized equi-join — bounded
-    replication instead of a nested-loop product (extras/interval.py)."""
+    replication instead of a nested-loop product (extras/interval.py).
+    ``bucket`` (bucket width) is required so plan build stays
+    action-free."""
     from ..extras.interval import interval_join as _ij
 
     (on_name,) = _peer_names(table, [on])

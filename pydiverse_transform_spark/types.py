@@ -369,10 +369,20 @@ def to_spark_type(dtype: Dtype) -> T.DataType:
     if isinstance(dtype, (UInt8, UInt16, UInt32, UInt64)):
         from .errors import warn_non_standard
 
-        warn_non_standard(
-            f"Spark has no unsigned integer types; {dtype!r} is widened "
-            f"to the next signed type ({dtype.spark.simpleString()})"
-        )
+        if isinstance(dtype, UInt64):
+            # int64 is NOT a widening for uint64 — the top half of the
+            # range has no representation
+            warn_non_standard(
+                "Spark has no unsigned integer types; UInt64 is mapped "
+                "to signed int64 — values >= 2^63 overflow (use "
+                "Decimal(20, 0) for the full uint64 range)"
+            )
+        else:
+            warn_non_standard(
+                f"Spark has no unsigned integer types; {dtype!r} is "
+                f"widened to the next signed type "
+                f"({dtype.spark.simpleString()})"
+            )
         return dtype.spark
     if isinstance(dtype, (Int, Float)):
         return dtype.spark

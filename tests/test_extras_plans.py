@@ -70,6 +70,11 @@ def test_no_spark_job_at_plan_build_time(spark, sf_dir):
     sc = spark.sparkContext
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clicks = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
 
     before = sc._jsc.sc().dagScheduler().nextJobId()
     # plan-build only — no actions
@@ -79,6 +84,19 @@ def test_no_spark_job_at_plan_build_time(spark, sf_dir):
     from pydiverse_transform_spark.extras import dedup
 
     dedup.minhash_dedup_pairs(docs, n_hashes=8, bands=4)
+    interval_join(
+        clicks.select("event_id", "user_id", "ts"),
+        clicks.select("user_id", "w_start", "w_end"),
+        on="ts", start="w_start", end="w_end", by=["user_id"],
+        bucket=dt.timedelta(hours=1),
+    )
+    from pydiverse_transform_spark.extras.asof import asof_join as _asof
+
+    _asof(
+        clicks.select("event_id", "user_id", "ts"),
+        clicks.select("user_id", "ts", F.col("event_id").alias("rid")),
+        on="ts", by=["user_id"],
+    )
     after = sc._jsc.sc().dagScheduler().nextJobId()
     assert after == before, (
         f"{after - before} Spark job(s) ran during plan build"

@@ -74,15 +74,23 @@ def test_differential_vs_naive_events(spark, sf_dir):
     assert len(a) > 0
 
 
-def test_probed_bucket_matches_explicit(spark):
+def test_bucket_required_and_width_invariant(spark):
+    """bucket= is required (plan-build stays action-free) and the result
+    is invariant to the chosen width."""
+    import pytest
+
     left = spark.createDataFrame([(i, i * 3) for i in range(40)],
                                  "id int, t int")
     right = spark.createDataFrame(
         [(i * 5, i * 5 + 8, i) for i in range(20)],
         "s int, e int, rid int",
     )
-    auto = interval_join(left, right, on="t", start="s", end="e")
+    with pytest.raises(TypeError):
+        interval_join(left, right, on="t", start="s", end="e")
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(left, right, on="t", start="s", end="e", bucket=0)
+    wide = interval_join(left, right, on="t", start="s", end="e", bucket=50)
     fixed = interval_join(left, right, on="t", start="s", end="e", bucket=2)
-    a = sorted((r.id, r.rid) for r in auto.collect())
+    a = sorted((r.id, r.rid) for r in wide.collect())
     b = sorted((r.id, r.rid) for r in fixed.collect())
     assert a == b

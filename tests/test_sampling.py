@@ -144,3 +144,55 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
                           partition_by="source") \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_deterministic_shuffle_partition_invariant(docs):
+    from pydiverse_transform_spark.extras.sampling import (
+        deterministic_shuffle,
+    )
+
+    a = {(r.doc_id, r.shard, r.shard_pos) for r in
+         deterministic_shuffle(docs, "doc_id", n_shards=16)
+         .select("doc_id", "shard", "shard_pos").collect()}
+    b = {(r.doc_id, r.shard, r.shard_pos) for r in
+         deterministic_shuffle(docs.repartition(13, "lang"), "doc_id",
+                               n_shards=16)
+         .select("doc_id", "shard", "shard_pos").collect()}
+    assert a == b
+    shards = {s for _, s, _ in a}
+    assert shards <= set(range(16)) and len(shards) > 1
+    # shard_pos is a dense 1..n_shard ranking inside each shard
+    import collections
+
+    per_shard = collections.defaultdict(list)
+    for _, s, p in a:
+        per_shard[s].append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+
+
+def test_deterministic_shuffle_null_key_and_tiebreak(spark):
+    from pydiverse_transform_spark.extras.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", 1), ("k1", 2), ("k1", 3), (None, 4), ("k2", 5)],
+        "k string, id int",
+    )
+    out = deterministic_shuffle(df, "k", n_shards=4, tiebreak_col="id")
+    rows = out.select("k", "id", "shard", "shard_pos").collect()
+    # NULL keys still get a shard address (md5(concat(NULL,..)) is NULL
+    # without the coalesce guard, which would drop them)
+    assert all(r.shard is not None and r.shard_pos is not None
+               for r in rows)
+    # duplicate keys: tiebreak makes positions a pure function of the row
+    again = deterministic_shuffle(
+        df.repartition(7), "k", n_shards=4, tiebreak_col="id",
+    ).select("k", "id", "shard", "shard_pos").collect()
+    canon = lambda rs: sorted(  # noqa: E731
+        ((r.k or "", r.id, r.shard, r.shard_pos) for r in rs)
+    )
+    assert canon(rows) == canon(again)
+    dup_pos = sorted((r.id, r.shard_pos) for r in rows if r.k == "k1")
+    assert [p for _, p in dup_pos] == sorted(p for _, p in dup_pos)
