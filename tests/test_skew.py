@@ -71,3 +71,57 @@ def test_heavy_hitters(sides):
     left, _ = sides
     hh = heavy_hitters(left, ["k"], threshold=100)
     assert [(r.k, r.n_rows) for r in hh.collect()] == [(1, 1000)]
+
+
+def test_salted_join_bounds_reducer_input(spark):
+    """The 100-TB property the toolkit exists for: with one key owning
+    ~30% of the probe side, a plain shuffled join funnels all hot rows
+    into ONE reducer task (max partition ~= hot-key count), while the
+    salted join spreads them over n_salt reducers — max post-shuffle
+    partition drops by ~n_salt.  AQE coalescing/skew-split and
+    auto-broadcast are disabled so the measured partitioning is the
+    static plan's, not a runtime rescue."""
+    n_salt = 8
+    hot = 30_000
+    cold = 70_000
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # enough reducers that distinct (k, salt) groups rarely share a
+        # partition — we are measuring the salt spread, not hash
+        # collisions between groups
+        "spark.sql.shuffle.partitions": "256",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(hot + cold).select(
+            F.when(F.col("id") < hot, F.lit(0))
+            .otherwise((F.col("id") % 997) + 1).alias("k"),
+            F.col("id").alias("lv"),
+        )
+        right = spark.range(998).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv"),
+        )
+
+        def max_partition_rows(df):
+            sizes = (df.withColumn("__pid", F.spark_partition_id())
+                     .groupBy("__pid").count().collect())
+            return max(r["count"] for r in sizes)
+
+        naive_max = max_partition_rows(left.join(right, on=["k"]))
+        salted_max = max_partition_rows(
+            salted_join(left, right, on=["k"], n_salt=n_salt)
+        )
+        # naive: every hot row in one reducer
+        assert naive_max >= hot, naive_max
+        # salted: hot key split across n_salt reducers (slack for cold
+        # keys and the odd two hot salt-groups sharing a partition)
+        assert salted_max <= 2 * hot / n_salt + cold / 16, (
+            naive_max, salted_max
+        )
+        assert salted_max < naive_max / 3, (naive_max, salted_max)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -215,3 +215,100 @@ def test_stream_interval_join_matches_batch(spark, event_source):
     exp_pairs = sorted((r.event_id, r.error_id) for r in expected.collect())
     assert got_pairs == exp_pairs
     assert len(got_pairs) > 0
+
+
+def _time_ordered_files(spark, sf_dir, out_dir, n_files=8):
+    """Split the events table into n_files parquet files in strict
+    event-time order with increasing mtimes, so the file stream's
+    availableNow replay consumes them as n_files micro-batches in
+    time order (maxFilesPerTrigger=1)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pdf = batch.orderBy("ts").toPandas()
+    os.makedirs(out_dir, exist_ok=True)
+    chunk = (len(pdf) + n_files - 1) // n_files
+    now = time.time()
+    for i in range(n_files):
+        part = pdf.iloc[i * chunk:(i + 1) * chunk]
+        path = os.path.join(out_dir, f"chunk{i:03d}.parquet")
+        # pandas ns-timestamps -> µs so the stream schema (timestamp_ntz,
+        # parquet TIMESTAMP(MICROS)) matches what the batch table uses
+        pq.write_table(pa.Table.from_pandas(part), path,
+                       coerce_timestamps="us", version="2.6",
+                       allow_truncated_timestamps=True)
+        os.utime(path, (now + i, now + i))
+    return batch.schema
+
+
+def test_watermark_evicts_window_state_across_batches(spark, sf_dir,
+                                                      tmp_path):
+    """The 100-TB-forever property: streaming state must be bounded by
+    the watermark horizon, not by stream length.  30 days of events in
+    8 time-ordered micro-batches aggregate into ~700 one-hour windows;
+    at any batch boundary the state store may hold only the few windows
+    still inside the 2h watermark — everything older is emitted and
+    EVICTED (numRowsRemoved > 0, numRowsTotal plateaus ≪ total
+    windows)."""
+    src = str(tmp_path / "ev_stream_src")
+    schema = _time_ordered_files(spark, sf_dir, src, n_files=8)
+
+    stream = st.read_event_stream(spark, src, schema=schema,
+                                  max_files_per_trigger=1)
+    agg = st.tumbling_window_agg(stream, window="1 hour",
+                                 watermark="2 hours")
+    q = (agg.writeStream.format("memory").queryName("evict_tumbling")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    progress = [p for p in q.recentProgress
+                if p.get("stateOperators") and p["numInputRows"] > 0]
+    assert len(progress) >= 3, f"want 3+ data micro-batches, got {progress}"
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"]
+                  for p in progress)
+    n_out = spark.table("evict_tumbling").count()
+
+    # ~30 days of hourly windows emitted...
+    assert n_out > 500, n_out
+    # ...but state is bounded by ONE batch's window span (the watermark
+    # used for eviction is the previous batch's max event time, so
+    # eviction lags one micro-batch), NOT by the cumulative window count
+    assert max(totals) < n_out / 4, (max(totals), n_out)
+    # plateau: late batches hold no more state than early ones
+    assert max(totals[-3:]) <= 1.5 * max(totals[:3]), totals
+    # eviction actually happened (windows left the store after emitting)
+    assert removed > 400, removed
+
+
+def test_stateful_sessionize_state_scales_with_keys_not_length(
+        spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionize keeps ONE state row per user:
+    after every user has appeared, numRowsTotal plateaus at the
+    distinct-user count and stays flat for all later batches no matter
+    how many more events stream in."""
+    src = str(tmp_path / "ev_sess_src")
+    schema = _time_ordered_files(spark, sf_dir, src, n_files=6)
+
+    stream = st.read_event_stream(spark, src, schema=schema,
+                                  max_files_per_trigger=1)
+    sess = st.stateful_sessionize(stream, gap_minutes=30)
+    q = (sess.writeStream.format("memory").queryName("evict_sess")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    progress = [p for p in q.recentProgress
+                if p.get("stateOperators") and p["numInputRows"] > 0]
+    assert len(progress) >= 3
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = batch.select("user_id").distinct().count()
+    # plateaus at key cardinality; later batches add events, not state
+    assert totals[-1] == n_users, (totals, n_users)
+    assert max(totals) == n_users, (totals, n_users)
+    # every event got a session id, exactly once
+    assert spark.table("evict_sess").count() == batch.count()
