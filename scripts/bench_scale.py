@@ -1,0 +1,88 @@
+"""Scaling-curve benchmark for the data-bound pipelines: time
+q_dedup_minhash, q_neardup_corpus and q_sessionize_scalable at sf0.1 and
+at the 10x corpus from scripts/gen_scale_corpus.py, and report the
+per-query slope (time ratio per 10x data).
+
+A slope near 1 means the extra decade of data rides on the fixed
+scheduler/codegen floor; well under 10 means sub-linear wall-clock in
+data size at this core count — the property that has to hold for the
+1000-executor / 100 TB story.  A slope >= ~10 would mean the pipeline
+is already data-bound super-linearly at 32 cores — a red flag.
+
+Usage: python scripts/bench_scale.py [sf01_dir] [sf1_dir]
+Prints one JSON line.  Run SOLO — concurrent Spark sessions inflate
+timings 3-6x.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+QUERIES = ["q_dedup_minhash", "q_neardup_corpus", "q_sessionize_scalable"]
+
+
+def main():
+    sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
+    if not os.path.isdir(sf1):
+        sys.exit(f"{sf1} missing — run scripts/gen_scale_corpus.py first")
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench-scale")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+
+    def run(name, sf_dir):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    # warm once
+    qs[QUERIES[0]](spark, sf01).write.format("noop") \
+        .mode("overwrite").save()
+
+    result = {}
+    for name in QUERIES:
+        t_small = run(name, sf01)
+        t_big = run(name, sf1)
+        result[name] = {
+            "sf0.1_sec": t_small,
+            "sf1_sec": t_big,
+            "slope_per_10x": round(t_big / t_small, 2),
+        }
+
+    line = json.dumps({
+        "metric": "scaling_slope_10x",
+        "queries": result,
+        "cpus": int(CPUS),
+    })
+    spark.stop()
+    sys.stdout.flush()
+    print(line)
+
+
+if __name__ == "__main__":
+    main()

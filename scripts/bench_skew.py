@@ -1,11 +1,11 @@
 """Measured evidence for the skew toolkit (extras/skew.py): time a
-shuffled equi-join where ONE key owns 30% of the probe side, naive vs
+shuffled equi-join where ONE key owns most of the probe side, naive vs
 salted, with AQE and auto-broadcast disabled (the regime the toolkit
 targets: mid-size build side, known hot key, deterministic plan wanted).
 
 Measured regime note: the salted plan wins once the hot key's single
 reducer task dominates the stage (here 60% of 40M rows on one key;
-n_salt should be ~= the cluster's parallelism).  At mild skew the 
+n_salt should be ~= the cluster's parallelism).  At mild skew the
 n_salt-fold build-side replication costs more than the straggler saves
 — detect first with heavy_hitters(), then salt.
 
