@@ -78,7 +78,8 @@ def main():
         )
         .withColumn(
             "doc_id",
-            F.col("doc_id") + F.col("__replica") * F.lit(DOC_ID_STRIDE),
+            F.col("doc_id")
+            + F.col("__replica").cast("long") * F.lit(DOC_ID_STRIDE),
         )
         .withColumn("n_chars", F.length("text"))
         .drop("__replica")
@@ -95,11 +96,13 @@ def main():
         )
         .withColumn(
             "user_id",
-            F.col("user_id") + F.col("__replica") * F.lit(USER_ID_STRIDE),
+            F.col("user_id")
+            + F.col("__replica").cast("long") * F.lit(USER_ID_STRIDE),
         )
         .withColumn(
             "event_id",
-            F.col("event_id") + F.col("__replica") * F.lit(EVENT_ID_STRIDE),
+            F.col("event_id")
+            + F.col("__replica").cast("long") * F.lit(EVENT_ID_STRIDE),
         )
         .drop("__replica")
     )
