@@ -3861,6 +3861,101 @@ def q_topk_per_group(spark, sf_dir):
         "o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey")
 
 
+@_q("""
+SELECT doc_id, shard, shard_pos FROM (
+  SELECT doc_id,
+         (('0x' || substr(h, 1, 4))::BIGINT % 16)            AS shard,
+         CAST(row_number() OVER (
+              PARTITION BY (('0x' || substr(h, 1, 4))::BIGINT % 16)
+              ORDER BY h, doc_id) AS BIGINT)                 AS shard_pos
+  FROM (SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || 's1') AS h
+        FROM documents)
+)
+ORDER BY shard, shard_pos
+""")
+def q_deterministic_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle (extras/sampling.py
+    deterministic_shuffle): every row gets a (shard, shard_pos) address
+    that is a pure function of md5(key || salt) — the oracle reproduces
+    the exact addressing in SQL, so the hash check proves the
+    permutation is engine-independent (the whole point of the op vs
+    orderBy(rand()))."""
+    from pydiverse_transform_spark.extras.sampling import (
+        deterministic_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = deterministic_shuffle(docs, "doc_id", salt="s1", n_shards=16)
+    return out.select("doc_id", "shard", "shard_pos") \
+        .orderBy("shard", "shard_pos")
+
+
+@_q("""
+WITH words AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(
+                     regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')
+         END AS ws
+  FROM documents
+), numbered AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1,
+                CAST(ceil(len(ws) / 3.0) AS BIGINT))) AS pos
+  FROM words
+  WHERE len(ws) > 0
+), segs AS (
+  SELECT doc_id, pos,
+         array_to_string(
+           ws[CAST((pos - 1) * 3 + 1 AS BIGINT):
+              CAST(least(pos * 3, len(ws)) AS BIGINT)], ' ') AS seg
+  FROM numbered
+), hot AS (
+  SELECT seg FROM segs GROUP BY seg HAVING count(*) > 2
+), kept AS (
+  SELECT s.doc_id, s.pos, s.seg FROM segs s
+  ANTI JOIN hot h ON s.seg = h.seg
+), rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(length(coalesce(r.clean_text, '')) AS BIGINT) AS n_clean_chars,
+       CASE WHEN length(coalesce(r.clean_text, '')) = 0 THEN 0.0
+            ELSE (length(coalesce(r.clean_text, ''))
+                  - length(regexp_replace(coalesce(r.clean_text, ''),
+                                          '\\s', '', 'g'))) * 1.0
+                 / length(coalesce(r.clean_text, '')) END AS ws_ratio
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+""")
+def q_remove_repeated_segments(spark, sf_dir):
+    """Corpus-level boilerplate removal (extras/text.py
+    remove_repeated_segments, the C4/RefinedWeb trick at word-segment
+    granularity): 3-word segments occurring >2 times corpus-wide are
+    dropped and documents reassembled from the survivors in order.  The
+    oracle rebuilds the same pipeline in SQL (unnest + anti join +
+    ordered string_agg).  Also covers segment_words and
+    whitespace_ratio."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.remove_repeated_segments(docs, "text", "doc_id",
+                                      seg_words=3, max_df=2)
+    return (
+        out.withColumn("n_clean_chars",
+                       F.length("clean_text").cast("long"))
+        .withColumn("ws_ratio", tx.whitespace_ratio(F.col("clean_text")))
+        .select("doc_id", "clean_text", "n_clean_chars", "ws_ratio")
+        .orderBy("doc_id")
+    )
+
+
 # =============================================================================
 # driver contract
 # =============================================================================
@@ -3884,8 +3979,9 @@ _VERIFY_FIRST = [
     "q_union_all", "q_union_rename", "q_collect_mid", "q_eval_aligned",
     "q_cum_extrema", "q_window_chained", "q_chained_summarize",
     "q_cast_roundtrip", "q_map_month", "q_datetime_fine",
-    # (b) r3's one red row, canonicalization fixed this round
-    "q_list_agg",
+    # (b) r3's one red row, canonicalization fixed this round, plus the
+    # two queries added in round 4 (first driver rows needed)
+    "q_list_agg", "q_deterministic_shuffle", "q_remove_repeated_segments",
     # (c) canaries: core scan/agg, single-scan-window rewrite, window ops
     "q01_pricing_summary", "q21_waiting_supplier", "q_window_ops",
     # (d) round-3 green set, most-load-bearing buckets first
