@@ -3956,6 +3956,212 @@ def q_remove_repeated_segments(spark, sf_dir):
     )
 
 
+@_q("""
+WITH ev AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(session_id) AS BIGINT) AS n_sessions
+FROM sess GROUP BY user_id ORDER BY user_id
+""")
+def q_stream_stateful_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (streaming/__init__.py
+    stateful_sessionize, applyInPandasWithState): per-event gap-based
+    session ids assigned incrementally with per-user state, drained with
+    availableNow and aggregated per user — must equal the batch
+    window-function sessionization the oracle computes."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import events as ev
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.load_events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    batch_schema = spark.read.parquet(staged).schema
+    stream = st.read_event_stream(spark, staged, schema=batch_schema)
+    sess = st.stateful_sessionize(stream, gap_minutes=30)
+    out = st.run_to_memory(
+        sess, f"q_stream_sess_ids_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("session_id").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+@_q("""
+SELECT event_id, user_id, event_type, round(value, 6) AS value_r
+FROM events ORDER BY event_id
+""")
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/__init__.py dedup_stream,
+    dropDuplicatesWithinWatermark): the staged events are doubled
+    (union all) before streaming; deduping on a content fingerprint must
+    recover exactly the original rows.  Duplicate copies are identical
+    full rows, so which copy survives is value-irrelevant."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import events as ev
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    doubled = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream",
+        os.path.basename(sf_dir.rstrip("/")) + "_doubled",
+    )
+    base = ev.load_events(spark, sf_dir)
+    base.unionAll(base).write.mode("overwrite").parquet(doubled)
+    schema = spark.read.parquet(doubled).schema
+    stream = st.read_event_stream(spark, doubled, schema=schema)
+    deduped = st.dedup_stream(
+        stream, F.md5(F.col("event_id").cast("string")),
+        ts_col="ts", watermark="1 hour",
+    )
+    out = st.run_to_memory(
+        deduped, f"q_stream_dedup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 6).alias("value_r"),
+    ).orderBy("event_id")
+
+
+@_q("""
+SELECT bucket_start, event_type, n_events
+FROM (
+  SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 3600000000)
+                        * 3600000000) AS bucket_start,
+         event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+WHERE bucket_start + INTERVAL 1 HOUR
+      <= (SELECT max(ts::TIMESTAMP) FROM events)
+ORDER BY bucket_start, event_type
+""")
+def q_stream_parquet_sink(spark, sf_dir):
+    """Durable streaming sink (streaming/__init__.py
+    write_stream_parquet): hourly rollup written to parquet with a
+    checkpoint (exactly-once), availableNow drain, then read back.  In
+    append mode only watermark-closed windows emit, so the oracle
+    excludes windows not closed by the final watermark (= max event
+    time)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import events as ev
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.load_events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    batch_schema = spark.read.parquet(staged).schema
+    stream = st.read_event_stream(spark, staged, schema=batch_schema)
+    agg = st.tumbling_window_agg(
+        stream, "ts", window="1 hour", watermark="0 seconds",
+        keys=["event_type"], aggs={"n_events": "count(1)"},
+    )
+    run_id = uuid.uuid4().hex[:8]
+    sink = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", f"sink_{run_id}",
+    )
+    q = st.write_stream_parquet(
+        agg, os.path.join(sink, "data"),
+        os.path.join(sink, "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    return (
+        spark.read.parquet(os.path.join(sink, "data"))
+        .select(
+            F.col("window_start").cast("timestamp_ntz")
+            .alias("bucket_start"),
+            "event_type", "n_events",
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+@_q("""
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+), dims AS (
+  SELECT doc_id,
+         64 + ('0x' || substr(hx, 1, 4))::BIGINT % 1985   AS w0,
+         64 + ('0x' || substr(hx, 5, 4))::BIGINT % 1985   AS h0,
+         500 + ('0x' || substr(hx, 1, 6))::BIGINT % 30000 AS duration_ms
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN greatest(w0, h0) > 256
+            THEN CAST(floor(w0 * (256.0 / greatest(w0, h0))) AS BIGINT)
+            ELSE w0 END AS width,
+       CASE WHEN greatest(w0, h0) > 256
+            THEN CAST(floor(h0 * (256.0 / greatest(w0, h0))) AS BIGINT)
+            ELSE h0 END AS height,
+       CAST(ceil(duration_ms / 1000.0) AS BIGINT)              AS n_frames,
+       CAST((ceil(duration_ms / 1000.0) - 1) * 1000 AS BIGINT) AS last_ts_ms
+FROM dims
+ORDER BY doc_id
+""")
+def q_media_resize_frames(spark, sf_dir):
+    """Multimodal resize + video frame-sampling plumbing
+    (extras/multimodal.py resize_images / extract_frames): aspect-
+    preserving resize of the md5-derived stub dimensions, and the 1->N
+    ``mapInPandas`` frame explosion aggregated back to (n_frames,
+    last_ts) per doc.  The oracle reproduces the deterministic stub
+    math bit-for-bit (Python int() truncation == SQL floor on the same
+    IEEE expression order)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.with_media_column(docs, "text", mime="image/x-stub")
+    resized = mm.resize_images(media, "media", "doc_id", max_side=256,
+                               deterministic_fake=True)
+    frames = mm.extract_frames(media, "media", "doc_id", every_ms=1000,
+                               deterministic_fake=True)
+    frame_agg = frames.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("ts_ms").alias("last_ts_ms"),
+    )
+    return (
+        resized.select("id", "width", "height")
+        .join(frame_agg, "id")
+        .select(F.col("id").alias("doc_id"), "width", "height",
+                "n_frames", "last_ts_ms")
+        .orderBy("doc_id")
+    )
+
+
 # =============================================================================
 # driver contract
 # =============================================================================
@@ -3982,6 +4188,8 @@ _VERIFY_FIRST = [
     # (b) r3's one red row, canonicalization fixed this round, plus the
     # two queries added in round 4 (first driver rows needed)
     "q_list_agg", "q_deterministic_shuffle", "q_remove_repeated_segments",
+    "q_media_resize_frames", "q_stream_stateful_sessionize",
+    "q_stream_dedup", "q_stream_parquet_sink",
     # (c) canaries: core scan/agg, single-scan-window rewrite, window ops
     "q01_pricing_summary", "q21_waiting_supplier", "q_window_ops",
     # (d) round-3 green set, most-load-bearing buckets first
