@@ -3989,11 +3989,18 @@ def q_stream_stateful_sessionize(spark, sf_dir):
     from pydiverse_transform_spark.extras import events as ev
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # single-file staging => the availableNow drain is ONE micro-batch,
+    # so the per-batch event-time sort inside the kernel covers the
+    # whole corpus (the operator's documented cross-batch contract is
+    # per-key time-ordered arrival; the multi-batch path is exercised
+    # by tests/test_streaming.py with time-ordered files)
     staged = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        ".tmp_stream", os.path.basename(sf_dir.rstrip("/")),
+        ".tmp_stream",
+        os.path.basename(sf_dir.rstrip("/")) + "_one",
     )
-    ev.load_events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    ev.load_events(spark, sf_dir).coalesce(1).write.mode(
+        "overwrite").parquet(staged)
     batch_schema = spark.read.parquet(staged).schema
     stream = st.read_event_stream(spark, staged, schema=batch_schema)
     sess = st.stateful_sessionize(stream, gap_minutes=30)
@@ -4033,12 +4040,16 @@ def q_stream_dedup(spark, sf_dir):
         os.path.basename(sf_dir.rstrip("/")) + "_doubled",
     )
     base = ev.load_events(spark, sf_dir)
-    base.unionAll(base).write.mode("overwrite").parquet(doubled)
+    # single file => one availableNow micro-batch, and a watermark wider
+    # than the corpus time-span => no fingerprint can expire before its
+    # duplicate arrives, whatever the replay batching
+    base.unionAll(base).coalesce(1).write.mode(
+        "overwrite").parquet(doubled)
     schema = spark.read.parquet(doubled).schema
     stream = st.read_event_stream(spark, doubled, schema=schema)
     deduped = st.dedup_stream(
         stream, F.md5(F.col("event_id").cast("string")),
-        ts_col="ts", watermark="1 hour",
+        ts_col="ts", watermark="800 hours",
     )
     out = st.run_to_memory(
         deduped, f"q_stream_dedup_{uuid.uuid4().hex[:8]}",
