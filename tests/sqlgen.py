@@ -149,6 +149,19 @@ def _fn_sql(e: ColFn) -> str:
         return f"contains({a[0]}, {a[1]})"  # fuzz uses allow_regex=False
     if op == "str_slice":
         return f"substr({a[0]}, {a[1]} + 1, {a[2]})"
+    if op == "str_split":
+        # engine \Q..\E-quotes the separator => literal split, which is
+        # exactly DuckDB's string_split
+        return f"string_split({a[0]}, {a[1]})"
+    if op == "list_len":
+        return f"len({a[0]})"
+    if op == "list_get":
+        # engine is 0-based (python/polars convention); DuckDB is 1-based
+        return f"({a[0]})[{e.args[1].val} + 1]"
+    if op == "list_contains":
+        return f"list_contains({a[0]}, {a[1]})"
+    if op == "list_join":
+        return f"array_to_string({a[0]}, {a[1]})"
     if op == "h_max":
         return f"greatest({', '.join(a)})" if len(a) > 1 else a[0]
     if op == "h_min":

@@ -81,8 +81,12 @@ class Gen:
             return -self.int(depth - 1)
         if p < 0.65:
             return self.int(depth - 1).abs()
-        if p < 0.75:
+        if p < 0.72:
             return self.str(depth - 1).str.len()
+        if p < 0.78:
+            return self.str(depth - 1).str.split(
+                r.choice(["-", "l", " ", "%"])
+            ).list.len()
         if p < 0.85:
             return self.int(depth - 1).fill_null(self.int(depth - 1))
         return (
@@ -130,9 +134,18 @@ class Gen:
             return self.str(depth - 1).str.lower()
         if p < 0.6:
             return self.str(depth - 1).str.strip()
-        if p < 0.7:
+        if p < 0.66:
             return self.str(depth - 1).str.slice(
                 pdt.lit(r.randint(0, 3)), pdt.lit(r.randint(1, 4))
+            )
+        if p < 0.72:
+            parts = self.str(depth - 1).str.split(
+                r.choice(["-", "l", " "])
+            )
+            return (
+                parts.list.get(r.randint(0, 2))
+                if r.random() < 0.5
+                else parts.list.join(r.choice(["/", "", "|"]))
             )
         if p < 0.8:
             return self.str(depth - 1).fill_null(pdt.lit("-"))
@@ -164,8 +177,12 @@ class Gen:
             return r.choice(
                 [_op.eq, _op.ne, _op.lt, _op.le, _op.gt, _op.ge]
             )(a, b)
-        if p < 0.75:
+        if p < 0.72:
             return self.str(depth - 1).str.contains("a", allow_regex=False)
+        if p < 0.78:
+            return self.str(depth - 1).str.split(
+                r.choice(["-", "l", " "])
+            ).list.contains(pdt.lit(r.choice(["a", "lo", ""])))
         if p < 0.85:
             return self.any_col().is_null()
         return self.int(depth - 1).is_in(
