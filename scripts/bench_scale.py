@@ -24,7 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-QUERIES = ["q_dedup_minhash", "q_neardup_corpus", "q_sessionize_scalable"]
+QUERIES = ["q_dedup_minhash", "q_neardup_corpus", "q_sessionize_scalable",
+           "q_remove_repeated_segments"]
 
 
 def main():
