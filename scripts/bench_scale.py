@@ -32,7 +32,17 @@ def main():
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
     if not os.path.isdir(sf1):
-        sys.exit(f"{sf1} missing — run scripts/gen_scale_corpus.py first")
+        # .scratch is gitignored — regenerate the deterministic corpus
+        # (same seedless hash-derived content every time)
+        import subprocess
+
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "gen_scale_corpus.py"),
+             "10", sf01, sf1],
+            check=True,
+        )
 
     from pyspark.sql import SparkSession
 
