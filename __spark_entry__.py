@@ -4023,9 +4023,9 @@ FROM events ORDER BY event_id
 def q_stream_dedup(spark, sf_dir):
     """Streaming exact dedup (streaming/__init__.py dedup_stream,
     dropDuplicatesWithinWatermark): the staged events are doubled
-    (union all) before streaming; deduping on a content fingerprint must
-    recover exactly the original rows.  Duplicate copies are identical
-    full rows, so which copy survives is value-irrelevant."""
+    (union all) before streaming; deduping on a full-row content
+    fingerprint (md5 over the JSON of every column) must recover
+    exactly the original rows."""
     import uuid
 
     from pyspark.sql import functions as F
@@ -4047,8 +4047,12 @@ def q_stream_dedup(spark, sf_dir):
         "overwrite").parquet(doubled)
     schema = spark.read.parquet(doubled).schema
     stream = st.read_event_stream(spark, doubled, schema=schema)
+    # full-row fingerprint: to_json(struct(*)) is unambiguous across
+    # same-schema rows (a null field is omitted, nothing else is), so
+    # an event_id collision with a differing payload is NOT dropped
     deduped = st.dedup_stream(
-        stream, F.md5(F.col("event_id").cast("string")),
+        stream,
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in schema.fieldNames()]))),
         ts_col="ts", watermark="800 hours",
     )
     out = st.run_to_memory(

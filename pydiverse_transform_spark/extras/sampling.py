@@ -204,10 +204,14 @@ def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "",
     Determinism contract: ``key_col`` values must be UNIQUE per row, or
     a ``tiebreak_col`` must be given — duplicate keys hash identically,
     so their relative ``shard_pos`` would otherwise be engine/run
-    dependent.  With ``tiebreak_col``, ties order by it (it must make
-    ``(key_col, tiebreak_col)`` unique).  NULL keys hash the same as
-    the empty string prefixed with a sentinel (``md5(concat(NULL, ...))``
-    would be NULL and silently drop the row out of the ordering).
+    dependent.  This is ENFORCED: without ``tiebreak_col``, a duplicate
+    key fails the job at runtime (the check is a ``lag`` over the same
+    shard window — duplicate keys sort adjacent — so it adds no shuffle
+    and no extra job).  With ``tiebreak_col``, ties order by it (it
+    must make ``(key_col, tiebreak_col)`` unique).  NULL keys hash the
+    same as the empty string prefixed with a sentinel
+    (``md5(concat(NULL, ...))`` would be NULL and silently drop the row
+    out of the ordering).
     """
     if n_shards < 1 or n_shards > 65536:
         raise ValueError(f"n_shards must be in [1, 65536], got {n_shards}")
@@ -219,9 +223,27 @@ def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "",
     if tiebreak_col is not None:
         order.append(F.col(tiebreak_col).asc_nulls_first())
     w = Window.partitionBy("shard").orderBy(*order)
+    pos = F.row_number().over(w).cast("long")
+    if tiebreak_col is None:
+        # Duplicate keys share a hash, land in the same shard, and sort
+        # adjacent under (__h, key) — one lag over the SAME window spec
+        # detects them without an extra shuffle.  Folding the assert
+        # into shard_pos keeps Catalyst from pruning it away.
+        dup = F.lag("__h").over(w).eqNullSafe(F.col("__h"))
+        guard = F.assert_true(
+            ~dup,
+            F.concat(
+                F.lit("deterministic_shuffle: duplicate value in "
+                      f"key_col {key_col!r} ("),
+                F.col(key_col).cast("string"),
+                F.lit(") — shard_pos would be engine/run dependent; "
+                      "pass tiebreak_col to break ties deterministically"),
+            ),
+        )
+        pos = F.when(guard.isNull(), pos)
     return (
         df.withColumn("__h", h)
         .withColumn("shard", shard)
-        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .withColumn("shard_pos", pos)
         .drop("__h")
     )

@@ -60,8 +60,11 @@ def main():
     os.makedirs(out, exist_ok=True)
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
+    # tokenize exactly like extras/text.tokens() (trim + split on \s+)
+    # so replica shingle/token distributions match the original corpus
     permuted_text = F.expr(
-        "array_join(transform(array_sort(transform(split(text, ' '), "
+        "array_join(transform(array_sort(transform("
+        r"split(regexp_replace(text, '^\\s+|\\s+$', ''), '\\s+'), "
         "(w, i) -> named_struct("
         "'h', xxhash64(w, i, doc_id, __replica), 'w', w))), "
         "s -> s.w), ' ')"

@@ -196,3 +196,26 @@ def test_deterministic_shuffle_null_key_and_tiebreak(spark):
     assert canon(rows) == canon(again)
     dup_pos = sorted((r.id, r.shard_pos) for r in rows if r.k == "k1")
     assert [p for _, p in dup_pos] == sorted(p for _, p in dup_pos)
+
+
+def test_deterministic_shuffle_duplicate_keys_rejected(spark):
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from pydiverse_transform_spark.extras.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", 1), ("k1", 2), ("k2", 3)], "k string, id int",
+    )
+    # duplicate key without tiebreak_col => engine-dependent shard_pos;
+    # the contract is enforced at runtime (assert_true in the plan)
+    with pytest.raises(SparkRuntimeException, match="duplicate value in key_col"):
+        deterministic_shuffle(df, "k", n_shards=4).collect()
+    # unique keys: no tiebreak needed, runs clean
+    uniq = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "k string, id int",
+    )
+    out = deterministic_shuffle(uniq, "k", n_shards=4).collect()
+    assert len(out) == 3 and all(r.shard_pos >= 1 for r in out)

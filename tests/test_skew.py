@@ -117,10 +117,21 @@ def test_salted_join_bounds_reducer_input(spark):
         # naive: every hot row in one reducer
         assert naive_max >= hot, naive_max
         # salted: hot key split across n_salt reducers (slack for cold
-        # keys and the odd two hot salt-groups sharing a partition)
-        assert salted_max <= 2 * hot / n_salt + cold / 16, (
+        # keys and a few hot salt-groups hash-colliding onto one
+        # partition — 3x tolerates any plausible co-location without
+        # letting an unsalted plan pass)
+        assert salted_max <= 3 * hot / n_salt + cold / 16, (
             naive_max, salted_max
         )
+        # structural check, independent of partition-size luck: the hot
+        # key's rows must actually land on many distinct partitions
+        hot_parts = (
+            salted_join(left, right, on=["k"], n_salt=n_salt)
+            .where(F.col("k") == 0)
+            .select(F.spark_partition_id().alias("__pid"))
+            .distinct().count()
+        )
+        assert hot_parts >= n_salt // 2, hot_parts
         assert salted_max < naive_max / 3, (naive_max, salted_max)
     finally:
         for k, v in old.items():
