@@ -4187,50 +4187,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies the first N registered queries per round (N=50).
-# Round 4 ordering: (a) the 13 queries that never got a driver row in
-# rounds 2-3 (they sat past slot 50 both times), (b) q_list_agg, fixed
-# this round (r3's only red row — raw array column broke the driver's
-# pandas canonicalizer), (c) canary core queries (ADVICE r3: keep a few
-# always-inside-the-window so a regression in the core path is caught
-# by the external gate, not only by pytest), then (d) round 3's green
-# set so it re-verifies for free.  Every query stays registered.
-_VERIFY_FIRST = [
-    # (a) never driver-verified (rounds 2+3 tail) — 13 queries
-    "q_validate_join", "q_theta_join", "q_agg_filter_kwarg",
-    "q_union_all", "q_union_rename", "q_collect_mid", "q_eval_aligned",
-    "q_cum_extrema", "q_window_chained", "q_chained_summarize",
-    "q_cast_roundtrip", "q_map_month", "q_datetime_fine",
-    # (b) r3's one red row, canonicalization fixed this round, plus the
-    # two queries added in round 4 (first driver rows needed)
-    "q_list_agg", "q_deterministic_shuffle", "q_remove_repeated_segments",
-    "q_media_resize_frames", "q_stream_stateful_sessionize",
-    "q_stream_dedup", "q_stream_parquet_sink",
-    # (c) canaries: core scan/agg, single-scan-window rewrite, window ops
-    "q01_pricing_summary", "q21_waiting_supplier", "q_window_ops",
-    # (d) round-3 green set, most-load-bearing buckets first
-    "q_sessionize", "q_sessionize_scalable", "q_tumbling_agg",
-    "q_asof_join", "q_asof_join_scalable", "q_interval_join",
-    "q_heavy_hitters", "q_events_json_props", "q_events_window_dsl",
-    "q_events_by_type", "q_shift_fill",
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_interval_join",
-    "q_dedup_exact", "q_dedup_minhash", "q_ngram_jaccard",
-    "q_char_shingle_jaccard", "q_simhash", "q_neardup_clusters",
-    "q_neardup_corpus", "q_decontaminate",
-    "q_cosine_topk", "q_signlsh_topk", "q_embedding_neardup", "q_ivf_topk",
-    "q_doc_stats", "q_doc_agg", "q_bpe_tokens", "q_chunk_text",
-    "q_repetition_ratio", "q_redact_pii", "q_pack_sequences",
-    "q_hash_sample", "q_hash_split", "q_stratified_sample",
-    "q_weighted_mix", "q_topk_per_group",
-    "q_rollup", "q_cube", "q_str_join_agg", "q_list_agg_rendered",
-    "q_approx_sketches", "q_decimal_agg", "q_media_decode_features",
-    "q_map_groups_zscore", "q_map_batches_tokens", "q_agg_extras",
-]
+# Rotation policy (stalest-first, mechanical — replaced the r2-r4
+# hand-curated list per the round-4 brief): canaries are pinned to the
+# front so a core-path regression is always caught by the external
+# gate, then every other query ordered by the round of its most recent
+# green driver row ascending (never-verified queries sort first at
+# round 0), ties broken by registration order.  The per-query rounds
+# come from the committed last_verified.json, regenerated each round
+# from CORRECTNESS_r0N.json by `python tools/gen_last_verified.py` —
+# with 118 queries and a 50-slot window, every query re-verifies at
+# worst every ceil(118/50) = 3 rounds.
+_CANARIES = ["q01_pricing_summary", "q21_waiting_supplier", "q_window_ops"]
+
+
+def _last_verified() -> dict[str, int]:
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "last_verified.json")
+    try:
+        with open(path) as f:
+            data = json.load(f)
+        return {k: int(v) for k, v in data.items()}
+    except (OSError, ValueError):
+        return {}
 
 
 def _ordered(reg: dict) -> dict:
-    front = [n for n in _VERIFY_FIRST if n in reg]
-    rest = [n for n in reg if n not in set(front)]
+    last = _last_verified()
+    idx = {n: i for i, n in enumerate(reg)}
+    front = [c for c in _CANARIES if c in reg]
+    rest = sorted((n for n in reg if n not in _CANARIES),
+                  key=lambda n: (last.get(n, 0), idx[n]))
     return {n: reg[n] for n in [*front, *rest]}
 
 
