@@ -42,7 +42,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def word_shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles as an array<string> (deduplicated)."""
     words = F.split(F.lower(F.regexp_replace(text, r"^\s+|\s+$", "")), r"\s+")
-    n = F.size(words)
+    n = F.array_size(words)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda j: F.array_join(F.slice(words, j + 1, k), " "),
@@ -206,8 +206,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
 
 def jaccard(a: Column, b: Column) -> Column:
     """Jaccard similarity of two (deduplicated) shingle arrays."""
-    inter = F.size(F.array_intersect(a, b))
-    union = F.size(a) + F.size(b) - inter
+    inter = F.array_size(F.array_intersect(a, b))
+    union = F.array_size(a) + F.array_size(b) - inter
     return F.when(union == 0, F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )

@@ -46,7 +46,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector has norm 0 — cosine is then NULL in both
+    # ANSI modes (bare `/` raises DIVIDE_BY_ZERO under the Spark 4 ANSI
+    # default; the DuckDB oracle yields NULL).
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _qlit(query_vec: list[float]) -> Column:
@@ -197,8 +200,10 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
         .select(
             "id_a", "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")), 6
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ), 6
             ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)

@@ -40,7 +40,7 @@ def tokens(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    return F.size(tokens(text)).cast("long")
+    return F.array_size(tokens(text)).cast("long")
 
 
 def char_count(text: Column) -> Column:
@@ -71,7 +71,7 @@ def bpe_token_count(text: Column) -> Column:
     """Pre-token count — the standard proxy for BPE token cost when
     budgeting a training mix (actual merge count needs the vocab; this
     stays a pure whole-stage-codegen expression)."""
-    return F.size(bpe_pretokens(text)).cast("long")
+    return F.array_size(bpe_pretokens(text)).cast("long")
 
 
 def _ratio(matched_removed: Column, total: Column) -> Column:
@@ -99,7 +99,7 @@ def whitespace_ratio(text: Column) -> Column:
 def stopword_count(text: Column, lang: str = "en") -> Column:
     words = STOPWORDS[lang]
     toks = tokens(F.lower(text))
-    return F.size(F.filter(toks, lambda w: w.isin(*words))).cast("long")
+    return F.array_size(F.filter(toks, lambda w: w.isin(*words))).cast("long")
 
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
@@ -172,11 +172,11 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     tokenized = fan_out(df).withColumn("__ltoks", tokens(F.lower(t)))
     ltoks = F.col("__ltoks")
     staged = tokenized.withColumns({
-        "__n_tok": F.size(ltoks).cast("long"),
+        "__n_tok": F.array_size(ltoks).cast("long"),
         "__punct": punct_ratio(t),
         "__digit": digit_ratio(t),
         **{
-            f"__sw_{lang}": F.size(
+            f"__sw_{lang}": F.array_size(
                 F.filter(ltoks, lambda w: w.isin(*words))
             ).cast("long")
             for lang, words in STOPWORDS.items()
@@ -245,13 +245,13 @@ def repetition_ratio(text: Column, k: int = 3) -> Column:
     template spam — a standard training-data quality signal.  Pure
     array expressions, no shuffle."""
     words = tokens(F.lower(text))
-    n = F.size(words)
+    n = F.array_size(words)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda j: F.array_join(F.slice(words, j + 1, k), " "),
     )
-    total = F.size(sh)
-    distinct = F.size(F.array_distinct(sh))
+    total = F.array_size(sh)
+    distinct = F.array_size(F.array_distinct(sh))
     return F.round(
         F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
     )
@@ -292,7 +292,7 @@ def segment_words(text: Column, seg_words: int = 3) -> Column:
     single-NULL segment array.  Coalescing to '' makes NULL docs yield
     ``[]`` deterministically regardless of ANSI config."""
     words = tokens(F.coalesce(text, F.lit("")))
-    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    n_seg = F.ceil(F.array_size(words) / F.lit(seg_words)).cast("int")
     # sequence(1, 0) would yield a DESCENDING [1, 0]; guard empty docs
     return F.when(n_seg < 1, F.array().cast("array<string>")).otherwise(
         F.transform(

@@ -277,6 +277,30 @@ def compile_order(o: Order, ctx: CompileCtx) -> Column:
     return c.asc_nulls_last() if nulls_last else c.asc_nulls_first()
 
 
+_INT_WIDTH = {"Int8": 1, "Int16": 2, "Int32": 4, "Int64": 8, "Int": 8,
+              "UInt8": 2, "UInt16": 4, "UInt32": 8, "UInt64": 8}
+
+
+def _strict_cast_can_fail(src: tp.Dtype | None, dst: tp.Dtype) -> bool:
+    """Lossy source→target pairs where a strict cast can throw: string
+    parses, float/decimal→int range, int narrowing, anything→decimal
+    overflow.  Widening / always-safe casts return False and compile to
+    a bare Spark cast with no try_cast probe."""
+    if src is None or isinstance(src, tp.NullType):
+        return False
+    if isinstance(src, tp.String) and not isinstance(dst, tp.String):
+        return True
+    if src.is_float() and dst.is_int():
+        return True
+    if isinstance(dst, tp.Decimal):
+        return True
+    if src.is_int() and dst.is_int():
+        sw = _INT_WIDTH.get(type(src).__name__, 8)
+        dw = _INT_WIDTH.get(type(dst).__name__, 8)
+        return dw < sw
+    return False
+
+
 def _compile_cast(e: Cast, ctx: CompileCtx) -> Column:
     x = compile_expr(e.expr, ctx)
     if isinstance(e.target, tp.Enum):
@@ -293,7 +317,27 @@ def _compile_cast(e: Cast, ctx: CompileCtx) -> Column:
         return F.when(member, x)
     st = tp.to_spark_type(e.target)
     if e.strict:
-        return x.cast(st)
+        casted = x.cast(st)
+        if _strict_cast_can_fail(e.expr.dtype(), e.target):
+            # reference contract (test_cast.py:42-46): strict cast of a
+            # malformed / out-of-range value throws on EVERY backend.
+            # Spark only raises under ANSI; non-ANSI silently
+            # clamps/nulls.  try_cast is mode-independent (NULL on any
+            # failure), so probe with it and raise via assert_true —
+            # identical behavior whatever the cluster's
+            # spark.sql.ansi.enabled.  Only lossy source→target pairs
+            # pay the probe; widening casts stay a bare cast.
+            probe = x.try_cast(st)
+            bad = F.assert_true(
+                x.isNull() | probe.isNotNull(),
+                F.concat(
+                    F.lit(f"strict cast to {e.target} out of range or "
+                          "malformed for value '"),
+                    x.cast("string"), F.lit("'"),
+                ),
+            )
+            return F.when(bad.isNull(), casted)
+        return casted
     try:
         return x.try_cast(st)
     except AttributeError:  # pyspark < 3.5 fallback
@@ -430,10 +474,14 @@ def _compile_ordered_agg(e: ColFn, ctx: CompileCtx) -> Column:
     if e.op == "first":
         # struct elements are never null, so null VALUES survive the
         # collect (unlike a bare collect_list) — polars first/last
-        # semantics
-        return F.element_at(vals, 1)
+        # semantics.  F.get (0-indexed, NULL on out-of-bounds in every
+        # ANSI mode) rather than element_at, which raises
+        # INVALID_ARRAY_INDEX under ANSI when a `filter=` kwarg
+        # excludes every row of a group (DuckDB: first(...) FILTER with
+        # no rows is NULL).
+        return F.get(vals, 0)
     if e.op == "last":
-        return F.element_at(vals, -1)
+        return F.get(vals, F.size(vals) - 1)
     return vals
 
 

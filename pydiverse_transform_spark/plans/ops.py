@@ -212,17 +212,26 @@ def _infer_truediv(node):
     return tp.Float64()
 
 
-# Spark already float-divides integers (unlike SQL engines) — `/` is correct.
-_reg("truediv", FTYPE_ELEMENT_WISE, _infer_truediv, lambda n, a: a[0] / a[1])
+# Spark already float-divides integers (unlike SQL engines).  try_divide
+# (not `/`) so x/0 is NULL in BOTH ANSI modes — the engine contract is
+# null-on-edge like the DuckDB/SQL backends of the reference, independent
+# of the cluster's spark.sql.ansi.enabled (true is the Spark 4 default,
+# under which bare `/` raises DIVIDE_BY_ZERO).
+_reg("truediv", FTYPE_ELEMENT_WISE, _infer_truediv,
+     lambda n, a: F.try_divide(a[0], a[1]))
 
 
 def _div_toward_zero(x: Column, y: Column) -> Column:
     """Integer division rounding toward zero (C semantics,
     reference ops/ops/arithmetic.py:52-86).  Spark's `div` operator is
     IntegralDivide == truncation toward zero; `%` already has
-    sign-of-dividend semantics, so (x - x % y) is exactly divisible."""
+    sign-of-dividend semantics, so (x - x % y) is exactly divisible.
+    The divisor goes through nullif(y, 0): division by NULL is NULL in
+    every mode, so x // 0 is NULL under ANSI and non-ANSI alike
+    (matching the DuckDB oracle) instead of raising on ANSI clusters."""
+    y = F.nullif(y.cast("long"), F.lit(0).cast("long"))
     try:
-        return F.call_function("div", x.cast("long"), y.cast("long"))
+        return F.call_function("div", x.cast("long"), y)
     except Exception:
         return ((x - (x % y)) / y).cast("long")
 
@@ -238,7 +247,11 @@ def _infer_intdiv(node):
 
 _reg("floordiv", FTYPE_ELEMENT_WISE, _infer_intdiv,
      lambda n, a: _div_toward_zero(a[0], a[1]))
-_reg("mod", FTYPE_ELEMENT_WISE, _infer_intdiv, lambda n, a: a[0] % a[1])
+# try_mod keeps Spark's sign-of-dividend (C) semantics but returns NULL
+# for x % 0 in both ANSI modes (bare `%` raises REMAINDER_BY_ZERO under
+# the Spark 4 ANSI default; DuckDB oracle yields NULL).
+_reg("mod", FTYPE_ELEMENT_WISE, _infer_intdiv,
+     lambda n, a: F.try_mod(a[0], a[1]))
 
 
 def _infer_pow(node):
@@ -557,7 +570,7 @@ def _infer_list_join(node):
 
 
 _reg("list_len", FTYPE_ELEMENT_WISE, _infer_list_len,
-     lambda n, a: F.size(a[0]).cast("long"))
+     lambda n, a: F.array_size(a[0]).cast("long"))
 # 0-based element access (python/polars convention); out of range -> null
 _reg("list_get", FTYPE_ELEMENT_WISE, _infer_list_elem,
      lambda n, a: F.get(a[0], n.args[1].val))

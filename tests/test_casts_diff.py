@@ -15,6 +15,11 @@ from pydiverse_transform_spark import C
 from fixtures import ALL
 from oracle_util import compare
 
+# every differential test runs under BOTH spark.sql.ansi.enabled settings
+# (tests/conftest.py ansi_mode) — the null-on-edge oracle contract must be
+# cluster-config independent
+pytestmark = pytest.mark.usefixtures("ansi_both")
+
 
 @pytest.fixture(scope="session")
 def con():

@@ -98,23 +98,18 @@ def test_repetition_ratio_values(spark):
     assert abs(out[0] - round(1 - 3 / 7, 6)) < 1e-9
 
 
-def test_segment_words_null_doc_any_ansi_mode(spark):
+def test_segment_words_null_doc_any_ansi_mode(spark, ansi_both):
     """NULL documents must yield [] from segment_words regardless of
     ANSI config (size(NULL) flips between -1/NULL across configs; the
-    coalesce guard makes the routing deterministic)."""
+    coalesce guard makes the routing deterministic).  ANSI coverage
+    comes from the session-scoped ``ansi_both`` parametrization
+    (tests/conftest.py), which runs this test once per mode."""
     from pyspark.sql import functions as F
 
     from pydiverse_transform_spark.extras.text import segment_words
 
     df = spark.createDataFrame(
         [(None,), ("",), ("   ",), ("a b c d e",)], "t string")
-    for ansi in ("true", "false"):
-        old = spark.conf.get("spark.sql.ansi.enabled")
-        spark.conf.set("spark.sql.ansi.enabled", ansi)
-        try:
-            got = [tuple(r.s) for r in
-                   df.select(segment_words(F.col("t"), 3).alias("s"))
-                   .collect()]
-        finally:
-            spark.conf.set("spark.sql.ansi.enabled", old)
-        assert got == [(), (), (), ("a b c", "d e")], (ansi, got)
+    got = [tuple(r.s) for r in
+           df.select(segment_words(F.col("t"), 3).alias("s")).collect()]
+    assert got == [(), (), (), ("a b c", "d e")], (ansi_both, got)

@@ -13,6 +13,11 @@ from pydiverse_transform_spark import C
 from fixtures import ALL
 from oracle_util import compare
 
+# every differential test runs under BOTH spark.sql.ansi.enabled settings
+# (tests/conftest.py ansi_mode) — the null-on-edge oracle contract must be
+# cluster-config independent
+pytestmark = pytest.mark.usefixtures("ansi_both")
+
 
 @pytest.fixture(scope="session")
 def con():
@@ -334,4 +339,45 @@ def test_arrange_nulls_markers(spark, con, tbl):
         SELECT col4, row_number() OVER (
             ORDER BY col2 DESC NULLS LAST, col4 ASC NULLS FIRST) AS rn
         FROM df4
+    """)
+
+
+def test_division_by_zero_is_null_any_ansi(spark, con, tbl):
+    """x / 0, x // 0, x % 0 are NULL — in BOTH ANSI modes (try_divide /
+    nullif-guarded div / try_mod), matching DuckDB.  df2.col2 contains
+    zeros and NULLs; col3 contains 0.0."""
+    t = tbl("df2")
+    out = t >> pdt.mutate(
+        q=(t.col1 / t.col2).round(6),
+        fq=(t.col3 / t.col3).round(6),
+        i=t.col1 // t.col2,
+        m=t.col1 % t.col2,
+    ) >> pdt.select(t.col1, t.col2, C.q, C.fq, C.i, C.m)
+    _check(spark, con, "div_by_zero", out, """
+        SELECT col1, col2, round(col1 / col2, 6) AS q,
+               round(col3 / col3, 6) AS fq,
+               col1 // col2 AS i, col1 % col2 AS m
+        FROM df2
+    """)
+
+
+def test_first_last_filter_excludes_all(spark, con, tbl):
+    """first/last with a filter= that excludes every row of some group
+    must be NULL (F.get on the empty collected array — element_at would
+    raise INVALID_ARRAY_INDEX under ANSI; DuckDB FILTER yields NULL)."""
+    t = tbl("df3")
+    out = (
+        t
+        >> pdt.group_by(t.col2)
+        >> pdt.summarize(
+            f=t.col4.first(arrange=[t.col4], filter=t.col1 > 100),
+            la=t.col4.last(arrange=[t.col4], filter=t.col1 > 100),
+        )
+    )
+    _check(spark, con, "first_last_empty_filter", out, """
+        SELECT col2,
+               (array_agg(col4 ORDER BY col4) FILTER (col1 > 100))[1] AS f,
+               list_reverse(array_agg(col4 ORDER BY col4)
+                            FILTER (col1 > 100))[1] AS la
+        FROM df3 GROUP BY col2
     """)

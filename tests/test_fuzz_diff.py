@@ -18,6 +18,12 @@ from pydiverse_transform_spark.plans.compile import prepare
 from oracle_util import compare
 from sqlgen import to_sql
 
+# fuzz under BOTH spark.sql.ansi.enabled settings (tests/conftest.py
+# ansi_mode): generated trees now include zero/NULL divisors, so this is
+# the direct differential check of the mode-independent null-on-edge
+# contract
+pytestmark = pytest.mark.usefixtures("ansi_both")
+
 # the fuzz relation: null-rich, signed, metachar-rich — no NaN/inf (their
 # ordering/printing differs per bridge, tested separately in fixtures)
 FUZZ = {
@@ -70,8 +76,14 @@ class Gen:
             op = r.choice(["+", "-", "*"])
             return {"+": a + b, "-": a - b, "*": a * b}[op]
         if p < 0.45:
-            # nonzero literal divisor keeps ANSI Spark from raising
-            d = pdt.lit(r.choice([2, 3, -3, 7]))
+            # arbitrary divisors, including 0 and NULL: the engine
+            # contract is x // 0 == x % 0 == NULL in both ANSI modes
+            # (nullif-guarded div / try_mod), exactly like DuckDB
+            d = (
+                self.int(depth - 1)
+                if r.random() < 0.5
+                else pdt.lit(r.choice([2, 3, -3, 7, 0]))
+            )
             return (
                 self.int(depth - 1) // d
                 if r.random() < 0.5
@@ -106,7 +118,14 @@ class Gen:
             a, b = self.float(depth - 1), self.float(depth - 1)
             return {"+": a + b, "-": a - b, "*": a * b}[r.choice("+-*")]
         if p < 0.4:
-            return self.float(depth - 1) / pdt.lit(r.choice([2.0, -4.0, 0.5]))
+            # divisor may be 0.0 or NULL — x / 0 is NULL in both ANSI
+            # modes (try_divide), matching DuckDB
+            d = (
+                self.float(depth - 1)
+                if r.random() < 0.5
+                else pdt.lit(r.choice([2.0, -4.0, 0.5, 0.0]))
+            )
+            return self.float(depth - 1) / d
         if p < 0.5:
             return self.float(depth - 1).round(r.choice([0, 1, 2]))
         if p < 0.6:
@@ -223,7 +242,12 @@ def test_fuzz_differential(spark, fuzz_setup):
             df = out >> pdt.export(pdt.Spark)
             ok, msg = compare(df, con, sql, f"fuzz[{i}]")
         except Exception as e:
-            if "ARITHMETIC_OVERFLOW" in str(e) or "overflow" in str(e):
+            # int64 overflow is a DOCUMENTED backend divergence, exactly
+            # like the reference's: DuckDB raises OutOfRange, Polars (and
+            # non-ANSI Spark) wraps, ANSI Spark raises.  Skip whichever
+            # side raised (case-insensitive: Spark says
+            # ARITHMETIC_OVERFLOW, DuckDB "Overflow in multiplication").
+            if "overflow" in str(e).lower():
                 continue
             ok, msg = False, f"fuzz[{i}] EXCEPTION {e} \nSQL: {sql}"
         n_run += 1
