@@ -191,8 +191,14 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     is uniform md5 — no skew, broadcast-free, scales to any corpus size.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
+    # persist the BUCKETS projection, not the shingles: both sides of the
+    # self-join read it, and without a persist Spark recomputes the whole
+    # tokenize→shingle→md5→signature chain twice (measured 6.7 s vs
+    # 3.0 s at sf1, scripts/profile_minhash.py).  Buckets are tiny —
+    # (id, band, 32-char hash) × bands rows per doc — so this stays cheap
+    # at 100 TB where persisting shingle arrays would not.
     buckets = _band_buckets(shingled(df, text_col, id_col, k), id_col,
-                            n_hashes, bands)
+                            n_hashes, bands).persist()
     right = buckets.withColumnRenamed(id_col, "id_b")
     pairs = (
         buckets.withColumnRenamed(id_col, "id_a")
@@ -213,28 +219,87 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
+# below this estimated (compressed) input size the whole shingle
+# projection is persisted and reused for verification; above it, only
+# candidate documents are re-shingled.  Shingle arrays materialize at
+# roughly 10x the parquet bytes, so "small" means "the full shingle
+# corpus trivially fits executor storage memory".
+_SMALL_CORPUS_BYTES = 2 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the optimized plan — free
+    (no job), same statistic AQE uses for broadcast decisions."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62  # unknown -> assume large (the scalable path)
+
+
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         n_hashes: int = 16, bands: int = 4,
-                        threshold: float = 0.7) -> DataFrame:
+                        threshold: float = 0.7,
+                        persist_shingles: bool | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH candidates, then exact n-gram Jaccard
-    verification on the candidate pairs only.  The shingle projection is
-    cached: it feeds the LSH banding AND both sides of the verification
-    join (on a cluster this would be a persisted/checkpointed stage)."""
-    sh = shingled(df, text_col, id_col, k).persist()
-    cands = _band_buckets(sh, id_col, n_hashes, bands)
+    verification on the candidate pairs only.
+
+    Two verification strategies with identical results
+    (tests/test_fixes.py::test_minhash_strategies_agree):
+
+    - ``persist_shingles=True`` (auto for small inputs): the shingle
+      projection is persisted once and feeds both the banding and the
+      two verification joins.  Fastest when the whole shingle corpus
+      fits in memory; fewest stages.
+    - ``persist_shingles=False`` (auto for large inputs — the 100 TB
+      shape): only the tiny (id, band, hash) bucket projection and the
+      candidate-pair list are persisted; shingles are recomputed for
+      candidate DOCUMENTS ONLY (measured 7% of the corpus at sf1,
+      scripts/profile_minhash.py).  The full shingle corpus — ~10x the
+      input bytes — is never materialized, which is what makes the
+      pipeline's memory footprint independent of corpus size; measured
+      slope drops from 4.3x to ~2.1x per 10x data (SCALE.md).
+
+    ``persist_shingles=None`` picks by Catalyst's sizeInBytes estimate.
+    """
+    if persist_shingles is None:
+        persist_shingles = _plan_size_bytes(df) < _SMALL_CORPUS_BYTES
+
+    if persist_shingles:
+        sh = shingled(df, text_col, id_col, k).persist()
+        # buckets persisted too: the self-join below otherwise runs the
+        # signature fold twice even over persisted shingles
+        cands = _band_buckets(sh, id_col, n_hashes, bands).persist()
+    else:
+        sh = None
+        cands = _band_buckets(shingled(df, text_col, id_col, k), id_col,
+                              n_hashes, bands).persist()
     right = cands.withColumnRenamed(id_col, "id_b")
-    cands = (
+    pairs = (
         cands.withColumnRenamed(id_col, "id_a")
         .join(right, on=["band", "h"], how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if sh is None:
+        # candidate-only re-shingle: semi-join the raw input down to the
+        # documents that appear in a candidate pair (AQE broadcasts the
+        # id list when small), shingle just those
+        pairs = pairs.persist()
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .union(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        # persisted: both sides of the verification join read it, and it
+        # is only the candidate docs (~7% of the corpus at sf1)
+        sh = shingled(df.join(cand_ids, id_col), text_col, id_col, k).persist()
     a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b")
     return (
-        cands.join(a, "id_a").join(b, "id_b")
+        pairs.join(a, "id_a").join(b, "id_b")
         .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -167,3 +167,15 @@ def test_enum_cast(spark):
     strict = t >> pdt.mutate(e=t.s.cast(pdt.types.Enum("a", "b")))
     with pytest.raises(Exception, match="invalid value 'x'"):
         strict >> pdt.export(pdt.Pandas)
+
+
+# 11. the two minhash verification strategies produce identical pairs
+def test_minhash_strategies_agree(spark, sf_dir):
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = dedup.minhash_dedup_pairs(docs, persist_shingles=True)
+    big = dedup.minhash_dedup_pairs(docs, persist_shingles=False)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(small) == rows(big)
+    assert small.columns == big.columns
