@@ -4177,6 +4177,42 @@ def q_media_resize_frames(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, event_type,
+       count(*) AS n, round(sum(value), 6) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-02' AND DATE '2024-01-03'
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def q_time_partitioned_scan(spark, sf_dir):
+    """Time-partitioned corpus layout (extras/events.py
+    write_time_partitioned + sources/sinks.py verb): events written with
+    a derived day partition column, re-read with a dt range predicate
+    that prunes at the PARTITION level (directories for other days are
+    skipped from metadata — plan proof tests/test_time_partitioned.py),
+    then rolled up per (day, event_type).  The oracle computes the same
+    rollup from the raw events with a date filter — engine-independent
+    results, partition pruning being purely a physical-layout win."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", "daily_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    ev.write_time_partitioned(ev.load_events(spark, sf_dir), staged,
+                              ts_col="ts", granularity="day")
+    return (
+        spark.read.parquet(staged)
+        .filter(F.col("dt").between("2024-01-02", "2024-01-03"))
+        .groupBy(F.col("dt").cast("string").alias("dt"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 6).alias("total_value"))
+        .orderBy("dt", "event_type")
+    )
+
+
 # =============================================================================
 # driver contract
 # =============================================================================

@@ -18,7 +18,8 @@ US_PER_HOUR = 3_600_000_000
 US_PER_MIN = 60_000_000
 
 __all__ = ["load_events", "epoch_us", "sessionize", "sessionize_scalable",
-           "tumbling_agg", "ntz_from_epoch_us"]
+           "tumbling_agg", "ntz_from_epoch_us", "time_partition_col",
+           "write_time_partitioned"]
 
 
 def _div(a: Column, b: Column) -> Column:
@@ -187,4 +188,57 @@ def tumbling_agg(df: DataFrame, ts_col: str = "ts", every_minutes: int = 60,
             "window_start",
             ntz_from_epoch_us(F.col("bucket") * F.lit(every_minutes * US_PER_MIN)),
         )
+    )
+
+
+# --- time-partitioned corpus layout ------------------------------------------
+#
+# The #1 cost lever on a 100 TB event/document corpus is not reading it
+# faster — it is not reading it at all.  Materializing a coarse time key
+# as a parquet PARTITION column turns every date-bounded query
+# (sessionize a week, doc-stats for one day, backfill a month) into a
+# metadata-only directory prune: the scan's PartitionFilters eliminate
+# non-matching files before any I/O, exactly like the LSH bucket column
+# in extras/similarity.write_bucketed.
+
+_GRANULARITIES = {
+    "day": lambda ts: F.to_date(ts),
+    "month": lambda ts: F.trunc(F.to_date(ts), "month"),
+    # string key: lexicographic order == chronological, and parquet
+    # partition values must render into a path (timestamps do not)
+    "hour": lambda ts: F.date_format(ts, "yyyy-MM-dd-HH"),
+}
+
+
+def time_partition_col(ts: Column, granularity: str = "day") -> Column:
+    """The derived partition key for ``write_time_partitioned`` — also
+    what a reader must filter on to get metadata-only pruning (filters
+    on the raw timestamp prune row groups via footer stats, but only
+    partition-column predicates skip whole directories)."""
+    try:
+        return _GRANULARITIES[granularity](ts)
+    except KeyError:
+        raise ValueError(
+            f"granularity must be one of {sorted(_GRANULARITIES)}, "
+            f"got {granularity!r}"
+        ) from None
+
+
+def write_time_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
+                           granularity: str = "day",
+                           partition_col: str = "dt",
+                           mode: str = "overwrite") -> None:
+    """Materialize a time-partitioned corpus layout: derive
+    ``partition_col`` from ``ts_col`` at the given granularity and write
+    it as a parquet partition column.  Readers filter on
+    ``partition_col`` (e.g. ``F.col("dt") == "2024-01-02"``) and the
+    scan shows the predicate under PartitionFilters — directories for
+    other days are never opened (plan proof:
+    tests/test_time_partitioned.py)."""
+    (
+        df.withColumn(partition_col,
+                      time_partition_col(F.col(ts_col), granularity))
+        .write.mode(mode)
+        .partitionBy(partition_col)
+        .parquet(path)
     )

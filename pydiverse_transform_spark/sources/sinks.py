@@ -14,7 +14,7 @@ from ..operators.pipeable import verb
 from ..table import Table
 
 __all__ = ["write_parquet", "write_csv", "write_json", "write_orc",
-           "save_as_table"]
+           "save_as_table", "write_time_partitioned"]
 
 
 def _writer(table: Table, mode: str, partition_by, **options):
@@ -93,4 +93,23 @@ def save_as_table(table: Table, name: str, *, mode: str = "error",
             ]
             w = w.sortBy(*snames)
     w.saveAsTable(name)
+    return table
+
+
+@verb
+def write_time_partitioned(table: Table, path: str, ts_col, *,
+                           granularity: str = "day",
+                           partition_col: str = "dt",
+                           mode: str = "overwrite") -> Table:
+    """Time-partitioned parquet sink: derives a coarse time key (day /
+    month / hour) from ``ts_col`` and writes it as the partition column,
+    so any date-bounded re-read prunes whole directories at the scan
+    (PartitionFilters — metadata only, zero I/O for other days).  The
+    100-TB layout for event/document corpora; plan proof in
+    tests/test_time_partitioned.py."""
+    from ..extras.events import write_time_partitioned as _wtp
+
+    name = table._cols[table._resolve_uuid(ts_col)].name
+    _wtp(table.to_spark(), path, ts_col=name, granularity=granularity,
+         partition_col=partition_col, mode=mode)
     return table
