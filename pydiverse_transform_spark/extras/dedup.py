@@ -40,7 +40,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as an array<string> (deduplicated)."""
+    """k-word shingles as an array<string> (deduplicated).
+
+    NULL docs coalesce to '' so they behave exactly like empty docs
+    (one empty shingle) in EVERY engine — without the guard, Spark's
+    greatest(NULL - k, 0) is 0 (greatest skips NULLs) and yields
+    [NULL], where engines whose greatest propagates NULL yield [] —
+    found by tests/test_fuzz_extras.py."""
+    text = F.coalesce(text, F.lit(""))
     words = F.split(F.lower(F.regexp_replace(text, r"^\s+|\s+$", "")), r"\s+")
     n = F.array_size(words)
     sh = F.transform(
@@ -51,8 +58,9 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """k-character shingles (deduplicated)."""
-    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    """k-character shingles (deduplicated).  NULL docs coalesce to ''
+    like word_shingles — engine-independent [''] instead of [NULL]."""
+    t = F.lower(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " "))
     n = F.length(t)
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),

@@ -243,8 +243,10 @@ def repetition_ratio(text: Column, k: int = 3) -> Column:
     same shingle windows as extras.dedup.word_shingles (short/empty docs
     produce one shingle, hence ratio 0).  High values flag boilerplate /
     template spam — a standard training-data quality signal.  Pure
-    array expressions, no shuffle."""
-    words = tokens(F.lower(text))
+    array expressions, no shuffle.  NULL docs coalesce to '' (ratio
+    0.0, like empty docs) so the result is engine-independent — found
+    by tests/test_fuzz_extras.py."""
+    words = tokens(F.lower(F.coalesce(text, F.lit(""))))
     n = F.array_size(words)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),

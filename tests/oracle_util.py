@@ -52,6 +52,9 @@ def _norm_cell(v):
         # looser %.6g here would let one-ulp summation jitter pass locally
         # and fail the driver gate (round-2 q_agg_extras failure mode)
         return f"{v:.17g}"
+    if hasattr(v, "tolist") and not hasattr(v, "isoformat"):
+        # numpy array (DuckDB fetchdf renders LIST columns as ndarray)
+        v = v.tolist()
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, pd.Timestamp):

@@ -1,0 +1,166 @@
+"""Differential fuzzing of the extras text-signal expression layer:
+seeded adversarial corpora (empty / whitespace runs / punct / digits /
+repeated phrases / metachars / NULL) through the Spark kernels of
+extras.text / extras.dedup vs hand-written DuckDB SQL twins — the same
+twins the driver oracles use, here exercised on nastier text than the
+fixture documents.  Runs under both ANSI modes (conftest ansi_mode).
+"""
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras import dedup as dd
+from pydiverse_transform_spark.extras import text as tx
+
+from oracle_util import compare
+
+pytestmark = pytest.mark.usefixtures("ansi_both")
+
+# DuckDB twins (identical to the driver-oracle fragments in
+# __spark_entry__.py — single point of truth for the regexes)
+TOKENS = ("string_split_regex("
+          "regexp_replace({col}, '^\\s+|\\s+$', '', 'g'), '\\s+')")
+LTOKENS = TOKENS.format(col="lower({col})")
+
+
+def _tok_count(col):
+    return (f"CASE WHEN length(regexp_replace({col}, '^\\s+|\\s+$', '', "
+            f"'g')) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(len({TOKENS.format(col=col)}) AS BIGINT) END")
+
+
+def _ratio(kept, total):
+    return (f"CASE WHEN {total} = 0 THEN 0.0 "
+            f"ELSE ({total} - {kept}) * 1.0 / {total} END")
+
+
+def _shingles_all(col, k):
+    words = TOKENS.format(col=f"lower({col})")
+    return (f"list_transform(range(0, greatest(len({words}) - {k}, 0) + 1),"
+            f" j -> array_to_string(({words})[j + 1: j + {k}], ' '))")
+
+
+def _word_shingles(col, k):
+    guarded = "coalesce(" + col + ", '')"
+    return "list_sort(list_distinct(" + _shingles_all(guarded, k) + "))"
+
+
+def _char_shingles(col, k):
+    t = f"lower(regexp_replace(coalesce({col}, ''), '\\s+', ' ', 'g'))"
+    return (f"list_sort(list_distinct(list_transform("
+            f"range(1, greatest(length({t}) - {k} + 1, 1) + 1), "
+            f"j -> substr({t}, j, {k}))))")
+
+
+def _segments(col, s):
+    words = TOKENS.format(col=f"coalesce({col}, '')")
+    n_seg = f"CAST(ceil(len({words}) * 1.0 / {s}) AS INT)"
+    return (f"CASE WHEN {n_seg} < 1 THEN CAST([] AS VARCHAR[]) ELSE "
+            f"list_transform(range(1, greatest({n_seg}, 1) + 1), "
+            f"i -> array_to_string(({words})[(i - 1) * {s} + 1: i * {s}],"
+            f" ' ')) END")
+
+
+def _stopwords(col):
+    inlist = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+    toks = LTOKENS.format(col=col)
+    return (f"CASE WHEN length(regexp_replace({col}, '^\\s+|\\s+$', '', "
+            f"'g')) = 0 THEN CAST(0 AS BIGINT) ELSE CAST("
+            f"len(list_filter({toks}, w -> w IN ({inlist}))) AS BIGINT) END")
+
+
+# each op: (name, spark expr fn, duckdb select expr over column `t`)
+def _ops(rng):
+    k = rng.choice([2, 3, 4])
+    ck = rng.choice([3, 4, 5])
+    s = rng.choice([2, 3, 5])
+    bpe = tx.BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return [
+        ("token_count", lambda c: tx.token_count(c), _tok_count("t")),
+        ("punct_ratio", lambda c: tx.punct_ratio(c),
+         _ratio("length(regexp_replace(t, '[[:punct:]]', '', 'g'))",
+                "length(t)")),
+        ("digit_ratio", lambda c: tx.digit_ratio(c),
+         _ratio("length(regexp_replace(t, '[0-9]', '', 'g'))", "length(t)")),
+        ("whitespace_ratio", lambda c: tx.whitespace_ratio(c),
+         _ratio("length(regexp_replace(t, '\\s', '', 'g'))", "length(t)")),
+        ("stopword_count", lambda c: tx.stopword_count(c), _stopwords("t")),
+        (f"repetition_ratio_k{k}",
+         lambda c: F.round(tx.repetition_ratio(c, k), 6),
+         "round(1.0 - CAST(len(list_distinct("
+         + _shingles_all("coalesce(t, '')", k)
+         + ")) AS DOUBLE) / len("
+         + _shingles_all("coalesce(t, '')", k) + "), 6)"),
+        (f"word_shingles_k{k}",
+         lambda c: F.array_sort(dd.word_shingles(c, k)),
+         _word_shingles("t", k)),
+        (f"char_shingles_k{ck}",
+         lambda c: F.array_sort(dd.char_shingles(c, ck)),
+         _char_shingles("t", ck)),
+        (f"segment_words_s{s}", lambda c: tx.segment_words(c, s),
+         _segments("t", s)),
+        ("bpe_token_count", lambda c: tx.bpe_token_count(c),
+         f"CAST(length(regexp_extract_all(t, '{bpe}')) AS BIGINT)"),
+    ]
+
+
+WORDS = ["the", "and", "cat", "Dog", "data", "X9", "a", "of", "in",
+         "spark", "query", "it", "is"]
+NOISE = [".", ",", "!!", "??", "--", "(x)", "[y]", "a.b*c", "x'y",
+         "1234", "007", "3.14", "$%&", "::"]
+WS = [" ", "  ", "\t", "\n", " \n ", "\t\t"]
+
+
+def _make_text(rng):
+    shape = rng.random()
+    if shape < 0.06:
+        return rng.choice(["", " ", "\t", "\n \t", None])
+    n = rng.randint(1, 30)
+    parts = []
+    phrase = None
+    for _ in range(n):
+        p = rng.random()
+        if p < 0.55:
+            parts.append(rng.choice(WORDS))
+        elif p < 0.75:
+            parts.append(rng.choice(NOISE))
+        elif p < 0.9 and parts:
+            # repeated phrase: drives repetition/shingle dedup paths
+            phrase = phrase or " ".join(parts[-min(3, len(parts)):])
+            parts.append(phrase)
+        else:
+            parts.append(rng.choice(WORDS) + rng.choice(NOISE))
+    sep = rng.choice(WS)
+    return sep.join(parts)
+
+
+N_ROUNDS = 3
+N_TEXTS = 40
+
+
+def test_fuzz_extras_text_ops(spark):
+    failures = []
+    n_checked = 0
+    for rnd in range(N_ROUNDS):
+        rng = random.Random(1000 + rnd)
+        texts = [_make_text(rng) for _ in range(N_TEXTS)]
+        data = {"id": list(range(len(texts))), "t": texts}
+        sdf = spark.createDataFrame(
+            list(zip(data["id"], data["t"])), "id long, t string")
+        con = duckdb.connect()
+        con.register("corpus", pa.table(data))
+        for name, sfn, sql_expr in _ops(rng):
+            out = sdf.select("id", sfn(F.col("t")).alias("v")).orderBy("id")
+            sql = f"SELECT id, {sql_expr} AS v FROM corpus ORDER BY id"
+            ok, msg = compare(out, con, sql, f"extras[{rnd}:{name}]")
+            n_checked += 1
+            if not ok:
+                failures.append(msg)
+        con.close()
+    assert n_checked >= 3 * 10
+    assert not failures, f"{len(failures)} mismatches:\n" + "\n".join(
+        failures[:5])
