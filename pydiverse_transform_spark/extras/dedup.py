@@ -227,22 +227,13 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
-# below this estimated (compressed) input size the whole shingle
-# projection is persisted and reused for verification; above it, only
-# candidate documents are re-shingled.  Shingle arrays materialize at
-# roughly 10x the parquet bytes, so "small" means "the full shingle
-# corpus trivially fits executor storage memory".
-_SMALL_CORPUS_BYTES = 2 << 20
-
-
-def _plan_size_bytes(df: DataFrame) -> int:
-    """Catalyst's sizeInBytes estimate for the optimized plan — free
-    (no job), same statistic AQE uses for broadcast decisions."""
-    try:
-        return int(df._jdf.queryExecution().optimizedPlan()
-                   .stats().sizeInBytes())
-    except Exception:
-        return 1 << 62  # unknown -> assume large (the scalable path)
+# shared small-corpus heuristic: below SMALL_CORPUS_BYTES the whole
+# shingle projection is persisted and reused for verification; above
+# it, only candidate documents are re-shingled.  Shingle arrays
+# materialize at roughly 10x the parquet bytes, so "small" means "the
+# full shingle corpus trivially fits executor storage memory".
+from .util import SMALL_CORPUS_BYTES as _SMALL_CORPUS_BYTES
+from .util import plan_size_bytes as _plan_size_bytes
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",

@@ -309,7 +309,8 @@ def segment_words(text: Column, seg_words: int = 3) -> Column:
 def remove_repeated_segments(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id", *,
                              seg_words: int = 3,
-                             max_df: int = 2) -> DataFrame:
+                             max_df: int = 2,
+                             persist_segments: bool | None = None) -> DataFrame:
     """Corpus-level boilerplate removal (the C4 / RefinedWeb trick at
     line granularity, generalized to word-window segments): drop every
     segment that occurs more than ``max_df`` times across the WHOLE
@@ -324,14 +325,31 @@ def remove_repeated_segments(df: DataFrame, text_col: str = "text",
     small set of high-frequency strings) so Catalyst broadcasts it into
     the anti-join; then one shuffle on the document id to reassemble.
     No Python, no skew (the hot segments are REMOVED, not grouped on).
+
+    The exploded segment projection feeds BOTH the frequency count and
+    the anti-join, i.e. two full explode passes over the corpus
+    (measured 1.2 s each of the 2.6 s total at sf1).  A window count
+    over __seg would share the pass but shuffles every raw segment by
+    segment key — skewed reducers on exactly the hot boilerplate the op
+    exists to remove — so the two-pass shape is the correct one at
+    100 TB (the count pass shuffles only map-side partial counts).
+    Small corpora (``persist_segments=None`` decides by Catalyst
+    sizeInBytes) persist the exploded projection instead and pay the
+    explode once; identical results either way
+    (tests/test_chunking.py::test_remove_repeated_strategies_agree).
     """
-    from .util import fan_out
+    from .util import SMALL_CORPUS_BYTES, fan_out, plan_size_bytes
+
+    if persist_segments is None:
+        persist_segments = plan_size_bytes(df) < SMALL_CORPUS_BYTES
 
     segs = fan_out(df).select(
         F.col(id_col),
         F.posexplode(segment_words(F.col(text_col), seg_words))
         .alias("__pos", "__seg"),
     )
+    if persist_segments:
+        segs = segs.persist()
     hot = (
         segs.groupBy("__seg")
         .agg(F.count(F.lit(1)).alias("__c"))

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["fan_out"]
+__all__ = ["fan_out", "plan_size_bytes", "SMALL_CORPUS_BYTES"]
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -23,3 +23,19 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# below this estimated (compressed) input size, pipelines that would
+# otherwise re-scan the corpus may persist an intermediate projection
+# instead; above it, the scalable no-materialization path is used.
+SMALL_CORPUS_BYTES = 2 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the optimized plan — free
+    (no job), the same statistic AQE uses for broadcast decisions."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62  # unknown -> assume large (the scalable path)

@@ -85,9 +85,54 @@ def main():
             "slope_per_10x": round(t_big / t_small, 2),
         }
 
+    # The driver queries run the AUTO strategy, which switches from
+    # persist-everything (small corpus) to the no-materialization path
+    # between sf0.1 and sf1 — so their slope mixes two strategies.  The
+    # number that extrapolates to 100 TB is the SCALABLE path measured
+    # at both scales:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from pydiverse_transform_spark.extras import dedup as dd
+    from pydiverse_transform_spark.extras import text as tx
+
+    def run_fn(fn, sf_dir):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(docs).write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    # µs/doc is the metric that survives both the scheduler floor (which
+    # inflates small-corpus slopes) and core saturation (where per-decade
+    # wall-clock slope tends to 10 by arithmetic): linear scaling ==
+    # flat-or-falling per-row cost across decades.
+    scalable = {}
+    extra_sfs = [p for p in sys.argv[3:] if os.path.isdir(p)]
+    for name, fn in [
+        ("minhash_dedup_pairs",
+         lambda d: dd.minhash_dedup_pairs(d, persist_shingles=False)),
+        ("remove_repeated_segments",
+         lambda d: tx.remove_repeated_segments(d, persist_segments=False)),
+    ]:
+        entry = {}
+        for sf_dir in [sf01, sf1, *extra_sfs]:
+            n = spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")).count()
+            t = run_fn(fn, sf_dir)
+            entry[os.path.basename(sf_dir.rstrip("/"))] = {
+                "sec": t, "n_docs": n,
+                "us_per_doc": round(t / n * 1e6, 1),
+            }
+        scalable[name] = entry
+
     line = json.dumps({
         "metric": "scaling_slope_10x",
         "queries": result,
+        "scalable_path": scalable,
         "cpus": int(CPUS),
     })
     spark.stop()

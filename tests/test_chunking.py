@@ -113,3 +113,17 @@ def test_segment_words_null_doc_any_ansi_mode(spark, ansi_both):
     got = [tuple(r.s) for r in
            df.select(segment_words(F.col("t"), 3).alias("s")).collect()]
     assert got == [(), (), (), ("a b c", "d e")], (ansi_both, got)
+
+
+def test_remove_repeated_strategies_agree(spark, sf_dir):
+    """remove_repeated_segments: the persist-segments (small corpus) and
+    two-pass (scalable) strategies return identical documents."""
+    from pydiverse_transform_spark.extras.text import (
+        remove_repeated_segments,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = remove_repeated_segments(docs, persist_segments=True)
+    b = remove_repeated_segments(docs, persist_segments=False)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(a) == rows(b)
