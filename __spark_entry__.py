@@ -3335,6 +3335,43 @@ reach(src, dst) AS (
   SELECT src, dst FROM edges
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT node, CAST(comp AS BIGINT) AS comp FROM (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+)
+ORDER BY node
+""")
+def q_neardup_clusters_star(spark, sf_dir):
+    """Same clustering as q_neardup_clusters but via alternating
+    large-star/small-star (extras/dedup.py connected_components_star,
+    Kiveris et al. SoCC 2014): O(log^2 n) rounds independent of graph
+    diameter, for corpora whose duplicate chains are long.  Identical
+    oracle — both algorithms must produce the same minimum-id
+    labeling."""
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", k=3,
+                                      n_hashes=16, bands=4, threshold=0.2)
+    cc = dedup.connected_components_star(pairs)
+    from pyspark.sql import functions as F
+
+    return cc.select("node", F.col("comp").cast("long").alias("comp")) \
+        .orderBy("node")
+
+
+@_q(f"""
+WITH RECURSIVE lshp AS ({_lsh_pairs_sql(0.2)}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM lshp
+  UNION
+  SELECT id_b, id_a FROM lshp
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ),
 comp AS (
   SELECT src AS node, least(src, min(dst)) AS comp

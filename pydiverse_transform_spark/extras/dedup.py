@@ -19,7 +19,8 @@ from .util import fan_out
 __all__ = [
     "exact_dedup", "word_shingles", "char_shingles", "minhash_signature",
     "lsh_candidate_pairs", "jaccard", "minhash_dedup_pairs", "simhash",
-    "char_shingled", "connected_components", "neardup_dedup",
+    "char_shingled", "connected_components",
+    "connected_components_star", "neardup_dedup",
     "contaminated_ids", "decontaminate",
 ]
 
@@ -418,6 +419,92 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
             break
     edges.unpersist()
     return labels
+
+
+def connected_components_star(pairs: DataFrame, a: str = "id_a",
+                              b: str = "id_b", max_iter: int = 40,
+                              _rounds_out: list | None = None) -> DataFrame:
+    """(node, comp) like :func:`connected_components`, via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): converges in O(log² n) ROUNDS
+    INDEPENDENT OF GRAPH DIAMETER, where hash-min label propagation
+    needs O(diameter) rounds.
+
+    Use this when duplicate chains can be long (transcription ladders,
+    near-identical crawl snapshots forming paths) — a 4096-node chain
+    finishes in ~6 rounds here vs 4096 hash-min rounds
+    (tests/test_connected_components.py).  For the dense, small-diameter
+    clusters LSH near-dup produces, plain hash-min does fewer total
+    shuffles per round and stays the default.
+
+    Per round: large-star hangs every neighbor v > u onto m = min of
+    u's neighborhood; small-star then re-hangs the v <= u side.  Each
+    phase is one groupBy(min) + one join on the symmetrized edge list;
+    labels checkpoint every round exactly like hash-min (lineage cut).
+    Terminates when the edge set is stable (count + one-sided except
+    probe — sets are distinct(), so equal count + empty difference ==
+    equality); the final edge set is a star per component centered at
+    its minimum id.
+    """
+    def cut(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    nodes = (
+        pairs.select(F.col(a).alias("n"))
+        .unionAll(pairs.select(F.col(b).alias("n")))
+        .distinct()
+    )
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = cut(e)
+    n_edges = e.count()
+    rounds = 0
+
+    def phase(edges: DataFrame, large: bool) -> DataFrame:
+        sym = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        joined = sym.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        else:
+            out = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            ).unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+        return (
+            out.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        rounds += 1
+        new_e = cut(phase(phase(e, large=True), large=False))
+        new_n = new_e.count()
+        if new_n == n_edges and new_e.exceptAll(e).limit(1).count() == 0:
+            e = new_e
+            break
+        e, n_edges = new_e, new_n
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
+    # stable star edges: (member, center-min); centers label themselves
+    labels = e.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+    return nodes.join(labels, nodes["n"] == labels["node"], "left").select(
+        F.col("n").alias("node"),
+        F.coalesce(F.col("comp"), F.col("n")).alias("comp"),
+    )
 
 
 def neardup_dedup(df: DataFrame, text_col: str = "text",

@@ -26,6 +26,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 def main():
     only = set(sys.argv[1:])
     spark = make_spark("check-correctness")
+    # SPARK_GRAFT_ANSI=false mirrors tests/conftest.py: prove the whole
+    # registry is spark.sql.ansi.enabled-independent (unset = Spark 4
+    # default, true)
+    ansi = os.environ.get("SPARK_GRAFT_ANSI")
+    if ansi is not None:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
     con = duckdb_con(SF_DIR)
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()

@@ -46,3 +46,45 @@ def test_neardup_dedup_keeps_canonical(spark):
     kept = neardup_dedup(docs, "text", "doc_id", k=3, threshold=0.3)
     ids = sorted(r.doc_id for r in kept.select("doc_id").collect())
     assert 3 in ids and 1 in ids and 2 not in ids
+
+
+def test_star_matches_hashmin_on_random_graphs(spark):
+    """large-star/small-star and hash-min must produce identical
+    (node, comp) labelings on random sparse graphs."""
+    import random
+
+    from pydiverse_transform_spark.extras.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        edges = [(rng.randint(0, 60), rng.randint(0, 60))
+                 for _ in range(40)]
+        edges = [(u, v) for u, v in edges if u != v]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        hm = {(r.node, r.comp)
+              for r in connected_components(pairs).collect()}
+        st = {(r.node, r.comp)
+              for r in connected_components_star(pairs).collect()}
+        assert hm == st, (trial, hm ^ st)
+
+
+def test_star_chain_rounds_independent_of_diameter(spark):
+    """A 4096-node chain (diameter 4095) must converge in O(log^2 n)
+    star rounds — hash-min would need ~4095 rounds.  Also proves the
+    labeling: every node joins component 0."""
+    from pydiverse_transform_spark.extras.dedup import (
+        connected_components_star,
+    )
+
+    n = 4096
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    rounds = []
+    cc = connected_components_star(pairs, _rounds_out=rounds)
+    comps = {r.comp for r in cc.collect()}
+    assert comps == {0}
+    assert cc.count() == n
+    assert rounds[0] <= 15, rounds
