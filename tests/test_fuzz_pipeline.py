@@ -110,6 +110,55 @@ class PipelineGen:
         )
         return True
 
+    def step_window(self):
+        """Window-promotion step: shift / row_number / rank / cum_sum in
+        a mutate, optionally partitioned by a bool column, ordered by a
+        sortable key with the unique rid as tiebreaker — the SQL mirror
+        is an explicit OVER clause, so this differentially pins the
+        engine's window compilation (partition spec, order markers,
+        running frame) inside arbitrary verb chains."""
+        if "rid" not in self.t.columns or not self.rid_unique:
+            return False
+        pools = _pools(self.t)
+        sortable = pools["int"] + pools["float"] + pools["str"]
+        vals = pools["int"] + pools["float"]
+        if not sortable or not vals:
+            return False
+        key = self.rng.choice(sortable)
+        desc = self.rng.random() < 0.5
+        nl = self.rng.random() < 0.5
+        marked = key.descending() if desc else key.ascending()
+        marked = marked.nulls_last() if nl else marked.nulls_first()
+        order = [marked, self.t.rid]
+        part, part_sql = None, ""
+        if pools["bool"] and self.rng.random() < 0.5:
+            p = self.rng.choice(pools["bool"])
+            part, part_sql = [p], f"PARTITION BY {p.name} "
+        dir_sql = "DESC" if desc else "ASC"
+        nl_sql = "NULLS LAST" if nl else "NULLS FIRST"
+        over = (f"OVER ({part_sql}ORDER BY {key.name} {dir_sql} {nl_sql},"
+                f" rid")
+        v = self.rng.choice(vals)
+        name = f"v{self.k}"
+        self.k += 1
+        kind = self.rng.choice(["shift", "row_number", "rank", "cum_sum"])
+        if kind == "shift":
+            expr = v.shift(1, partition_by=part, arrange=order)
+            sql_e = f"lag({v.name}) {over})"
+        elif kind == "row_number":
+            expr = pdt.row_number(partition_by=part, arrange=order)
+            sql_e = f"row_number() {over})"
+        elif kind == "rank":
+            expr = pdt.rank(partition_by=part, arrange=order)
+            sql_e = f"rank() {over})"
+        else:
+            expr = v.cum_sum(partition_by=part, arrange=order)
+            sql_e = (f"sum({v.name}) {over} ROWS BETWEEN UNBOUNDED "
+                     f"PRECEDING AND CURRENT ROW)")
+        self.t = self.t >> pdt.mutate(**{name: expr})
+        self.sql = f"SELECT *, {sql_e} AS {name} FROM ({self.sql})"
+        return True
+
     def step_group_summarize(self):
         if self.grouped_already:
             return False
@@ -210,7 +259,8 @@ class PipelineGen:
     def run(self, n_steps):
         steps = [self.step_mutate, self.step_filter,
                  self.step_arrange_slice, self.step_group_summarize,
-                 self.step_join_base, self.step_semi_anti]
+                 self.step_join_base, self.step_semi_anti,
+                 self.step_window]
         for _ in range(n_steps):
             step = self.rng.choice(steps)
             step()
