@@ -20,6 +20,10 @@ from oracle_util import compare
 from sqlgen import to_sql
 from test_fuzz_diff import FUZZ, Gen
 
+# verb-chain fuzzing also runs under BOTH spark.sql.ansi.enabled modes
+# (tests/conftest.py ansi_mode) — same contract as the flat expression fuzz
+pytestmark = pytest.mark.usefixtures("ansi_both")
+
 # unique key enables deterministic arrange+slice steps
 PFUZZ = {**FUZZ, "rid": list(range(len(FUZZ["ia"])))}
 
