@@ -2540,6 +2540,57 @@ def q_ivf_topk(spark, sf_dir):
 
 
 @_q("""
+WITH cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+), scored AS (
+  SELECT e.vec_id, cent.cid,
+         list_distance(e.embedding::DOUBLE[], cent.c) AS d,
+         e.embedding::DOUBLE[] AS emb
+  FROM embeddings e CROSS JOIN cent
+), best AS (
+  SELECT vec_id, emb, cid, d * d AS d2
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT cid, count(*) AS n_members,
+       round(avg(emb[1]), 6) AS c_first,
+       round(avg(emb[64]), 6) AS c_last,
+       round(sum(d2), 4) AS inertia
+FROM best GROUP BY cid ORDER BY cid
+""")
+def q_kmeans_step(spark, sf_dir):
+    """One oracle-checkable Lloyd iteration of the learned IVF coarse
+    quantizer (extras/similarity.py kmeans_*): deterministic seeds = the
+    embeddings of the 8 smallest vec_ids, broadcast-join assignment with
+    argmin(d2, cid), then per-cell mean/count/inertia via the
+    map-side-combinable posexplode aggregation.  The full trainer
+    (kmeans_fit) iterates this same step with literal-fold map-only
+    assignment; training parity is pinned by
+    tests/test_kmeans.py::test_assign_variants_agree."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    seeds = similarity.kmeans_seed_centroids(emb, 8)
+    upd = similarity.kmeans_update(similarity.kmeans_assign(emb, seeds))
+    return (
+        upd.select(
+            "cid",
+            "n_members",
+            F.round(F.col("centroid")[0], 6).alias("c_first"),
+            F.round(F.col("centroid")[63], 6).alias("c_last"),
+            F.round(F.col("inertia"), 4).alias("inertia"),
+        )
+        .orderBy("cid")
+    )
+
+
+@_q("""
 WITH ev AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
 ), flagged AS (

@@ -25,7 +25,9 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "signlsh_bucket", "signlsh_topk", "query_bucket",
            "write_bucketed", "signlsh_topk_bucketed",
            "ivf_centroids", "ivf_cell", "ivf_topk",
-           "embedding_neardup_pairs"]
+           "embedding_neardup_pairs",
+           "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
+           "kmeans_update", "kmeans_fit"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -241,13 +243,22 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_cells: int = 8, nprobe: int = 2,
-             dim: int | None = None) -> DataFrame:
+             dim: int | None = None,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style approximate top-k: score only vectors whose cell is one
     of the query's ``nprobe`` closest cells — scans ~nprobe/n_cells of
     the data.  At scale, materialize the cell id as a partition key
-    (same pattern as :func:`write_bucketed`) for real pruning."""
+    (same pattern as :func:`write_bucketed`) for real pruning.
+
+    ``centroids=`` swaps in a trained coarse quantizer (e.g.
+    :func:`kmeans_fit` with ``spherical=True`` — cells are assigned by
+    argmax dot product, so centroids should be unit-normalized); default
+    is the fixed md5-derived quantizer, reproducible in any engine."""
     dim = dim or len(query_vec)
-    centroids = ivf_centroids(dim, n_cells)
+    if centroids is None:
+        centroids = ivf_centroids(dim, n_cells)
+    else:
+        n_cells = len(centroids)
     scores = [
         (sum(a * float(b) for a, b in zip(cen, query_vec)), c)
         for c, cen in enumerate(centroids)
@@ -296,3 +307,202 @@ def signlsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         .orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# =============================================================================
+# k-means coarse quantizer training (learned IVF centroids)
+# =============================================================================
+#
+# The fixed md5-derived quantizer above is reproducible in any engine —
+# the property the correctness oracle needs — but a TRAINED quantizer
+# clusters real data tighter (higher recall at the same nprobe).  This
+# is the Lloyd iteration re-expressed in Spark's execution model:
+#
+# - ASSIGN is a pure map: the k centroids are literal constants folded
+#   into a whole-stage-codegen argmin expression (`kmeans_cell`) — no
+#   join, no shuffle, no driver round-trip per row.  Exactly how MLlib
+#   broadcasts centroids, minus the RDD layer.
+# - UPDATE is posexplode -> groupBy(cid, pos).sum: hash aggregation
+#   with MAP-SIDE PARTIAL COMBINE, so each task reduces its split to at
+#   most k*dim partial sums before the shuffle — the shuffle volume is
+#   k*dim*n_tasks rows regardless of corpus size (treeAggregate-shaped),
+#   never the corpus itself.
+# - Per iteration the driver collects exactly k centroids (k*dim
+#   floats), the same reduce-to-driver/broadcast-back cycle every
+#   distributed k-means uses.  Training is inherently an action;
+#   plan-building queries stay job-free.
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance in float64 (zip_with/aggregate, JVM-side)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cell id = argmin over literal centroids of squared L2 distance,
+    ties to the lower cell id.  Pure codegen expression — the map-only
+    assignment used by :func:`kmeans_fit` and scoring pipelines."""
+    best_id = F.lit(0)
+    best_d = _sq_l2(vec, _qlit(centroids[0]))
+    for c, cen in enumerate(centroids[1:], start=1):
+        d = _sq_l2(vec, _qlit(cen))
+        is_better = d < best_d
+        best_id = F.when(is_better, F.lit(c)).otherwise(best_id)
+        best_d = F.when(is_better, d).otherwise(best_d)
+    return best_id
+
+
+def kmeans_seed_centroids(df: DataFrame, k: int,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Deterministic seeds as a DataFrame (cid, centroid): the vectors of
+    the k smallest ids, numbered in id order.  Engine-independent (the
+    same rule is one ORDER BY ... LIMIT k in any SQL dialect), so a
+    single Lloyd step seeded this way is oracle-checkable."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col).asc())
+    return (
+        df.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cid"),
+            F.transform(F.col(vec_col),
+                        lambda v: v.cast("double")).alias("centroid"),
+        )
+    )
+
+
+def kmeans_assign(df: DataFrame, centroids: DataFrame,
+                  vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Assignment against a centroid DATAFRAME (cid, centroid): broadcast
+    cross join with the k centroid rows, argmin by (d2, cid) via a
+    map-side-combinable min(struct) aggregate.  Used when centroids are
+    table-derived (the oracle-checkable step); the fit loop uses the
+    join-free :func:`kmeans_cell` instead.  Returns (id, cid, d2, vec)."""
+    scored = (
+        df.select(id_col, vec_col)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col), F.col(vec_col), F.col("cid"),
+            _sq_l2(F.col(vec_col), F.col("centroid")).alias("__d2"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min(F.struct("__d2", "cid", vec_col)).alias("b"))
+        .select(
+            F.col(id_col),
+            F.col("b.cid").alias("cid"),
+            F.col("b.__d2").alias("d2"),
+            F.col(f"b.{vec_col}").alias(vec_col),
+        )
+    )
+
+
+def kmeans_update(assigned: DataFrame, vec_col: str = "embedding"
+                  ) -> DataFrame:
+    """Recompute per-cell means + stats from an assignment carrying
+    (cid, d2, vec).  Returns (cid, n_members, centroid, inertia).
+
+    posexplode -> groupBy(cid, pos) rides hash aggregation's map-side
+    partial combine: each task emits <= k*dim partial sums, so the
+    shuffle never scales with corpus size."""
+    ex = assigned.select(
+        "cid", F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    dims = (
+        ex.groupBy("cid", "pos")
+        .agg(F.sum(F.col("v").cast("double")).alias("s"),
+             F.count(F.lit(1)).alias("n"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda t: t["s"] / t["n"],
+            ).alias("centroid")
+        )
+    )
+    stats = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d2").alias("inertia"),
+    )
+    return stats.join(dims, "cid").select(
+        "cid", "n_members", "centroid", "inertia"
+    )
+
+
+def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               dim: int | None = None,
+               spherical: bool = False) -> list[list[float]]:
+    """Train k centroids by Lloyd iteration (deterministic: seeded from
+    the k smallest ids, ties in assignment to the lower cell id).
+
+    Per iteration: one map-only assignment pass + one combine-heavy
+    aggregation whose shuffle is O(k * dim * n_tasks), then k rows
+    collected to the driver and folded back in as literals — the
+    standard distributed k-means cycle.  ``spherical=True`` L2-normalizes
+    each updated centroid, which is the right quantizer for cosine/IVF
+    search (:func:`ivf_topk` assigns by argmax dot product); leave False
+    for Euclidean clustering.  Empty cells keep their previous centroid.
+    """
+    dim = _require_dim(dim, vec_col)
+    from .util import fan_out
+
+    base = fan_out(df.select(id_col, vec_col))
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc())
+        .limit(k).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds the number of input rows "
+                         f"({len(seed_rows)})")
+    centroids = [[float(v) for v in r[vec_col]] for r in seed_rows]
+
+    def _norm(c: list[float]) -> list[float]:
+        n = sum(v * v for v in c) ** 0.5 or 1.0
+        return [v / n for v in c]
+
+    if spherical:
+        centroids = [_norm(c) for c in centroids]
+    for _ in range(n_iter):
+        assigned = base.select(
+            F.col(id_col),
+            kmeans_cell(F.col(vec_col), centroids).alias("cid"),
+            F.col(vec_col),
+        )
+        ex = assigned.select(
+            "cid", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        )
+        rows = (
+            ex.groupBy("cid", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                    lambda t: t["s"] / t["n"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {int(r["cid"]): [float(v) for v in r["centroid"]]
+               for r in rows}
+        centroids = [
+            (_norm(new[c]) if spherical else new[c]) if c in new
+            else centroids[c]
+            for c in range(k)
+        ]
+    return centroids
