@@ -2065,6 +2065,37 @@ def q_map_month(spark, sf_dir):
 # LLM-pipeline extras: text analysis / dedup / similarity / events
 # =============================================================================
 
+@_q("""
+SELECT doc_id, lang, n_chars, round(pr, 6) AS q
+FROM (SELECT doc_id, lang, n_chars,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+      FROM documents WHERE n_chars IS NOT NULL)
+WHERE pr >= 0.8
+ORDER BY doc_id
+""")
+def q_quantile_filter(spark, sf_dir):
+    """Percentile quality gate (extras/sampling.py filter_by_quantile,
+    exact path): keep the top 20% of documents by length within each
+    language.  percent_rank is rank-exact and identical in every SQL
+    dialect, so the cut is oracle-checkable; the approximate
+    sketch-threshold path for 100-TB corpora is pinned against this one
+    in tests/test_sampling.py."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import sampling as sp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = sp.filter_by_quantile(
+        docs.select("doc_id", "lang", "n_chars"),
+        "n_chars", 0.8, partition_by=["lang"], exact=True,
+        keep_quantile_col=True,
+    )
+    return (
+        out.select("doc_id", "lang", "n_chars",
+                   F.round(F.col("__q"), 6).alias("q"))
+        .orderBy("doc_id")
+    )
+
 _TOKENS_SQL = (
     "string_split_regex(lower(regexp_replace({col}, '^\\s+|\\s+$', '', 'g')),"
     " '\\s+')"

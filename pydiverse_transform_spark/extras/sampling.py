@@ -37,6 +37,7 @@ __all__ = [
     "topk_per_group",
     "pack_sequences",
     "deterministic_shuffle",
+    "filter_by_quantile",
 ]
 
 _U32 = float(1 << 32)
@@ -247,3 +248,56 @@ def deterministic_shuffle(df: DataFrame, key_col: str, salt: str = "",
         .withColumn("shard_pos", pos)
         .drop("__h")
     )
+
+
+def filter_by_quantile(df: DataFrame, score_col: str,
+                       min_quantile: float,
+                       partition_by: list[str] | None = None,
+                       exact: bool = True,
+                       approx_accuracy: int = 10000,
+                       keep_quantile_col: bool = False) -> DataFrame:
+    """Quality-gate a corpus by score percentile: keep rows whose
+    ``score_col`` sits at or above ``min_quantile`` of its group's
+    distribution (e.g. drop the bottom 30% quality per language:
+    ``filter_by_quantile(docs, "quality", 0.3, ["lang"])``).
+
+    Two physical strategies, same contract:
+
+    - ``exact=True``: ``percent_rank()`` over the group — rank-exact and
+      engine-portable (percent_rank = (rank-1)/(n-1) in every SQL
+      dialect, so the filter is oracle-checkable), at the cost of a full
+      sort shuffle of the group.  Right up to ~memory-sized groups.
+    - ``exact=False`` — the 100-TB path: a per-group
+      ``approx_percentile`` threshold (t-digest-style mergeable sketch,
+      map-side combined: the shuffle carries one sketch per task, never
+      rows), broadcast back and applied as a pushable ``score >= t``
+      filter.  No sort of the corpus at all; rank error bounded by
+      ``1/approx_accuracy``.  NULL scores are dropped by both paths
+      (a NULL can't be ranked).
+
+    ``keep_quantile_col=True`` keeps the diagnostic column: ``__q`` (the
+    row's percent rank) on the exact path, ``__thr`` (the group's score
+    threshold) on the approximate path.
+    """
+    if not 0.0 <= min_quantile <= 1.0:
+        raise ValueError(f"min_quantile must be in [0, 1], got {min_quantile}")
+    pby = partition_by or []
+    scored = df.filter(F.col(score_col).isNotNull())
+    if exact:
+        w = (Window.partitionBy(*pby).orderBy(F.col(score_col).asc())
+             if pby else Window.orderBy(F.col(score_col).asc()))
+        out = scored.withColumn(
+            "__q", F.percent_rank().over(w)
+        ).filter(F.col("__q") >= min_quantile)
+        return out if keep_quantile_col else out.drop("__q")
+    thr = scored.groupBy(*pby).agg(
+        F.percentile_approx(
+            F.col(score_col), F.lit(min_quantile), F.lit(approx_accuracy)
+        ).alias("__thr")
+    )
+    if pby:
+        joined = scored.join(F.broadcast(thr), pby)
+    else:
+        joined = scored.crossJoin(F.broadcast(thr))
+    out = joined.filter(F.col(score_col) >= F.col("__thr"))
+    return out if keep_quantile_col else out.drop("__thr")

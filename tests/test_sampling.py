@@ -219,3 +219,74 @@ def test_deterministic_shuffle_duplicate_keys_rejected(spark):
     )
     out = deterministic_shuffle(uniq, "k", n_shards=4).collect()
     assert len(out) == 3 and all(r.shard_pos >= 1 for r in out)
+
+
+# --------------------------------------------------------------------------
+# filter_by_quantile: percentile quality gate
+# --------------------------------------------------------------------------
+
+def test_quantile_exact_known_ranks(spark):
+    from pydiverse_transform_spark.extras.sampling import filter_by_quantile
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "id int, score double"
+    )
+    # percent_rank of score i is (i-1)/9; >= 0.5 keeps i in 6..10
+    kept = sorted(
+        r.id for r in filter_by_quantile(df, "score", 0.5).collect()
+    )
+    assert kept == [6, 7, 8, 9, 10]
+    # boundaries
+    assert filter_by_quantile(df, "score", 0.0).count() == 10
+    top = filter_by_quantile(df, "score", 1.0).collect()
+    assert [r.id for r in top] == [10]
+
+
+def test_quantile_null_scores_dropped_both_paths(spark):
+    from pydiverse_transform_spark.extras.sampling import filter_by_quantile
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 3.0), (4, None)], "id int, score double"
+    )
+    for exact in (True, False):
+        ids = {r.id for r in
+               filter_by_quantile(df, "score", 0.0, exact=exact).collect()}
+        assert ids == {1, 3}, exact
+
+
+def test_quantile_approx_matches_exact_on_corpus(spark, sf_dir):
+    from pydiverse_transform_spark.extras.sampling import filter_by_quantile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    exact = {r.doc_id for r in filter_by_quantile(
+        docs, "n_chars", 0.7, ["lang"], exact=True).collect()}
+    approx = {r.doc_id for r in filter_by_quantile(
+        docs, "n_chars", 0.7, ["lang"], exact=False).collect()}
+    n = docs.count()
+    # sketch accuracy 10000 >> group sizes here: at most the boundary
+    # tie-group can differ
+    assert len(exact ^ approx) <= max(2, n // 100), (
+        len(exact), len(approx), len(exact ^ approx))
+
+
+def test_quantile_approx_path_never_sorts_corpus(spark, sf_dir):
+    from pydiverse_transform_spark.extras.sampling import filter_by_quantile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = filter_by_quantile(docs, "n_chars", 0.9, ["lang"], exact=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Sort" not in plan, plan[:2000]
+    # threshold side reaches the probe as a broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_quantile_rejects_bad_fraction(spark):
+    import pytest
+
+    from pydiverse_transform_spark.extras.sampling import filter_by_quantile
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, score double")
+    with pytest.raises(ValueError, match="min_quantile"):
+        filter_by_quantile(df, "score", 1.5)
