@@ -2174,6 +2174,72 @@ FROM scored
 _ORACLE["q_doc_stats"] = _doc_stats_sql()
 
 
+_CORPUS_TOKENS_SQL = f"""
+  SELECT doc_id, unnest({_TOKENS_SQL.format(col='text')}) AS token
+  FROM documents
+"""
+
+
+@_q(f"""
+WITH toks AS ({_CORPUS_TOKENS_SQL}),
+t2 AS (SELECT token FROM toks WHERE token <> ''),
+counts AS (
+  SELECT token, count(*) AS tf FROM t2
+  GROUP BY token HAVING count(*) >= 2
+)
+SELECT token, tf, rank FROM (
+  SELECT token, tf,
+         row_number() OVER (ORDER BY tf DESC, token) AS rank
+  FROM counts)
+WHERE rank <= 50
+ORDER BY rank
+""")
+def q_build_vocab(spark, sf_dir):
+    """Frequency vocabulary (extras/text.py build_vocab): top 50 corpus
+    tokens with min_count=2 hapax pruning.  explode + map-side-combined
+    hash agg; the rank sort runs over the aggregated token table only."""
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tx.build_vocab(docs, "text", min_count=2, top_n=50).orderBy("rank")
+
+
+@_q(f"""
+WITH toks AS ({_CORPUS_TOKENS_SQL}),
+t2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM t2 GROUP BY 1, 2),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+)
+SELECT doc_id, token, tf, round(tfidf, 6) AS tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) AS rn
+  FROM scored)
+WHERE rn <= 3 AND doc_id <= 100
+ORDER BY doc_id, tfidf DESC, token
+""")
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by smooth TF-IDF
+    (extras/text.py tfidf_top_terms): tf hash-agg + df token join +
+    scalar-subplan N, top-k over the aggregated table."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return (
+        out.filter(F.col("doc_id") <= 100)
+        .select("doc_id", "token", "tf",
+                F.round(F.col("tfidf"), 6).alias("tfidf"))
+        .orderBy("doc_id", F.col("tfidf").desc(), "token")
+    )
+
+
 @_q("""
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

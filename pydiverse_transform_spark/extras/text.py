@@ -18,6 +18,7 @@ __all__ = [
     "fingerprint", "doc_stats", "STOPWORDS",
     "BPE_PRETOKEN_PATTERN", "bpe_pretokens", "bpe_token_count",
     "chunk_text", "segment_words", "remove_repeated_segments",
+    "term_counts", "build_vocab", "doc_frequencies", "tfidf_top_terms",
 ]
 
 # small deterministic stopword lists per language (heuristic lang-id)
@@ -370,4 +371,120 @@ def remove_repeated_segments(df: DataFrame, text_col: str = "text",
         df.select(id_col)
         .join(rebuilt, on=id_col, how="left")
         .withColumn("clean_text", F.coalesce(F.col("clean_text"), F.lit("")))
+    )
+
+
+# --------------------------------------------------------------------------
+# vocabulary / TF-IDF
+# --------------------------------------------------------------------------
+
+def _exploded_tokens(df: DataFrame, text_col: str, id_col: str | None,
+                     lowercase: bool) -> DataFrame:
+    """One row per (doc, token): explode the whitespace tokenization.
+    The heavy part is narrow (per-row regex + explode); NULL / empty /
+    whitespace-only documents contribute no rows."""
+    from .util import fan_out
+
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.explode(tokens(t)).alias("token")
+    ]
+    return fan_out(df).select(*cols)
+
+
+def term_counts(df: DataFrame, text_col: str = "text",
+                lowercase: bool = True) -> DataFrame:
+    """Corpus-wide term frequencies: (token, tf).  explode -> hash
+    aggregation with map-side partial combine — each task reduces its
+    split to its distinct tokens before the ONE shuffle on token, so
+    shuffle volume is bounded by (distinct tokens per task), not corpus
+    token count."""
+    return (
+        _exploded_tokens(df, text_col, None, lowercase)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                min_count: int = 1, top_n: int | None = None,
+                lowercase: bool = True) -> DataFrame:
+    """Frequency vocabulary: (token, tf, rank), rank 1 = most frequent,
+    ties broken by token.  ``min_count`` prunes the long tail BEFORE the
+    rank sort (at web scale the hapax tail is most of the distinct
+    tokens); ``top_n`` caps the vocabulary size.  The global rank is a
+    single sort of the ALREADY-AGGREGATED (token, tf) table — never of
+    the corpus."""
+    tc = term_counts(df, text_col, lowercase)
+    if min_count > 1:
+        tc = tc.filter(F.col("tf") >= min_count)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    out = tc.withColumn("rank", F.row_number().over(w))
+    if top_n is not None:
+        out = out.filter(F.col("rank") <= top_n)
+    return out
+
+
+def doc_frequencies(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    lowercase: bool = True) -> DataFrame:
+    """Document frequencies: (token, df) = number of distinct documents
+    containing the token.  array_distinct BEFORE the explode deduplicates
+    within-document repeats map-side, so the aggregation input is one row
+    per (doc, distinct token) with no extra distinct shuffle."""
+    from .util import fan_out
+
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    per_doc = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(t))).alias("token"),
+    )
+    return per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5,
+                    lowercase: bool = True) -> DataFrame:
+    """Top-k characteristic terms per document by smooth TF-IDF:
+    ``tfidf = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn's smoothed
+    formula).  Returns (doc_id, token, tf, tfidf) with at most k rows
+    per document, ties broken by token.
+
+    Plan shape: tf is a (doc, token) hash agg; df joins in on token
+    (AQE broadcasts it when the vocabulary is small); N is a scalar
+    subplan crossJoin-broadcast — no driver-side count; the top-k is a
+    row_number window per document over the aggregated tf table, never
+    over raw tokens."""
+    ex = _exploded_tokens(df, text_col, id_col, lowercase)
+    tf = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = doc_frequencies(df, text_col, id_col, lowercase)
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col), F.col("token"), F.col("tf"),
+            (
+                F.col("tf").cast("double")
+                * (F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )
