@@ -4398,6 +4398,38 @@ def q_time_partitioned_scan(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderkey BETWEEN 1000 AND 2000
+ORDER BY o_orderkey
+""")
+def q_sorted_scan(spark, sf_dir):
+    """Range-sorted corpus layout (sources/sinks.py write_sorted): orders
+    written through ONE repartitionByRange shuffle into files with
+    disjoint, ordered key ranges, re-read with a key-range predicate that
+    parquet footer min/max stats satisfy from a subset of files (file/
+    row-group skipping — layout proof tests/test_write_sorted.py).  The
+    oracle reads the raw table: sorting is purely a physical-layout win,
+    content is unchanged."""
+    from pyspark.sql import functions as F
+
+    import pydiverse_transform_spark as pdt
+
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", "sorted_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    t = pdt.read_parquet(spark, f"{sf_dir}/orders.parquet", name="orders")
+    t >> pdt.write_sorted(staged, "o_orderkey", num_files=8)
+    return (
+        spark.read.parquet(staged)
+        .filter(F.col("o_orderkey").between(1000, 2000))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 # =============================================================================
 # driver contract
 # =============================================================================

@@ -104,6 +104,7 @@ from .sources.sinks import (  # noqa: F401
     write_json,
     write_orc,
     write_parquet,
+    write_sorted,
     write_time_partitioned,
 )
 from .table import Table  # noqa: F401

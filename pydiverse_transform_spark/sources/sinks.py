@@ -14,7 +14,7 @@ from ..operators.pipeable import verb
 from ..table import Table
 
 __all__ = ["write_parquet", "write_csv", "write_json", "write_orc",
-           "save_as_table", "write_time_partitioned"]
+           "save_as_table", "write_time_partitioned", "write_sorted"]
 
 
 def _writer(table: Table, mode: str, partition_by, **options):
@@ -112,4 +112,38 @@ def write_time_partitioned(table: Table, path: str, ts_col, *,
     name = table._cols[table._resolve_uuid(ts_col)].name
     _wtp(table.to_spark(), path, ts_col=name, granularity=granularity,
          partition_col=partition_col, mode=mode)
+    return table
+
+
+@verb
+def write_sorted(table: Table, path: str, sort_by, *,
+                 mode: str = "overwrite", num_files: int | None = None,
+                 descending: bool = False, **options) -> Table:
+    """Globally range-sorted parquet sink: ONE range shuffle
+    (repartitionByRange samples the key distribution so output files get
+    balanced, non-overlapping key ranges) + an in-partition sort, then
+    plain file writes.  The result is a total order across files: file
+    i's key range ends before file i+1's begins, and parquet min/max
+    footer stats per file are TIGHT, so any key-range predicate on
+    re-read skips whole files (row-group stats pruning) — the cheap
+    alternative to a partitioned directory layout when the sort key is
+    continuous (timestamps, ids) rather than low-cardinality.
+    Layout proof: tests/test_write_sorted.py asserts disjoint,
+    ordered per-file ranges."""
+    if not isinstance(sort_by, (list, tuple)):
+        sort_by = [sort_by]
+    names = [table._cols[table._resolve_uuid(c)].name for c in sort_by]
+    from pyspark.sql import functions as F
+
+    df = table.to_spark()
+    cols = [F.col(n).desc() if descending else F.col(n).asc()
+            for n in names]
+    if num_files is not None:
+        ranged = df.repartitionByRange(num_files, *cols)
+    else:
+        ranged = df.repartitionByRange(*cols)
+    (
+        ranged.sortWithinPartitions(*cols)
+        .write.mode(mode).options(**options).parquet(path)
+    )
     return table
