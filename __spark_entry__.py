@@ -4399,6 +4399,33 @@ def q_time_partitioned_scan(spark, sf_dir):
 
 
 @_q("""
+SELECT doc_id, lang, n_chars
+FROM (SELECT doc_id, lang, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents)
+WHERE cum - n_chars < 20000
+ORDER BY doc_id
+""")
+def q_token_budget(spark, sf_dir):
+    """Training-mix budget fill (extras/sampling.py take_token_budget):
+    walk each language's documents in doc_id order and keep rows until
+    20k chars are taken (the crossing row is kept — every non-empty
+    group fills to at least the budget).  ONE window cumsum per group,
+    no iteration."""
+    from pydiverse_transform_spark.extras import sampling as sp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        sp.take_token_budget(
+            docs.select("doc_id", "lang", "n_chars"),
+            "n_chars", 20000, order_by="doc_id", partition_by=["lang"],
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q("""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 WHERE o_orderkey BETWEEN 1000 AND 2000

@@ -38,6 +38,7 @@ __all__ = [
     "pack_sequences",
     "deterministic_shuffle",
     "filter_by_quantile",
+    "take_token_budget",
 ]
 
 _U32 = float(1 << 32)
@@ -301,3 +302,38 @@ def filter_by_quantile(df: DataFrame, score_col: str,
         joined = scored.crossJoin(F.broadcast(thr))
     out = joined.filter(F.col(score_col) >= F.col("__thr"))
     return out if keep_quantile_col else out.drop("__thr")
+
+
+def take_token_budget(df: DataFrame, token_col: str, budget: int,
+                      order_by: str,
+                      partition_by: list[str] | None = None,
+                      descending: bool = False,
+                      tiebreak_col: str | None = None) -> DataFrame:
+    """Fill a per-group token budget: walk the group in ``order_by``
+    order and keep rows until ``budget`` tokens are reached (the row
+    that crosses the budget IS kept, so every non-empty group fills to
+    at least ``budget`` — the standard training-mix contract: you state
+    how many tokens of each source you want, the last document may
+    overflow slightly).
+
+    ONE window cumsum per group — no iteration, no driver loop; a row is
+    kept iff the cumulative count BEFORE it is under budget.  Rows with
+    NULL ``token_col`` are dropped (their budget position is undefined).
+    Supply ``tiebreak_col`` whenever ``order_by`` can tie, for the same
+    reproducibility reason as :func:`topk_per_group`."""
+    pby = partition_by or []
+    order = [F.col(order_by).desc() if descending
+             else F.col(order_by).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = (
+        (Window.partitionBy(*pby) if pby else Window.partitionBy())
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("__cum", cum)
+        .filter((F.col("__cum") - F.col(token_col)) < budget)
+        .drop("__cum")
+    )

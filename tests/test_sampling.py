@@ -290,3 +290,49 @@ def test_quantile_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(1, 1.0)], "id int, score double")
     with pytest.raises(ValueError, match="min_quantile"):
         filter_by_quantile(df, "score", 1.5)
+
+
+# --------------------------------------------------------------------------
+# take_token_budget: fill a per-group token budget
+# --------------------------------------------------------------------------
+
+def test_token_budget_fills_and_overflows_once(spark):
+    from pydiverse_transform_spark.extras.sampling import take_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(1, 11)], "id int, toks int"
+    )
+    kept = sorted(r.id for r in
+                  take_token_budget(df, "toks", 250, "id").collect())
+    # cum-before: 0, 100, 200, 300... -> keep ids 1..3 (third crosses 250)
+    assert kept == [1, 2, 3]
+    # exact multiple: budget 200 keeps exactly 2
+    kept = sorted(r.id for r in
+                  take_token_budget(df, "toks", 200, "id").collect())
+    assert kept == [1, 2]
+
+
+def test_token_budget_per_group_and_nulls(spark):
+    from pydiverse_transform_spark.extras.sampling import take_token_budget
+
+    df = spark.createDataFrame(
+        [("a", 1, 60), ("a", 2, 60), ("a", 3, 60),
+         ("b", 1, 10), ("b", 2, None), ("b", 3, 10)],
+        "g string, id int, toks int",
+    )
+    kept = sorted((r.g, r.id) for r in take_token_budget(
+        df, "toks", 100, "id", partition_by=["g"]).collect())
+    # group a: cum-before 0,60,120 -> keep ids 1,2; group b: NULL dropped,
+    # both real rows fit
+    assert kept == [("a", 1), ("a", 2), ("b", 1), ("b", 3)]
+
+
+def test_token_budget_order_direction(spark):
+    from pydiverse_transform_spark.extras.sampling import take_token_budget
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(1, 6)], "id int, toks int"
+    )
+    kept = sorted(r.id for r in take_token_budget(
+        df, "toks", 150, "id", descending=True).collect())
+    assert kept == [4, 5]
