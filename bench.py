@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "q_window_ops",
     "q_agg_in_mutate",
     "q_doc_stats",
+    "q_tfidf_topk",
+    "q_kmeans_step",
     "q_dedup_minhash",
     "q_neardup_corpus",
     "q_cosine_topk",

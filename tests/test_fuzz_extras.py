@@ -164,3 +164,69 @@ def test_fuzz_extras_text_ops(spark):
     assert n_checked >= 3 * 10
     assert not failures, f"{len(failures)} mismatches:\n" + "\n".join(
         failures[:5])
+
+
+# --------------------------------------------------------------------------
+# sampling gates: filter_by_quantile (exact) and take_token_budget vs
+# DuckDB twins on random tables with ties, NULL scores and NULL groups
+# --------------------------------------------------------------------------
+
+def test_fuzz_sampling_gates(spark):
+    from pydiverse_transform_spark.extras import sampling as sp
+
+    failures = []
+    n_checked = 0
+    for rnd in range(4):
+        rng = random.Random(7000 + rnd)
+        n = rng.randint(8, 60)
+        rows = []
+        for i in range(n):
+            g = rng.choice(["a", "b", "c", None])
+            score = rng.choice(
+                [None, float(rng.randint(0, 5)),  # heavy ties
+                 rng.random() * 100]
+            )
+            toks = rng.choice([None, rng.randint(1, 50)])
+            rows.append((i, g, score, toks))
+        sdf = spark.createDataFrame(
+            rows, "id long, g string, score double, toks int")
+        con = duckdb.connect()
+        con.register("tbl", pa.table({
+            "id": [r[0] for r in rows],
+            "g": [r[1] for r in rows],
+            "score": [r[2] for r in rows],
+            "toks": pa.array([r[3] for r in rows], type=pa.int32()),
+        }))
+
+        q = rng.choice([0.0, 0.25, 0.5, 0.8, 1.0])
+        out = sp.filter_by_quantile(
+            sdf, "score", q, partition_by=["g"], exact=True
+        ).orderBy("id")
+        sql = f"""
+            SELECT id, g, score, toks FROM (
+              SELECT *, percent_rank() OVER (PARTITION BY g
+                                             ORDER BY score) AS pr
+              FROM tbl WHERE score IS NOT NULL)
+            WHERE pr >= {q} ORDER BY id"""
+        ok, msg = compare(out, con, sql, f"quantile[{rnd}:q={q}]")
+        n_checked += 1
+        if not ok:
+            failures.append(msg)
+
+        budget = rng.choice([1, 25, 80])
+        out = sp.take_token_budget(
+            sdf, "toks", budget, order_by="id", partition_by=["g"]
+        ).orderBy("id")
+        sql = f"""
+            SELECT id, g, score, toks FROM (
+              SELECT *, sum(toks) OVER (PARTITION BY g ORDER BY id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM tbl)
+            WHERE cum - toks < {budget} ORDER BY id"""
+        ok, msg = compare(out, con, sql, f"budget[{rnd}:b={budget}]")
+        n_checked += 1
+        if not ok:
+            failures.append(msg)
+        con.close()
+    assert n_checked == 8
+    assert not failures, "\n".join(failures[:5])
