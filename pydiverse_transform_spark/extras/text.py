@@ -458,9 +458,17 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
     formula).  Returns (doc_id, token, tf, tfidf) with at most k rows
     per document, ties broken by token.
 
-    Plan shape: tf is a (doc, token) hash agg; df joins in on token
-    (AQE broadcasts it when the vocabulary is small); N is a scalar
-    subplan crossJoin-broadcast — no driver-side count; the top-k is a
+    Plan shape: tf is a (doc, token) hash agg; df comes from a second,
+    independent pass (:func:`doc_frequencies` — array_distinct dedupes
+    within-document repeats map-side, so its shuffle carries only
+    distinct (doc, token) pairs).  Deriving df from the tf table
+    instead (one logical explode, relying on exchange reuse) was
+    MEASURED SLOWER under AQE at sf1 (6.5-16 s vs 5.2-5.6 s warm,
+    local[32]): adaptive re-planning recomputed the shared (doc, token)
+    exchange for both consumers, so the "saved" explode cost a second
+    full aggregation of the big pair table.  df joins in on token (AQE
+    broadcasts it when the vocabulary is small); N is a scalar subplan
+    crossJoin-broadcast — no driver-side count; the top-k is a
     row_number window per document over the aggregated tf table, never
     over raw tokens."""
     ex = _exploded_tokens(df, text_col, id_col, lowercase)

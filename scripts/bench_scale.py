@@ -117,6 +117,10 @@ def main():
          lambda d: dd.minhash_dedup_pairs(d, persist_shingles=False)),
         ("remove_repeated_segments",
          lambda d: tx.remove_repeated_segments(d, persist_segments=False)),
+        ("build_vocab",
+         lambda d: tx.build_vocab(d, min_count=2, top_n=50000)),
+        ("tfidf_top_terms",
+         lambda d: tx.tfidf_top_terms(d, k=5)),
     ]:
         entry = {}
         for sf_dir in [sf01, sf1, *extra_sfs]:

@@ -95,6 +95,22 @@ def test_vocab_rank_sort_is_post_aggregation(spark, sf_dir):
     assert plan.count("Generate") == 1, plan[:3000]
 
 
+def test_tfidf_df_pass_dedupes_map_side(spark, sf_dir):
+    """The df pass must shuffle only DISTINCT (doc, token) pairs:
+    array_distinct sits below the explode in the plan (map-side dedup),
+    not a post-explode distinct shuffle."""
+    real = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        tx.doc_frequencies(real)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "array_distinct" in plan, plan[:3000]
+    # exactly one shuffle keyed on token (the count agg); a post-explode
+    # distinct would add a second token-keyed exchange.  (fan_out may
+    # add a round-robin repartition on tiny inputs — not token-keyed.)
+    assert plan.count("hashpartitioning(token") == 1, plan[:3000]
+
+
 def test_tfidf_no_driver_side_count(spark, sf_dir):
     """N (corpus size) is a scalar subplan, not a collect: building the
     plan must trigger no Spark job."""
