@@ -21,8 +21,12 @@ Design (matters for honesty of the measurement):
   claims to be linear in.
 
 Usage:
-    python scripts/gen_scale_corpus.py [factor] [src_sf_dir] [out_dir]
+    python scripts/gen_scale_corpus.py [factor] [src_sf_dir] [out_dir] [tables]
 Defaults: 10 /root/testdata/sf0.1 /root/repo/.scratch/sf1
+          documents,events,embeddings
+`tables` selects which tables to (re)generate, so e.g. an
+embeddings-only 100x set for the quantizer scaling curve doesn't pay
+for re-permuting the document corpus.
 """
 
 from __future__ import annotations
@@ -37,12 +41,17 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 DOC_ID_STRIDE = 100_000_000
 USER_ID_STRIDE = 100_000_000
 EVENT_ID_STRIDE = 1_000_000_000
+VEC_ID_STRIDE = 100_000_000
 
 
 def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch/sf1"
+    tables = set(
+        (sys.argv[4] if len(sys.argv) > 4 else "documents,events,embeddings")
+        .split(",")
+    )
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -59,6 +68,22 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(out, exist_ok=True)
 
+    if "documents" in tables:
+        _gen_documents(spark, F, src, out, factor)
+    if "events" in tables:
+        _gen_events(spark, F, src, out, factor)
+    if "embeddings" in tables:
+        _gen_embeddings(spark, F, src, out, factor)
+
+    counts = " ".join(
+        f"{t}={spark.read.parquet(f'{out}/{t}.parquet').count()}"
+        for t in sorted(tables)
+    )
+    spark.stop()
+    print(f"wrote {out}: {counts} (factor {factor})")
+
+
+def _gen_documents(spark, F, src, out, factor):
     docs = spark.read.parquet(f"{src}/documents.parquet")
     # tokenize exactly like extras/text.tokens() (trim + split on \s+)
     # so replica shingle/token distributions match the original corpus
@@ -91,6 +116,8 @@ def main():
         f"{out}/documents.parquet"
     )
 
+
+def _gen_events(spark, F, src, out, factor):
     events = spark.read.parquet(f"{src}/events.parquet")
     scaled_events = (
         events.withColumn(
@@ -113,10 +140,40 @@ def main():
         f"{out}/events.parquet"
     )
 
-    nd = spark.read.parquet(f"{out}/documents.parquet").count()
-    ne = spark.read.parquet(f"{out}/events.parquet").count()
-    spark.stop()
-    print(f"wrote {out}: documents={nd} events={ne} (factor {factor})")
+
+def _gen_embeddings(spark, F, src, out, factor):
+    # embeddings: replicas get fresh vec_id ranges and a small
+    # deterministic per-(vec, replica, dim) jitter (±1% of the unit
+    # scale, xxhash64-derived, pure codegen) — preserves the label/
+    # cluster structure (so quantizer quality stays comparable) while
+    # making every replica a distinct vector, not an exact duplicate
+    # that k-means would collapse for free.
+    emb = spark.read.parquet(f"{src}/embeddings.parquet")
+    jittered = F.expr(
+        "transform(embedding, (v, i) -> cast(v + "
+        "(pmod(xxhash64(vec_id, __replica, i), 1000) / 1000.0 - 0.5) * 0.02 "
+        "as float))"
+    )
+    scaled_emb = (
+        emb.withColumn(
+            "__replica",
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))),
+        )
+        .withColumn(
+            "embedding",
+            F.when(F.col("__replica") == 0, F.col("embedding"))
+            .otherwise(jittered),
+        )
+        .withColumn(
+            "vec_id",
+            F.col("vec_id")
+            + F.col("__replica").cast("long") * F.lit(VEC_ID_STRIDE),
+        )
+        .drop("__replica")
+    )
+    scaled_emb.repartition(int(CPUS)).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
 
 
 if __name__ == "__main__":
