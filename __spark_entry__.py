@@ -2240,6 +2240,90 @@ def q_tfidf_topk(spark, sf_dir):
     )
 
 
+@_q(r"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(
+                     regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+         END AS toks,
+         CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(
+                     lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                     '\s+')
+         END AS ltoks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(list_aggregate(
+                     list_transform(toks, w -> length(w)), 'sum')
+                   * 1.0 / len(toks), 6) END AS mean_word_len,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3.0)
+                   / len(toks), 6) END AS symbol_word_ratio,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE round(len(list_filter(lines,
+                     l -> regexp_matches(regexp_replace(l, '^\s+', ''),
+                                         '^[-*]')))
+                   * 1.0 / len(lines), 6) END AS bullet_line_ratio,
+         CASE WHEN len(lines) = 0 THEN 0.0
+              ELSE round(len(list_filter(lines,
+                     l -> regexp_matches(regexp_replace(l, '\s+$', ''),
+                                         '\.\.\.$')))
+                   * 1.0 / len(lines), 6) END AS ellipsis_line_ratio,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(len(list_filter(toks,
+                     w -> regexp_matches(w, '[A-Za-z]')))
+                   * 1.0 / len(toks), 6) END AS alpha_word_ratio,
+         CAST(list_contains(ltoks, 'the')::INT
+              + list_contains(ltoks, 'be')::INT
+              + list_contains(ltoks, 'to')::INT
+              + list_contains(ltoks, 'of')::INT
+              + list_contains(ltoks, 'and')::INT
+              + list_contains(ltoks, 'that')::INT
+              + list_contains(ltoks, 'have')::INT
+              + list_contains(ltoks, 'with')::INT AS BIGINT)
+           AS n_required_words
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio, n_required_words,
+       (n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_ratio <= 0.9
+        AND ellipsis_line_ratio <= 0.3
+        AND alpha_word_ratio >= 0.8
+        AND n_required_words >= 1) AS gopher_pass
+FROM m ORDER BY doc_id
+""")
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule document quality filter (extras/text.py
+    gopher_quality; rules per Rae et al. 2021 appendix A1.1): word-count
+    bounds, mean word length, symbol/word ratio, bullet and ellipsis
+    line ratios, alphabetic-word ratio, required stop words.  One
+    map-only codegen pass over a single tokenization; min_words and
+    min_required_words lowered (10 / 1) so the synthetic corpus
+    exercises both outcomes of the composite gate.
+    """
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.gopher_quality(docs, "text", min_words=10,
+                            min_required_words=1)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
+        "n_required_words", "gopher_pass",
+    ).orderBy("doc_id")
+
+
 @_q("""
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -19,6 +19,9 @@ __all__ = [
     "BPE_PRETOKEN_PATTERN", "bpe_pretokens", "bpe_token_count",
     "chunk_text", "segment_words", "remove_repeated_segments",
     "term_counts", "build_vocab", "doc_frequencies", "tfidf_top_terms",
+    "mean_word_length", "symbol_word_ratio", "bullet_line_ratio",
+    "ellipsis_line_ratio", "alpha_word_ratio", "required_word_count",
+    "gopher_quality", "gopher_filter", "GOPHER_REQUIRED_WORDS",
 ]
 
 # small deterministic stopword lists per language (heuristic lang-id)
@@ -207,6 +210,270 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     })
     return out.drop("__ltoks", "__n_tok", "__punct", "__digit",
                     *[f"__sw_{lang}" for lang in STOPWORDS])
+
+
+def mean_word_length(text: Column) -> Column:
+    """Average characters per whitespace token; 0.0 for empty docs."""
+    toks = tokens(text)
+    n = F.array_size(toks)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"),
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / n.cast("double")
+    )
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """(# of '#' characters + # of '...' runs) per word — the Gopher
+    symbol-noise signal.  Non-regex replace keeps it pure codegen and
+    engine-portable ('...' counted non-overlapping, like any engine's
+    replace)."""
+    n = token_count(text)
+    hashes = F.length(text) - F.length(F.replace(text, F.lit("#")))
+    ellipses = (
+        F.length(text) - F.length(F.replace(text, F.lit("...")))
+    ) / F.lit(3)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (hashes + ellipses).cast("double") / n.cast("double")
+    )
+
+
+def _lines(text: Column) -> Column:
+    return F.split(text, r"\n")
+
+
+def bullet_line_ratio(text: Column) -> Column:
+    """Fraction of lines whose trimmed text starts with a '-' or '*'
+    bullet."""
+    lines = _lines(text)
+    n = F.array_size(lines)
+    bullets = F.array_size(F.filter(
+        lines, lambda li: F.regexp_replace(li, r"^\s+", "")
+        .rlike(r"^[-*]")
+    ))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        bullets.cast("double") / n.cast("double")
+    )
+
+
+def ellipsis_line_ratio(text: Column) -> Column:
+    """Fraction of lines whose trimmed text ends with '...'."""
+    lines = _lines(text)
+    n = F.array_size(lines)
+    ell = F.array_size(F.filter(
+        lines, lambda li: F.regexp_replace(li, r"\s+$", "")
+        .rlike(r"\.\.\.$")
+    ))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        ell.cast("double") / n.cast("double")
+    )
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of words containing at least one ASCII letter."""
+    toks = tokens(text)
+    n = F.array_size(toks)
+    alpha = F.array_size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        alpha.cast("double") / n.cast("double")
+    )
+
+
+# the Gopher paper's "required word" list (Rae et al. 2021, appendix A1.1):
+# a doc must contain at least 2 of these to look like running English prose
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have",
+                         "with"]
+
+
+def required_word_count(text: Column,
+                        words: list[str] | None = None) -> Column:
+    """How many of the required stop words appear at least once
+    (distinct words counted, not occurrences)."""
+    words = GOPHER_REQUIRED_WORDS if words is None else words
+    ltoks = tokens(F.lower(text))
+    hits = [F.array_contains(ltoks, w).cast("int") for w in words]
+    out = hits[0]
+    for h in hits[1:]:
+        out = out + h
+    return out.cast("long")
+
+
+def _gopher_metric_exprs(raw: Column, toks: Column, ltoks: Column,
+                         lines: Column) -> dict[str, Column]:
+    """The seven Gopher rule metrics as expressions over ALREADY-BOUND
+    split arrays (`toks`/`ltoks`/`lines` must be references to
+    materialized or lambda-bound arrays, not fresh splits — the caller
+    owns the sharing discipline)."""
+    n = F.array_size(toks)
+    n_lines = F.array_size(lines)
+
+    def per_word(x: Column) -> Column:
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            x.cast("double") / n.cast("double")
+        )
+
+    def per_line(x: Column) -> Column:
+        return F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            x.cast("double") / n_lines.cast("double")
+        )
+
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w).cast("long"),
+    )
+    hashes = F.length(raw) - F.length(F.replace(raw, F.lit("#")))
+    ellipses = (
+        (F.length(raw) - F.length(F.replace(raw, F.lit("...")))).cast("double")
+        / F.lit(3.0)
+    )
+    n_req = None
+    for w in GOPHER_REQUIRED_WORDS:
+        h = F.array_contains(ltoks, w).cast("int")
+        n_req = h if n_req is None else n_req + h
+    return {
+        "n_words": n.cast("long"),
+        "mean_word_len": F.round(per_word(total_len), 6),
+        "symbol_word_ratio": F.round(per_word(hashes + ellipses), 6),
+        "bullet_line_ratio": F.round(per_line(F.array_size(F.filter(
+            lines, lambda li: F.regexp_replace(li, r"^\s+", "")
+            .rlike(r"^[-*]")
+        ))), 6),
+        "ellipsis_line_ratio": F.round(per_line(F.array_size(F.filter(
+            lines, lambda li: F.regexp_replace(li, r"\s+$", "")
+            .rlike(r"\.\.\.$")
+        ))), 6),
+        "alpha_word_ratio": F.round(per_word(F.array_size(
+            F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+        )), 6),
+        "n_required_words": n_req.cast("long"),
+    }
+
+
+def _gopher_flag_exprs(m: dict[str, Column], *, min_words, max_words,
+                       min_mean_word_len, max_mean_word_len,
+                       max_symbol_word_ratio, max_bullet_line_ratio,
+                       max_ellipsis_line_ratio, min_alpha_word_ratio,
+                       min_required_words) -> dict[str, Column]:
+    return {
+        "ok_n_words": (m["n_words"] >= min_words)
+        & (m["n_words"] <= max_words),
+        "ok_mean_word_len": (m["mean_word_len"] >= min_mean_word_len)
+        & (m["mean_word_len"] <= max_mean_word_len),
+        "ok_symbol_ratio": m["symbol_word_ratio"] <= max_symbol_word_ratio,
+        "ok_bullet_lines": m["bullet_line_ratio"] <= max_bullet_line_ratio,
+        "ok_ellipsis_lines": m["ellipsis_line_ratio"]
+        <= max_ellipsis_line_ratio,
+        "ok_alpha_words": m["alpha_word_ratio"] >= min_alpha_word_ratio,
+        "ok_required_words": m["n_required_words"] >= min_required_words,
+    }
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text", *,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: float = 3.0,
+                   max_mean_word_len: float = 10.0,
+                   max_symbol_word_ratio: float = 0.1,
+                   max_bullet_line_ratio: float = 0.9,
+                   max_ellipsis_line_ratio: float = 0.3,
+                   min_alpha_word_ratio: float = 0.8,
+                   min_required_words: int = 2) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, appendix
+    A1.1 — the de-facto standard pretraining heuristic filter): attach
+    the rule metrics, one boolean per rule, and an AND-of-all
+    ``gopher_pass`` column.
+
+    All rules are whole-stage-codegen expressions over ONE tokenization
+    (staged through a projection boundary like :func:`doc_stats` —
+    higher-order array functions cannot share subexpressions within a
+    projection), so attaching the metrics is a single map-only pass at
+    any corpus size, and every metric is reproducible in plain SQL for
+    the oracle.  To FILTER on the verdict use :func:`gopher_filter`,
+    not ``.filter("gopher_pass")`` — predicate pushdown inlines the
+    aliased expression tree into the filter condition, re-tokenizing
+    the document once per rule (~8x the scan CPU); ``gopher_filter``
+    binds the arrays once inside a single predicate expression.
+    """
+    t = F.col(text_col)
+    from .util import fan_out
+
+    # stage the split arrays through a projection boundary so each is
+    # computed once, then derive every metric from the SAME arrays
+    arrayed = fan_out(df).withColumns({
+        "__toks": tokens(t),
+        "__ltoks": tokens(F.lower(t)),
+        "__lines": _lines(t),
+    })
+    staged = arrayed.withColumns(_gopher_metric_exprs(
+        t, F.col("__toks"), F.col("__ltoks"), F.col("__lines")
+    )).drop("__toks", "__ltoks", "__lines")
+    flags = _gopher_flag_exprs(
+        {k: F.col(k) for k in ("n_words", "mean_word_len",
+                               "symbol_word_ratio", "bullet_line_ratio",
+                               "ellipsis_line_ratio", "alpha_word_ratio",
+                               "n_required_words")},
+        min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_bullet_line_ratio=max_bullet_line_ratio,
+        max_ellipsis_line_ratio=max_ellipsis_line_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_required_words=min_required_words,
+    )
+    out = staged.withColumns(flags)
+    all_pass = F.lit(True)
+    for name in flags:
+        all_pass = all_pass & F.col(name)
+    return out.withColumn("gopher_pass", all_pass)
+
+
+def gopher_filter(df: DataFrame, text_col: str = "text",
+                  **thresholds) -> DataFrame:
+    """Keep only documents passing every Gopher rule (same rules and
+    keyword thresholds as :func:`gopher_quality`), as ONE predicate
+    expression with the split arrays lambda-bound — the 100 TB hot
+    path.
+
+    The binding trick: ``transform(array(struct(toks, ltoks, lines)),
+    x -> predicate)`` evaluates each split exactly once and binds the
+    result to the lambda variable, so however many rules reference the
+    token array, the document is tokenized ONCE — a let-expression
+    Spark SQL doesn't otherwise have.  Filtering a ``gopher_quality``
+    output on ``gopher_pass`` instead re-tokenizes per rule, because
+    predicate pushdown substitutes the full expression tree into the
+    filter condition (asserted in tests/test_extras_plans.py).
+    """
+    kw = dict(min_words=50, max_words=100_000, min_mean_word_len=3.0,
+              max_mean_word_len=10.0, max_symbol_word_ratio=0.1,
+              max_bullet_line_ratio=0.9, max_ellipsis_line_ratio=0.3,
+              min_alpha_word_ratio=0.8, min_required_words=2)
+    unknown = set(thresholds) - set(kw)
+    if unknown:
+        raise TypeError(f"unknown threshold(s): {sorted(unknown)}")
+    kw.update(thresholds)
+    t = F.col(text_col)
+    bound = F.struct(
+        t.alias("raw"),
+        tokens(t).alias("toks"),
+        tokens(F.lower(t)).alias("ltoks"),
+        _lines(t).alias("lines"),
+    )
+
+    def predicate(x: Column) -> Column:
+        m = _gopher_metric_exprs(x["raw"], x["toks"], x["ltoks"], x["lines"])
+        flags = _gopher_flag_exprs(m, **kw)
+        out = F.lit(True)
+        for f in flags.values():
+            out = out & f
+        return out
+
+    # element_at(transform(array(s), pred), 1): the struct is evaluated
+    # once, the lambda variable is bound to the RESULT, and every rule
+    # reads the bound arrays
+    gate = F.element_at(F.transform(F.array(bound), predicate), 1)
+    return df.filter(gate)
 
 
 def chunk_text(df: DataFrame, text_col: str = "text",

@@ -110,3 +110,44 @@ def test_embedding_neardup_requires_dim():
 
     with _pytest.raises(ValueError, match="dim= is required"):
         sim._require_dim(None, "embedding")
+
+
+def test_gopher_quality_map_only_single_tokenization(spark, sf_dir):
+    """gopher_quality (metric attachment) must stay a map-only pass with
+    ONE raw-text tokenization — the staged projection boundary stops
+    each higher-order metric from re-splitting the document."""
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = tx.gopher_quality(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # fan_out's RoundRobin spread of a small scan is fine — what must
+    # never appear is a key shuffle (hash/range) for a pure row map
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert plan.count("split(regexp_replace(text") == 1, plan
+
+
+def test_gopher_filter_single_tokenization_and_equivalence(spark, sf_dir):
+    """gopher_filter's lambda let-binding must keep the pushed-down
+    predicate at ONE tokenization (filtering gopher_quality's
+    gopher_pass instead inlines the tree and re-splits per rule), and
+    the two paths must select the same documents."""
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(min_words=10, min_required_words=1)
+    filt = tx.gopher_filter(docs, **kw)
+    plan = filt._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert plan.count("split(regexp_replace(text") == 1, plan
+
+    # the naive composition really does re-tokenize — the let-binding is
+    # load-bearing, not stylistic
+    naive = tx.gopher_quality(docs, **kw).filter(F.col("gopher_pass"))
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert naive_plan.count("split(regexp_replace(text") > 2
+
+    a = sorted(r["doc_id"] for r in filt.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in naive.select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()

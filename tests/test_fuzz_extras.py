@@ -65,6 +65,50 @@ def _segments(col, s):
             f" ' ')) END")
 
 
+def _toks_guard(col, lower=False):
+    inner = f"lower({col})" if lower else col
+    trimmed = f"regexp_replace({inner}, '^\\s+|\\s+$', '', 'g')"
+    return (f"CASE WHEN length({trimmed}) = 0 THEN CAST([] AS VARCHAR[]) "
+            f"ELSE string_split_regex({trimmed}, '\\s+') END")
+
+
+def _mean_word_len(col):
+    toks = _toks_guard(col)
+    return (f"round(CASE WHEN len({toks}) = 0 THEN 0.0 "
+            f"ELSE list_aggregate(list_transform({toks}, w -> length(w)), "
+            f"'sum') * 1.0 / len({toks}) END, 6)")
+
+
+def _symbol_word_ratio(col):
+    toks = _toks_guard(col)
+    return (f"round(CASE WHEN len({toks}) = 0 THEN 0.0 "
+            f"ELSE ((length({col}) - length(replace({col}, '#', ''))) "
+            f"+ (length({col}) - length(replace({col}, '...', ''))) / 3.0) "
+            f"/ len({toks}) END, 6)")
+
+
+def _line_ratio(col, line_pred):
+    lines = f"string_split({col}, chr(10))"
+    return (f"round(CASE WHEN len({lines}) = 0 THEN 0.0 "
+            f"ELSE len(list_filter({lines}, l -> {line_pred})) "
+            f"* 1.0 / len({lines}) END, 6)")
+
+
+def _alpha_word_ratio(col):
+    toks = _toks_guard(col)
+    return (f"round(CASE WHEN len({toks}) = 0 THEN 0.0 "
+            f"ELSE len(list_filter({toks}, "
+            f"w -> regexp_matches(w, '[A-Za-z]'))) "
+            f"* 1.0 / len({toks}) END, 6)")
+
+
+def _required_words(col):
+    ltoks = _toks_guard(col, lower=True)
+    terms = " + ".join(f"list_contains({ltoks}, '{w}')::INT"
+                       for w in tx.GOPHER_REQUIRED_WORDS)
+    return f"CAST({terms} AS BIGINT)"
+
+
 def _stopwords(col):
     inlist = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
     toks = LTOKENS.format(col=col)
@@ -105,13 +149,34 @@ def _ops(rng):
          _segments("t", s)),
         ("bpe_token_count", lambda c: tx.bpe_token_count(c),
          f"CAST(length(regexp_extract_all(t, '{bpe}')) AS BIGINT)"),
+        ("mean_word_length",
+         lambda c: F.round(tx.mean_word_length(c), 6), _mean_word_len("t")),
+        ("symbol_word_ratio",
+         lambda c: F.round(tx.symbol_word_ratio(c), 6),
+         _symbol_word_ratio("t")),
+        ("bullet_line_ratio",
+         lambda c: F.round(tx.bullet_line_ratio(c), 6),
+         _line_ratio("t", "regexp_matches(regexp_replace(l, '^\\s+', ''),"
+                          " '^[-*]')")),
+        ("ellipsis_line_ratio",
+         lambda c: F.round(tx.ellipsis_line_ratio(c), 6),
+         _line_ratio("t", "regexp_matches(regexp_replace(l, '\\s+$', ''),"
+                          " '\\.\\.\\.$')")),
+        ("alpha_word_ratio",
+         lambda c: F.round(tx.alpha_word_ratio(c), 6),
+         _alpha_word_ratio("t")),
+        ("required_word_count",
+         lambda c: tx.required_word_count(c), _required_words("t")),
     ]
 
 
 WORDS = ["the", "and", "cat", "Dog", "data", "X9", "a", "of", "in",
          "spark", "query", "it", "is"]
 NOISE = [".", ",", "!!", "??", "--", "(x)", "[y]", "a.b*c", "x'y",
-         "1234", "007", "3.14", "$%&", "::"]
+         "1234", "007", "3.14", "$%&", "::",
+         # drive the gopher-rule paths: symbols, ellipses, bullet lines
+         "#", "##tag", "...", "wait...", "\n- item", "\n* item", "\n-",
+         "end...\n"]
 WS = [" ", "  ", "\t", "\n", " \n ", "\t\t"]
 
 
