@@ -2240,9 +2240,15 @@ def q_tfidf_topk(spark, sf_dir):
     )
 
 
-@_q(r"""
-WITH base AS (
-  SELECT doc_id, text,
+def _gopher_ctes() -> str:
+    """DuckDB twin of extras/text.py gopher metrics as reusable CTEs:
+    `base` (split arrays + passthrough lang/n_chars) and `m` (the seven
+    rule metrics, rounded to 6 like the Spark side)."""
+    req = " + ".join(f"list_contains(ltoks, '{w}')::INT"
+                     for w in ["the", "be", "to", "of", "and", "that",
+                               "have", "with"])
+    return r"""base AS (
+  SELECT doc_id, lang, n_chars, text,
          CASE WHEN length(regexp_replace(text, '^\s+|\s+$', '', 'g')) = 0
               THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(
@@ -2257,7 +2263,7 @@ WITH base AS (
          string_split(text, chr(10)) AS lines
   FROM documents
 ), m AS (
-  SELECT doc_id,
+  SELECT doc_id, lang, n_chars, text,
          CAST(len(toks) AS BIGINT) AS n_words,
          CASE WHEN len(toks) = 0 THEN 0.0
               ELSE round(list_aggregate(
@@ -2281,26 +2287,27 @@ WITH base AS (
               ELSE round(len(list_filter(toks,
                      w -> regexp_matches(w, '[A-Za-z]')))
                    * 1.0 / len(toks), 6) END AS alpha_word_ratio,
-         CAST(list_contains(ltoks, 'the')::INT
-              + list_contains(ltoks, 'be')::INT
-              + list_contains(ltoks, 'to')::INT
-              + list_contains(ltoks, 'of')::INT
-              + list_contains(ltoks, 'and')::INT
-              + list_contains(ltoks, 'that')::INT
-              + list_contains(ltoks, 'have')::INT
-              + list_contains(ltoks, 'with')::INT AS BIGINT)
-           AS n_required_words
+         CAST(""" + req + r""" AS BIGINT) AS n_required_words
   FROM base
-)
-SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
-       ellipsis_line_ratio, alpha_word_ratio, n_required_words,
-       (n_words >= 10 AND n_words <= 100000
+)"""
+
+
+# the lowered thresholds (min_words 10, min_required_words 1) the driver
+# queries use so the synthetic corpus exercises both gate outcomes
+_GOPHER_GATE_SQL = """(n_words >= 10 AND n_words <= 100000
         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
         AND symbol_word_ratio <= 0.1
         AND bullet_line_ratio <= 0.9
         AND ellipsis_line_ratio <= 0.3
         AND alpha_word_ratio >= 0.8
-        AND n_required_words >= 1) AS gopher_pass
+        AND n_required_words >= 1)"""
+
+
+@_q(f"""
+WITH {_gopher_ctes()}
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_ratio,
+       ellipsis_line_ratio, alpha_word_ratio, n_required_words,
+       {_GOPHER_GATE_SQL} AS gopher_pass
 FROM m ORDER BY doc_id
 """)
 def q_gopher_quality(spark, sf_dir):
@@ -2322,6 +2329,65 @@ def q_gopher_quality(spark, sf_dir):
         "bullet_line_ratio", "ellipsis_line_ratio", "alpha_word_ratio",
         "n_required_words", "gopher_pass",
     ).orderBy("doc_id")
+
+
+@_q(f"""
+WITH {_gopher_ctes()},
+gated AS (
+  SELECT doc_id, lang, n_chars, text FROM m WHERE {_GOPHER_GATE_SQL}
+), fp AS (
+  SELECT doc_id, lang, n_chars,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+  FROM gated
+), ded AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp)
+  WHERE rn = 1
+), mix AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM ded)
+  WHERE cum - n_chars < 5000
+)
+SELECT doc_id, lang, n_chars, shard, shard_pos FROM (
+  SELECT doc_id, lang, n_chars,
+         (('0x' || substr(h, 1, 4))::BIGINT % 8)             AS shard,
+         CAST(row_number() OVER (
+              PARTITION BY (('0x' || substr(h, 1, 4))::BIGINT % 8)
+              ORDER BY h, doc_id) AS BIGINT)                 AS shard_pos
+  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || 'pre') AS h FROM mix)
+)
+ORDER BY shard, shard_pos
+""")
+def q_pretrain_pipeline(spark, sf_dir):
+    """Flagship end-to-end pretraining-data pipeline, four stages
+    composed from the extras layer: Gopher quality gate (gopher_filter,
+    map-only single-tokenization predicate) -> exact near-identical
+    removal (exact_dedup_rows, one fingerprint shuffle) -> per-language
+    token-budget fill (take_token_budget, one window cumsum) ->
+    deterministic corpus shuffle (deterministic_shuffle, one bounded
+    shard shuffle).  Three key shuffles total for the whole pipeline;
+    every stage is a pure function of the rows, which is what lets one
+    DuckDB CTE chain reproduce the exact (shard, shard_pos) addressing
+    of the final corpus order."""
+    from pydiverse_transform_spark.extras import dedup as dd
+    from pydiverse_transform_spark.extras import sampling as sp
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = tx.gopher_filter(docs, "text", min_words=10,
+                             min_required_words=1)
+    ded = dd.exact_dedup_rows(gated, "text", "doc_id")
+    mix = sp.take_token_budget(
+        ded.select("doc_id", "lang", "n_chars"),
+        "n_chars", 5000, order_by="doc_id", partition_by=["lang"],
+    )
+    out = sp.deterministic_shuffle(mix, "doc_id", salt="pre", n_shards=8)
+    return out.select("doc_id", "lang", "n_chars", "shard",
+                      "shard_pos").orderBy("shard", "shard_pos")
 
 
 @_q("""

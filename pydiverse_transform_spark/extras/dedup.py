@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 from .util import fan_out
 
 __all__ = [
-    "exact_dedup", "word_shingles", "char_shingles", "minhash_signature",
+    "exact_dedup", "exact_dedup_rows", "word_shingles", "char_shingles",
+    "minhash_signature",
     "lsh_candidate_pairs", "jaccard", "minhash_dedup_pairs", "simhash",
     "char_shingled", "connected_components",
     "connected_components_star", "neardup_dedup",
@@ -37,6 +38,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
         .drop("__fp")
+    )
+
+
+def exact_dedup_rows(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Row-preserving sibling of :func:`exact_dedup`: keep the FULL row
+    of the smallest id per normalized-text fingerprint (exact_dedup
+    collapses to (id, n_copies) — fine for reporting, useless mid-
+    pipeline).  One hash-partition shuffle on the md5 fingerprint
+    (uniform keys), per-group rank — no second join back to the
+    corpus."""
+    from pyspark.sql import Window
+
+    from .text import fingerprint
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
     )
 
 

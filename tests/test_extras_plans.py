@@ -151,3 +151,20 @@ def test_gopher_filter_single_tokenization_and_equivalence(spark, sf_dir):
     a = sorted(r["doc_id"] for r in filt.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in naive.select("doc_id").collect())
     assert a == b and 0 < len(a) < docs.count()
+
+
+def test_pretrain_pipeline_three_shuffles_one_tokenization(spark):
+    """The composed pretraining pipeline (gopher gate -> exact dedup ->
+    token budget -> deterministic shuffle) must cost exactly its three
+    semantic key shuffles (fingerprint, lang, shard) — the gate itself
+    adds none — and tokenize the corpus once."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_pretrain_pipeline"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hashx = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len(hashx) == 3, hashx
+    assert plan.count("split(regexp_replace(text") == 1, plan
