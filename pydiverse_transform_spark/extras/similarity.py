@@ -229,15 +229,17 @@ def ivf_centroids(dim: int, n_cells: int, seed: str = "ivf"
 
 def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Cell id = argmax over centroids of (centroid · vec), ties to the
-    lower cell id — the inverted-file assignment."""
-    best_id = F.lit(0)
-    best_d = dot(vec, _qlit(centroids[0]))
-    for c, cen in enumerate(centroids[1:], start=1):
-        d = dot(vec, _qlit(cen))
-        is_better = d > best_d
-        best_id = F.when(is_better, F.lit(c)).otherwise(best_id)
-        best_d = F.when(is_better, d).otherwise(best_d)
-    return best_id
+    lower cell id — the inverted-file assignment.
+
+    Shape matters: scores land in ONE array and the argmax is
+    `array_position(scores, array_max(scores))` (first occurrence =
+    lower cell id).  The obvious when-chain fold
+    (`best = when(d > best_d, ...)`) references the running best TWICE
+    per step, so its expression tree doubles per centroid —
+    exponential in n_cells; at 16 trained cells the plan never finishes
+    analyzing (found by scripts/bench_quantizer.py)."""
+    scores = F.array(*[dot(vec, _qlit(cen)) for cen in centroids])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -349,15 +351,13 @@ def _sq_l2(a: Column, b: Column) -> Column:
 def kmeans_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Cell id = argmin over literal centroids of squared L2 distance,
     ties to the lower cell id.  Pure codegen expression — the map-only
-    assignment used by :func:`kmeans_fit` and scoring pipelines."""
-    best_id = F.lit(0)
-    best_d = _sq_l2(vec, _qlit(centroids[0]))
-    for c, cen in enumerate(centroids[1:], start=1):
-        d = _sq_l2(vec, _qlit(cen))
-        is_better = d < best_d
-        best_id = F.when(is_better, F.lit(c)).otherwise(best_id)
-        best_d = F.when(is_better, d).otherwise(best_d)
-    return best_id
+    assignment used by :func:`kmeans_fit` and scoring pipelines.
+
+    Same linear argmin shape as :func:`ivf_cell` (distances in one
+    array, `array_position` of the min): the when-chain fold is
+    exponential in k and stalls the analyzer at realistic k."""
+    dists = F.array(*[_sq_l2(vec, _qlit(cen)) for cen in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
 def kmeans_seed_centroids(df: DataFrame, k: int,
