@@ -2776,6 +2776,65 @@ LIMIT 10
 """
 
 
+def _pq_sql() -> str:
+    """DuckDB twin of pq_topk(pool=100) with the fixed md5-derived
+    codebooks: same encode argmin (explicit left-assoc squared sums, so
+    float arithmetic is bit-identical to Spark's aggregate fold), same
+    literal ADC lookup tables, same pool cut and exact re-rank."""
+    from pydiverse_transform_spark.extras.similarity import pq_codebooks
+
+    m, kcb, dsub = 8, 16, 8
+    cbs = pq_codebooks(64, m=m, k=kcb)
+    luts = [
+        [sum((_QVEC[j * dsub + i] - cen[i]) ** 2 for i in range(dsub))
+         for cen in cbs[j]]
+        for j in range(m)
+    ]
+
+    def sq(j: int, cen: list[float]) -> str:
+        return "(" + " + ".join(
+            f"(e[{j * dsub + i + 1}] - ({cen[i]!r}))"
+            f"*(e[{j * dsub + i + 1}] - ({cen[i]!r}))"
+            for i in range(dsub)) + ")"
+
+    terms = []
+    for j in range(m):
+        dists = ", ".join(sq(j, cen) for cen in cbs[j])
+        lut = "[" + ", ".join(repr(v) for v in luts[j]) + "]::DOUBLE[]"
+        terms.append(
+            f"({lut})[list_position([{dists}], list_min([{dists}]))]")
+    adc = " + ".join(terms)
+    exact = " + ".join(
+        f"(e[{i + 1}] - ({_QVEC[i]!r}))*(e[{i + 1}] - ({_QVEC[i]!r}))"
+        for i in range(64))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pool AS (
+  SELECT vec_id, e FROM base
+  ORDER BY {adc}, vec_id
+  LIMIT 100
+)
+SELECT vec_id, round({exact}, 6) AS l2_dist
+FROM pool ORDER BY l2_dist, vec_id LIMIT 10
+"""
+
+
+@_q(_pq_sql())
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (extras/similarity.py pq_encode /
+    pq_topk; Jégou et al. 2011): vectors compress to 8 sub-centroid
+    codes (argmin vs fixed md5-derived codebooks), the full scan reads
+    only codes + a literal per-query lookup table (ADC), and the exact
+    squared-L2 re-rank runs on just the 100-row candidate pool — at
+    100 TB the code column is ~32x smaller than the float32 vectors it
+    stands in for."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = similarity.pq_codebooks(64, m=8, k=16)
+    return similarity.pq_topk(emb, _QVEC, k=10, codebooks=cbs, pool=100)
+
+
 @_q(_ivf_sql())
 def q_ivf_topk(spark, sf_dir):
     """IVF-style ANN: fixed md5-derived coarse quantizer, nprobe=2 of 8

@@ -27,7 +27,8 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "ivf_centroids", "ivf_cell", "ivf_topk",
            "embedding_neardup_pairs",
            "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
-           "kmeans_update", "kmeans_fit"]
+           "kmeans_update", "kmeans_fit",
+           "pq_codebooks", "pq_fit", "pq_encode", "pq_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -506,3 +507,169 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
             for c in range(k)
         ]
     return centroids
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compress dim-float vectors to m small codes and
+# answer top-k with asymmetric distance computation (ADC) over a per-query
+# lookup table — the standard memory/IO-compression layer for billion-vector
+# ANN (Jégou et al. 2011).  At 100 TB of float32 embeddings, 8x16 PQ codes
+# shrink the scanned bytes ~32x; the codes column becomes the hot table and
+# the raw vectors are only fetched to re-rank the candidate pool.
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(dim: int, m: int = 8, k: int = 16, seed: str = "pq"
+                 ) -> list[list[list[float]]]:
+    """Fixed md5-derived codebooks: m subspaces x k sub-centroids of
+    dim/m components in [-1, 1].  Data-independent and reproducible in
+    any engine (same recipe as :func:`hyperplanes` per subspace) — the
+    quantizer the correctness oracle can re-derive; train
+    :func:`pq_fit` for tighter cells in production."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    return [hyperplanes(dim // m, k, seed=f"{seed}:{j}") for j in range(m)]
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "embedding",
+              code_col: str = "pq_code") -> DataFrame:
+    """Attach the PQ code (array<int>, one sub-centroid id per
+    subspace): per subspace, argmin squared-L2 between the vector slice
+    and the literal sub-centroids — the same linear array-argmin shape
+    as :func:`kmeans_cell`, map-only codegen, no shuffle."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    codes = [
+        kmeans_cell(F.slice(vec, j * dsub + 1, dsub), codebooks[j])
+        for j in range(m)
+    ]
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           dim: int | None = None) -> list[list[list[float]]]:
+    """Train PQ codebooks by per-subspace Lloyd iteration, all m
+    subspaces in ONE pass per iteration: the assignment inlines every
+    subspace's argmin into one projection, `inline` stacks
+    (subspace, cell, slice) rows, and the update is a
+    posexplode -> groupBy(sub, cid, pos) hash aggregation riding
+    map-side partial combine — each task emits <= m*k*dsub = k*dim
+    partial sums, so shuffle volume is independent of corpus size
+    (the same treeAggregate shape as :func:`kmeans_fit`).  Seeds are
+    the k smallest-id vectors' slices (deterministic); empty cells
+    keep their previous sub-centroid."""
+    dim = _require_dim(dim, vec_col)
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    from .util import fan_out
+
+    base = fan_out(df.select(id_col, vec_col))
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(F.col(id_col).asc())
+        .limit(k).collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"k={k} exceeds the number of input rows "
+                         f"({len(seed_rows)})")
+    books = [
+        [[float(v) for v in r[vec_col]][j * dsub:(j + 1) * dsub]
+         for r in seed_rows]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        entries = []
+        for j in range(m):
+            sl = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+            entries.append(F.struct(
+                F.lit(j).alias("sub"),
+                kmeans_cell(sl, books[j]).alias("cid"),
+                sl.alias("s"),
+            ))
+        ex = base.select(F.inline(F.array(*entries)))
+        rows = (
+            ex.select("sub", "cid", F.posexplode(F.col("s")).alias("pos", "v"))
+            .groupBy("sub", "cid", "pos")
+            .agg(F.sum(F.col("v").cast("double")).alias("t"),
+                 F.count(F.lit(1)).alias("n"))
+            .groupBy("sub", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t", "n"))),
+                    lambda r: r["t"] / r["n"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        new = {(int(r["sub"]), int(r["cid"])):
+               [float(v) for v in r["centroid"]] for r in rows}
+        books = [
+            [new.get((j, c), books[j][c]) for c in range(k)]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+            codebooks: list[list[list[float]]] | None = None,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            m: int = 8, n_codes: int = 16,
+            pool: int | None = None) -> DataFrame:
+    """Approximate top-k nearest (squared L2) by asymmetric distance:
+    encode each vector (or reuse a materialized ``pq_code`` column via
+    :func:`pq_encode` + a parquet sink), look the per-subspace
+    distances up in a query-specific table computed driver-side, and
+    TakeOrdered the sum.
+
+    The LUT (m x k floats) folds into the plan as literals — the scan
+    reads codes, does m array lookups and m-1 adds per row, nothing
+    else; with a stored code column the raw embeddings are never read.
+    Returns (id, pq_dist) ascending.
+
+    ``pool=P`` adds the standard exact re-rank: TakeOrdered the P best
+    by ADC (codes only — the cheap full scan), then compute exact
+    squared L2 on just those P rows and keep the best k; returned
+    column is then the exact ``l2_dist``.  The full corpus still pays
+    only the compressed-code scan."""
+    if codebooks is None:
+        codebooks = pq_codebooks(len(query_vec), m=m, k=n_codes)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    from .util import fan_out
+
+    encoded = pq_encode(fan_out(df), codebooks, vec_col=vec_col)
+    # ADC lookup tables: lut[j][c] = ||q_j - codebook[j][c]||^2
+    luts = [
+        [sum((float(query_vec[j * dsub + i]) - cen[i]) ** 2
+             for i in range(dsub))
+         for cen in codebooks[j]]
+        for j in range(m)
+    ]
+    dist = None
+    for j in range(m):
+        lut = F.array(*[F.lit(v) for v in luts[j]])
+        term = F.element_at(lut, F.element_at(F.col("pq_code"), j + 1) + 1)
+        dist = term if dist is None else dist + term
+    if pool is None:
+        return (
+            encoded.select(
+                F.col(id_col), F.round(dist, 6).alias("pq_dist")
+            )
+            .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    if pool < k:
+        raise ValueError(f"pool={pool} must be >= k={k}")
+    cands = (
+        encoded.select(F.col(id_col), F.col(vec_col), dist.alias("__adc"))
+        .orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(pool)
+    )
+    exact = _sq_l2(F.col(vec_col), _qlit(query_vec))
+    return (
+        cands.select(F.col(id_col), F.round(exact, 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

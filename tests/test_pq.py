@@ -1,0 +1,115 @@
+"""Product quantization (extras/similarity.py pq_*): training
+determinism, code validity, ADC vs re-rank behavior, plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras import similarity as sim
+
+QVEC = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _exact_ids(emb, k=10):
+    d = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.array(*[F.lit(float(v)) for v in QVEC]),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    return [r["vec_id"] for r in emb.select("vec_id", d.alias("d"))
+            .orderBy("d", "vec_id").limit(k).collect()]
+
+
+def test_pq_fit_deterministic_and_shaped(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = sim.pq_fit(emb, m=4, k=4, n_iter=2, dim=64)
+    b = sim.pq_fit(emb, m=4, k=4, n_iter=2, dim=64)
+    assert a == b
+    assert len(a) == 4 and all(len(book) == 4 for book in a)
+    assert all(len(cen) == 16 for book in a for cen in book)
+
+
+def test_pq_encode_codes_in_range(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    out = sim.pq_encode(emb, cbs)
+    stats = out.select(
+        F.array_min("pq_code").alias("lo"),
+        F.array_max("pq_code").alias("hi"),
+        F.array_size("pq_code").alias("m"),
+    ).agg(F.min("lo"), F.max("hi"), F.min("m"), F.max("m")).collect()[0]
+    assert stats[0] >= 0 and stats[1] <= 15 and stats[2] == stats[3] == 8
+
+
+def test_pq_trained_quantization_error_not_worse(spark, sf_dir):
+    """Lloyd-trained codebooks must reconstruct the corpus at least as
+    well as the fixed md5 ones (that is the point of training)."""
+    emb = _emb(spark, sf_dir)
+    fixed = sim.pq_codebooks(64, m=4, k=8)
+    trained = sim.pq_fit(emb, m=4, k=8, n_iter=3, dim=64)
+
+    def recon_err(cbs):
+        enc = sim.pq_encode(emb, cbs)
+        err = None
+        dsub = len(cbs[0][0])
+        for j in range(len(cbs)):
+            cens = F.array(*[
+                F.array(*[F.lit(float(v)) for v in cen]) for cen in cbs[j]
+            ])
+            sl = F.slice(F.col("embedding"), j * dsub + 1, dsub)
+            cen = F.element_at(
+                cens, F.element_at(F.col("pq_code"), j + 1) + 1)
+            e = F.aggregate(
+                F.zip_with(sl, cen,
+                           lambda x, y: (x.cast("double") - y)
+                           * (x.cast("double") - y)),
+                F.lit(0.0), lambda a, v: a + v)
+            err = e if err is None else err + e
+        return enc.agg(F.sum(err)).collect()[0][0]
+
+    assert recon_err(trained) <= recon_err(fixed)
+
+
+def test_pq_rerank_recall_not_worse_than_adc(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    exact = set(_exact_ids(emb))
+    adc = {r["vec_id"]
+           for r in sim.pq_topk(emb, QVEC, k=10, codebooks=cbs).collect()}
+    rer = {r["vec_id"]
+           for r in sim.pq_topk(emb, QVEC, k=10, codebooks=cbs,
+                                pool=100).collect()}
+    assert len(exact & rer) >= len(exact & adc)
+    # a pool spanning the whole corpus degrades to the exact answer
+    n = emb.count()
+    full = [r["vec_id"]
+            for r in sim.pq_topk(emb, QVEC, k=10, codebooks=cbs,
+                                 pool=n).collect()]
+    assert full == _exact_ids(emb)
+
+
+def test_pq_topk_plan_no_shuffle(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    for q in (sim.pq_topk(emb, QVEC, k=5, codebooks=cbs),
+              sim.pq_topk(emb, QVEC, k=5, codebooks=cbs, pool=50)):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "TakeOrdered" in plan, plan
+
+
+def test_pq_validation():
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_codebooks(64, m=7)
+
+
+def test_pq_pool_smaller_than_k(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    with pytest.raises(ValueError, match="pool"):
+        sim.pq_topk(emb, QVEC, k=10, codebooks=cbs, pool=5)
