@@ -28,7 +28,8 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "embedding_neardup_pairs",
            "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
            "kmeans_update", "kmeans_fit",
-           "pq_codebooks", "pq_fit", "pq_encode", "pq_topk"]
+           "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
+           "pq_topk_coded"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -612,6 +613,47 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
     return books
 
 
+def _adc_dist(query_vec: list[float], codebooks: list[list[list[float]]],
+              code_col: str) -> Column:
+    """Asymmetric-distance expression over a code column: per subspace,
+    one literal-array lookup of ||q_j - codebook[j][code_j]||^2 (the
+    LUT is computed driver-side — the query is a constant), summed
+    left-assoc.  m lookups + m-1 adds per row, pure codegen."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    luts = [
+        [sum((float(query_vec[j * dsub + i]) - cen[i]) ** 2
+             for i in range(dsub))
+         for cen in codebooks[j]]
+        for j in range(m)
+    ]
+    dist = None
+    for j in range(m):
+        lut = F.array(*[F.lit(v) for v in luts[j]])
+        term = F.element_at(lut, F.element_at(F.col(code_col), j + 1) + 1)
+        dist = term if dist is None else dist + term
+    return dist
+
+
+def pq_topk_coded(df: DataFrame, query_vec: list[float],
+                  codebooks: list[list[list[float]]], k: int = 10,
+                  code_col: str = "pq_code",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Top-k by ADC over a MATERIALIZED code table (:func:`pq_encode`
+    output written to parquet): the scan reads ONLY (id, code) —
+    column pruning drops the float vectors entirely, which is the
+    ~32x-smaller scan that makes PQ pay at 100 TB.  Re-rank the
+    returned pool against the raw vectors with an id join when recall
+    matters (a point-lookup join over k rows, not a second full
+    scan)."""
+    dist = _adc_dist(query_vec, codebooks, code_col)
+    return (
+        df.select(F.col(id_col), F.round(dist, 6).alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             codebooks: list[list[list[float]]] | None = None,
             vec_col: str = "embedding", id_col: str = "vec_id",
@@ -635,23 +677,10 @@ def pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     only the compressed-code scan."""
     if codebooks is None:
         codebooks = pq_codebooks(len(query_vec), m=m, k=n_codes)
-    m = len(codebooks)
-    dsub = len(codebooks[0][0])
     from .util import fan_out
 
     encoded = pq_encode(fan_out(df), codebooks, vec_col=vec_col)
-    # ADC lookup tables: lut[j][c] = ||q_j - codebook[j][c]||^2
-    luts = [
-        [sum((float(query_vec[j * dsub + i]) - cen[i]) ** 2
-             for i in range(dsub))
-         for cen in codebooks[j]]
-        for j in range(m)
-    ]
-    dist = None
-    for j in range(m):
-        lut = F.array(*[F.lit(v) for v in luts[j]])
-        term = F.element_at(lut, F.element_at(F.col("pq_code"), j + 1) + 1)
-        dist = term if dist is None else dist + term
+    dist = _adc_dist(query_vec, codebooks, "pq_code")
     if pool is None:
         return (
             encoded.select(

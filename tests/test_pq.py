@@ -113,3 +113,29 @@ def test_pq_pool_smaller_than_k(spark, sf_dir):
     cbs = sim.pq_codebooks(64, m=8, k=16)
     with pytest.raises(ValueError, match="pool"):
         sim.pq_topk(emb, QVEC, k=10, codebooks=cbs, pool=5)
+
+
+def test_pq_coded_table_scan_prunes_vectors(spark, sf_dir, tmp_path):
+    """The materialized-codes path must read ONLY (vec_id, pq_code)
+    from parquet — column pruning dropping the float vectors is the
+    32x scan saving that justifies PQ at scale — and must return the
+    same ids as on-the-fly ADC."""
+    emb = _emb(spark, sf_dir)
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    path = str(tmp_path / "coded")
+    sim.pq_encode(emb, cbs).write.parquet(path)
+
+    coded = spark.read.parquet(path)
+    out = sim.pq_topk_coded(coded, QVEC, cbs, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"vec_id", "pq_code"}, read_cols
+    assert "Exchange hashpartitioning" not in plan
+
+    onthefly = sim.pq_topk(emb, QVEC, k=10, codebooks=cbs)
+    assert ([r["vec_id"] for r in out.collect()]
+            == [r["vec_id"] for r in onthefly.collect()])
