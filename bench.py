@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "q_dedup_minhash",
     "q_neardup_corpus",
     "q_cosine_topk",
+    "q_pq_topk",
+    "q_pretrain_pipeline",
     "q_sessionize",
     "q_tumbling_agg",
     "q_asof_join",
