@@ -2776,6 +2776,35 @@ LIMIT 10
 """
 
 
+def _sq_sql(qvec: list[float], offset: int = 0) -> str:
+    """Explicit left-assoc squared-L2 between e[offset+1..] and a
+    literal vector — bit-identical to Spark's aggregate fold."""
+    return "(" + " + ".join(
+        f"(e[{offset + i + 1}] - ({qvec[i]!r}))"
+        f"*(e[{offset + i + 1}] - ({qvec[i]!r}))"
+        for i in range(len(qvec))) + ")"
+
+
+def _pq_fragments(qvec: list[float], cbs: list) -> tuple[str, str]:
+    """(adc, exact) SQL fragments of the PQ scorer over column `e`:
+    encode argmin per subspace + literal LUT lookup, and the exact
+    squared-L2 re-rank — each mirroring the Spark expressions'
+    float-add order exactly."""
+    m, dsub = len(cbs), len(cbs[0][0])
+    luts = [
+        [sum((qvec[j * dsub + i] - cen[i]) ** 2 for i in range(dsub))
+         for cen in cbs[j]]
+        for j in range(m)
+    ]
+    terms = []
+    for j in range(m):
+        dists = ", ".join(_sq_sql(cen, offset=j * dsub) for cen in cbs[j])
+        lut = "[" + ", ".join(repr(v) for v in luts[j]) + "]::DOUBLE[]"
+        terms.append(
+            f"({lut})[list_position([{dists}], list_min([{dists}]))]")
+    return " + ".join(terms), _sq_sql(qvec)
+
+
 def _pq_sql() -> str:
     """DuckDB twin of pq_topk(pool=100) with the fixed md5-derived
     codebooks: same encode argmin (explicit left-assoc squared sums, so
@@ -2783,30 +2812,7 @@ def _pq_sql() -> str:
     literal ADC lookup tables, same pool cut and exact re-rank."""
     from pydiverse_transform_spark.extras.similarity import pq_codebooks
 
-    m, kcb, dsub = 8, 16, 8
-    cbs = pq_codebooks(64, m=m, k=kcb)
-    luts = [
-        [sum((_QVEC[j * dsub + i] - cen[i]) ** 2 for i in range(dsub))
-         for cen in cbs[j]]
-        for j in range(m)
-    ]
-
-    def sq(j: int, cen: list[float]) -> str:
-        return "(" + " + ".join(
-            f"(e[{j * dsub + i + 1}] - ({cen[i]!r}))"
-            f"*(e[{j * dsub + i + 1}] - ({cen[i]!r}))"
-            for i in range(dsub)) + ")"
-
-    terms = []
-    for j in range(m):
-        dists = ", ".join(sq(j, cen) for cen in cbs[j])
-        lut = "[" + ", ".join(repr(v) for v in luts[j]) + "]::DOUBLE[]"
-        terms.append(
-            f"({lut})[list_position([{dists}], list_min([{dists}]))]")
-    adc = " + ".join(terms)
-    exact = " + ".join(
-        f"(e[{i + 1}] - ({_QVEC[i]!r}))*(e[{i + 1}] - ({_QVEC[i]!r}))"
-        for i in range(64))
+    adc, exact = _pq_fragments(_QVEC, pq_codebooks(64, m=8, k=16))
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 pool AS (
@@ -2833,6 +2839,62 @@ def q_pq_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cbs = similarity.pq_codebooks(64, m=8, k=16)
     return similarity.pq_topk(emb, _QVEC, k=10, codebooks=cbs, pool=100)
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB twin of write_ivfpq(residual=False) + ivfpq_topk(nprobe=2,
+    pool=100): same fixed centroids and codebooks, same cell argmin,
+    probe set computed once in Python, ADC over probed cells, exact
+    re-rank of the pool."""
+    from pydiverse_transform_spark.extras.similarity import (
+        hyperplanes,
+        pq_codebooks,
+    )
+
+    cents = hyperplanes(64, 8, seed="ivfpq")
+    d2 = [
+        (sum((q - c) ** 2 for q, c in zip(_QVEC, cen)), ci)
+        for ci, cen in enumerate(cents)
+    ]
+    probe = [ci for _, ci in sorted(d2)][:2]
+    cell_dists = ", ".join(_sq_sql(cen) for cen in cents)
+    cell = f"list_position([{cell_dists}], list_min([{cell_dists}])) - 1"
+    adc, exact = _pq_fragments(_QVEC, pq_codebooks(64, m=8, k=16))
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+celled AS (SELECT vec_id, e, {cell} AS cell FROM base),
+pool AS (
+  SELECT vec_id, e FROM celled
+  WHERE cell IN ({', '.join(map(str, probe))})
+  ORDER BY {adc}, vec_id
+  LIMIT 100
+)
+SELECT vec_id, round({exact}, 6) AS l2_dist
+FROM pool ORDER BY l2_dist, vec_id LIMIT 10
+"""
+
+
+@_q(_ivfpq_sql())
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ index on parquet (extras/similarity.py write_ivfpq /
+    ivfpq_topk — the FAISS IVFADC layout): coarse cells are PARTITION
+    directories (metadata-only pruning at the scan), PQ codes are the
+    scanned bytes, and the exact re-rank touches only the 100-row pool.
+    Fixed md5-derived centroids/codebooks and residual=False here so
+    the DuckDB oracle re-derives every stage; production trains both
+    (kmeans_fit / pq_fit) and encodes residuals."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 8, seed="ivfpq")
+    cbs = similarity.pq_codebooks(64, m=8, k=16)
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", "ivfpq_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    similarity.write_ivfpq(emb, staged, cents, cbs, residual=False)
+    return similarity.ivfpq_topk(spark, staged, _QVEC, cents, cbs,
+                                 k=10, nprobe=2, residual=False, pool=100)
 
 
 @_q(_ivf_sql())

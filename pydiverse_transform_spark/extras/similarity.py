@@ -29,7 +29,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
            "kmeans_update", "kmeans_fit",
            "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
-           "pq_topk_coded"]
+           "pq_topk_coded", "write_ivfpq", "ivfpq_topk"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -699,6 +699,111 @@ def pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     exact = _sq_l2(F.col(vec_col), _qlit(query_vec))
     return (
         cands.select(F.col(id_col), F.round(exact, 6).alias("l2_dist"))
+        .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the standard billion-vector index layout (FAISS IVFADC) on parquet
+# — coarse cells become PARTITION directories (metadata-only pruning), PQ
+# codes become the scanned bytes, raw vectors are only touched to re-rank a
+# bounded pool.
+# ---------------------------------------------------------------------------
+
+def _cent_lit(centroids: list[list[float]]) -> Column:
+    return F.array(*[
+        F.array(*[F.lit(float(v)) for v in cen]) for cen in centroids
+    ])
+
+
+def write_ivfpq(df: DataFrame, path: str,
+                centroids: list[list[float]],
+                codebooks: list[list[list[float]]],
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                residual: bool = True,
+                store_vectors: bool = True) -> None:
+    """Materialize an IVF-PQ index: rows are assigned to their L2-argmin
+    coarse cell (:func:`kmeans_cell`), PQ-encoded — classically on the
+    RESIDUAL vector v - centroid[cell], which centers each cell's data
+    on the codebooks and tightens quantization — and written with the
+    cell as a parquet PARTITION column.  ``store_vectors`` keeps the
+    raw vectors in the same files for the re-rank fetch (column
+    pruning keeps them out of the ADC scan).
+
+    One map-only pass over the corpus; no shuffle beyond the write's
+    own file layout."""
+    vec = F.col(vec_col)
+    cell = kmeans_cell(vec, centroids)
+    staged = df.withColumn("cell", cell)
+    if residual:
+        code_src = F.zip_with(
+            vec, F.element_at(_cent_lit(centroids), F.col("cell") + 1),
+            lambda x, y: x.cast("double") - y,
+        )
+    else:
+        code_src = vec
+    staged = staged.withColumn("__src", code_src)
+    coded = pq_encode(staged, codebooks, vec_col="__src").drop("__src")
+    if not store_vectors:
+        coded = coded.drop(vec_col)
+    coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_topk(spark, path: str, query_vec: list[float],
+               centroids: list[list[float]],
+               codebooks: list[list[list[float]]],
+               k: int = 10, nprobe: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               residual: bool = True,
+               pool: int | None = None) -> DataFrame:
+    """Top-k (squared L2) over a :func:`write_ivfpq` table: probe the
+    query's ``nprobe`` closest cells — a partition-column predicate, so
+    non-matching directories are pruned from metadata — ADC-score ONLY
+    the code column of the probed cells (one literal LUT per cell when
+    ``residual``, since the query residual differs per cell), and with
+    ``pool=P`` re-rank the P best candidates against the raw vectors
+    via a second scan of the same probed partitions semi-joined on the
+    pool ids (a broadcast of P ids, never a second full pass)."""
+    d2 = [
+        (sum((float(q) - c) ** 2 for q, c in zip(query_vec, cen)), ci)
+        for ci, cen in enumerate(centroids)
+    ]
+    probe = [ci for _, ci in sorted(d2)][:nprobe]
+    reader = spark.read.parquet(path)
+    parts = []
+    for ci in probe:
+        if residual:
+            rq = [float(q) - c for q, c in zip(query_vec, centroids[ci])]
+        else:
+            rq = [float(q) for q in query_vec]
+        adc = _adc_dist(rq, codebooks, "pq_code")
+        parts.append(
+            reader.filter(F.col("cell") == ci)
+            .select(F.col(id_col), adc.alias("__adc"))
+        )
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionAll(p)
+    if pool is None:
+        return (
+            un.select(F.col(id_col), F.round("__adc", 6).alias("pq_dist"))
+            .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    if pool < k:
+        raise ValueError(f"pool={pool} must be >= k={k}")
+    cand_ids = (
+        un.orderBy(F.col("__adc").asc(), F.col(id_col).asc())
+        .limit(pool).select(id_col)
+    )
+    fetched = (
+        reader.filter(F.col("cell").isin([int(c) for c in probe]))
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+    )
+    exact = _sq_l2(F.col(vec_col), _qlit(query_vec))
+    return (
+        fetched.select(F.col(id_col), F.round(exact, 6).alias("l2_dist"))
         .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )

@@ -139,3 +139,57 @@ def test_pq_coded_table_scan_prunes_vectors(spark, sf_dir, tmp_path):
     onthefly = sim.pq_topk(emb, QVEC, k=10, codebooks=cbs)
     assert ([r["vec_id"] for r in out.collect()]
             == [r["vec_id"] for r in onthefly.collect()])
+
+
+def test_ivfpq_index_pruning_and_exactness(spark, sf_dir, tmp_path):
+    """IVF-PQ layout: cell partitions must prune at the scan (a
+    partition-column predicate, not a post-scan filter), the ADC scan
+    must read only (vec_id, pq_code), and probing every cell with a
+    corpus-wide pool must reproduce the exact top-k."""
+    emb = _emb(spark, sf_dir)
+    cents = sim.hyperplanes(64, 8, seed="ivfpq")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    path = str(tmp_path / "ivfpq")
+    sim.write_ivfpq(emb, path, cents, cbs)
+
+    out = sim.ivfpq_topk(spark, path, QVEC, cents, cbs, k=10, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan, plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("embedding" not in s for s in schemas), schemas
+
+    n = emb.count()
+    full = [r["vec_id"] for r in sim.ivfpq_topk(
+        spark, path, QVEC, cents, cbs, k=10, nprobe=8, pool=n).collect()]
+    assert full == _exact_ids(emb)
+
+
+def test_ivfpq_residual_vs_raw_consistent(spark, sf_dir, tmp_path):
+    """residual=True/False must agree when the quantization is exact
+    enough to not matter — checked via the corpus-wide re-rank (the
+    pool cut differs, the exact re-rank over everything does not)."""
+    emb = _emb(spark, sf_dir)
+    cents = sim.hyperplanes(64, 8, seed="ivfpq")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    n = emb.count()
+    ids = {}
+    for residual in (True, False):
+        path = str(tmp_path / f"idx_{residual}")
+        sim.write_ivfpq(emb, path, cents, cbs, residual=residual)
+        ids[residual] = [r["vec_id"] for r in sim.ivfpq_topk(
+            spark, path, QVEC, cents, cbs, k=10, nprobe=8, pool=n,
+            residual=residual).collect()]
+    assert ids[True] == ids[False] == _exact_ids(emb)
+
+
+def test_ivfpq_store_vectors_false_is_codes_only(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cents = sim.hyperplanes(64, 8, seed="ivfpq")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    path = str(tmp_path / "codes_only")
+    sim.write_ivfpq(emb, path, cents, cbs, store_vectors=False)
+    cols = set(spark.read.parquet(path).columns)
+    assert "embedding" not in cols and {"vec_id", "pq_code",
+                                        "cell"} <= cols
