@@ -81,8 +81,15 @@ def _vs_prev(timings: dict[str, float], total: float, sf_val=None):
         if prev_q.get(name)
     }
     out = {"round": n, "total_prev": prev.get("value"), "ratios": ratios}
-    if prev.get("value"):
-        out["total_ratio"] = round(total / prev["value"], 2)
+    # total ratio over the SHARED queries only — the bench list grows
+    # across rounds, and comparing unequal lists reads as a regression
+    # that is really just new coverage
+    shared_now = sum(t for name, t in timings.items() if prev_q.get(name))
+    shared_prev = sum(v for name, v in prev_q.items()
+                      if name in timings and v)
+    if shared_prev:
+        out["total_ratio_shared"] = round(shared_now / shared_prev, 2)
+        out["n_shared"] = len(ratios)
     flagged = {k: v for k, v in ratios.items() if v >= 1.5 or v <= 0.67}
     if flagged:
         out["flagged"] = flagged

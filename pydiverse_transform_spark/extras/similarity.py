@@ -233,14 +233,18 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     """Cell id = argmax over centroids of (centroid · vec), ties to the
     lower cell id — the inverted-file assignment.
 
-    Shape matters: scores land in ONE array and the argmax is
-    `array_position(scores, array_max(scores))` (first occurrence =
-    lower cell id).  The obvious when-chain fold
-    (`best = when(d > best_d, ...)`) references the running best TWICE
-    per step, so its expression tree doubles per centroid —
-    exponential in n_cells; at 16 trained cells the plan never finishes
-    analyzing (found by scripts/bench_quantizer.py)."""
-    scores = F.array(*[dot(vec, _qlit(cen)) for cen in centroids])
+    Shape matters twice over: (a) scores land in ONE array and the
+    argmax is `array_position(scores, array_max(scores))` (first
+    occurrence = lower cell id) — the obvious when-chain fold
+    references the running best TWICE per step, doubling the tree per
+    centroid, exponential in n_cells (at 16 trained cells the plan
+    never finishes analyzing; found by scripts/bench_quantizer.py);
+    (b) the centroids are a literal nested-array looped by `transform`
+    at RUNTIME, not unrolled into n_cells copies of the dot product —
+    unrolling generated ~1 MB task binaries and seconds of codegen per
+    query at realistic sizes."""
+    cens = _cent_lit(centroids)
+    scores = F.transform(cens, lambda c: dot(vec, c))
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
@@ -356,9 +360,12 @@ def kmeans_cell(vec: Column, centroids: list[list[float]]) -> Column:
     assignment used by :func:`kmeans_fit` and scoring pipelines.
 
     Same linear argmin shape as :func:`ivf_cell` (distances in one
-    array, `array_position` of the min): the when-chain fold is
-    exponential in k and stalls the analyzer at realistic k."""
-    dists = F.array(*[_sq_l2(vec, _qlit(cen)) for cen in centroids])
+    array, `array_position` of the min, centroids runtime-looped via
+    `transform` over a literal nested array): the when-chain fold is
+    exponential in k and stalls the analyzer at realistic k, and
+    unrolled per-centroid expressions bloat codegen ~k-fold."""
+    cens = _cent_lit(centroids)
+    dists = F.transform(cens, lambda c: _sq_l2(vec, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
