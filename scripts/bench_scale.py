@@ -28,6 +28,24 @@ QUERIES = ["q_dedup_minhash", "q_neardup_corpus", "q_sessionize_scalable",
            "q_remove_repeated_segments"]
 
 
+def _pretrain_pipeline(docs):
+    """The composed quality-gate -> exact-dedup -> token-budget ->
+    deterministic-shuffle chain of q_pretrain_pipeline (three key
+    shuffles total, one tokenization)."""
+    from pydiverse_transform_spark.extras import dedup as dd
+    from pydiverse_transform_spark.extras import sampling as sp
+    from pydiverse_transform_spark.extras import text as tx
+
+    gated = tx.gopher_filter(docs, "text", min_words=10,
+                             min_required_words=1)
+    ded = dd.exact_dedup_rows(gated, "text", "doc_id")
+    mix = sp.take_token_budget(
+        ded.select("doc_id", "lang", "n_chars"),
+        "n_chars", 1_000_000, order_by="doc_id", partition_by=["lang"],
+    )
+    return sp.deterministic_shuffle(mix, "doc_id", salt="pre", n_shards=64)
+
+
 def main():
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
@@ -121,6 +139,10 @@ def main():
          lambda d: tx.build_vocab(d, min_count=2, top_n=50000)),
         ("tfidf_top_terms",
          lambda d: tx.tfidf_top_terms(d, k=5)),
+        ("gopher_filter",
+         lambda d: tx.gopher_filter(d, min_words=10,
+                                    min_required_words=1)),
+        ("pretrain_pipeline", _pretrain_pipeline),
     ]:
         entry = {}
         for sf_dir in [sf01, sf1, *extra_sfs]:
