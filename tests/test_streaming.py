@@ -312,3 +312,36 @@ def test_stateful_sessionize_state_scales_with_keys_not_length(
     assert max(totals) == n_users, (totals, n_users)
     # every event got a session id, exactly once
     assert spark.table("evict_sess").count() == batch.count()
+
+
+def test_gopher_filter_on_stream_matches_batch(spark, sf_dir):
+    """The Gopher quality gate is a stateless map-only predicate, so the
+    SAME gopher_filter call must work unmodified on a readStream and
+    keep exactly the batch twin's documents — the property that lets
+    the quality gate run inside an ingestion stream instead of as a
+    separate batch hop."""
+    from pydiverse_transform_spark.extras import text as tx
+
+    src = os.path.join(TMP, "docs_stream_src")
+    shutil.rmtree(src, ignore_errors=True)
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch.write.mode("overwrite").parquet(src)
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        kw = dict(min_words=10, min_required_words=1)
+        out = st.run_to_memory(
+            tx.gopher_filter(stream, **kw).select("doc_id"),
+            "gopher_stream_test", output_mode="append",
+        )
+        got = sorted(r["doc_id"] for r in out.collect())
+        want = sorted(
+            r["doc_id"]
+            for r in tx.gopher_filter(batch, **kw).select("doc_id").collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
