@@ -2390,6 +2390,59 @@ def q_pretrain_pipeline(spark, sf_dir):
                       "shard_pos").orderBy("shard", "shard_pos")
 
 
+_NB_LTOKS = (
+    "CASE WHEN length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'))"
+    " = 0 THEN CAST([] AS VARCHAR[]) ELSE list_distinct(string_split_regex("
+    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+')) END"
+)
+
+
+@_q(f"""
+WITH labeled AS (
+  SELECT doc_id, (lang = 'en') AS y, {_NB_LTOKS} AS toks
+  FROM documents WHERE lang IS NOT NULL
+), cls AS (
+  SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM labeled
+), tok AS (
+  SELECT unnest(toks) AS token, y FROM labeled
+), counts AS (
+  SELECT token,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS df_pos,
+         sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS df_neg
+  FROM tok WHERE token <> '' GROUP BY token
+), weights AS (
+  SELECT token,
+         round(ln((df_pos + 0.5) / (n_pos + 1.0))
+               - ln((df_neg + 0.5) / (n_neg + 1.0)), 6) AS weight
+  FROM counts CROSS JOIN cls
+), doc_tok AS (
+  SELECT doc_id, unnest({_NB_LTOKS}) AS token FROM documents
+)
+SELECT doc_id, round(sum(coalesce(w.weight, 0.0)), 4) AS nb_score
+FROM (SELECT * FROM doc_tok WHERE token <> '') dt
+LEFT JOIN weights w USING (token)
+GROUP BY doc_id ORDER BY doc_id
+""")
+def q_nb_classifier(spark, sf_dir):
+    """Model-based quality/language scoring (extras/classify.py
+    nb_train + nb_score — the cheap stand-in for the fastText-style
+    classifiers real pipelines train): binary Naive Bayes trained on
+    lang=='en' labels, then every document scored by summed token
+    log-odds.  Training is one explode + map-side-combined hash-agg;
+    scoring broadcasts the small weights table — the corpus shuffles
+    once.  Weights round to 6 and scores to 4 so the <=1-ulp ln()
+    and sum-order differences between engines cannot flip the hash."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import classify as cl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = cl.nb_train(docs, F.col("lang") == "en")
+    return cl.nb_score(docs, w).orderBy("doc_id")
+
+
 @_q("""
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

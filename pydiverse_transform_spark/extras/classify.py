@@ -1,0 +1,97 @@
+"""Model-based document scoring: a binary Naive Bayes text classifier
+(the cheap stand-in for the fastText-style quality classifiers real
+pretraining pipelines train on 'known-good vs crawl' corpora).
+
+Scale shapes:
+
+- ``nb_train``: one explode of per-document DISTINCT tokens + one hash
+  aggregation (map-side partial combine — shuffle volume is bounded by
+  distinct tokens per task, not corpus tokens), then per-token log-odds
+  against the 1-row class-count aggregate via a broadcast cross join.
+  Fully lazy — no Spark job runs until the weights are consumed.
+- ``nb_score``: explode + BROADCAST join against the (small) weights
+  table + one hash-agg back to documents.  The corpus shuffles once on
+  the doc id; the model never shuffles.
+
+Everything is engine-reproducible: token weights round to 6 decimals
+before scoring and scores round to 4, absorbing the <=1-ulp
+natural-log and float-sum-order differences between engines, so a SQL
+oracle can replay training AND scoring exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["nb_train", "nb_score"]
+
+
+def _doc_tokens(df: DataFrame, text_col: str) -> Column:
+    """Per-document distinct lowercase tokens (binarized/Bernoulli
+    counting — robust to token repetition spam)."""
+    from .text import tokens
+
+    return F.array_distinct(tokens(F.lower(F.col(text_col))))
+
+
+def nb_train(df: DataFrame, label: Column, text_col: str = "text",
+             smoothing: float = 0.5, min_doc_freq: int = 1) -> DataFrame:
+    """Train binary Naive Bayes token weights: for each token,
+    ``round(ln((df_pos + s) / (n_pos + 2s)) - ln((df_neg + s) /
+    (n_neg + 2s)), 6)`` where ``df_±`` are document frequencies of the
+    token in each class and ``n_±`` the class sizes (Laplace
+    smoothing ``s``).  Returns a (token, weight) DataFrame — small
+    (the vocabulary), broadcastable into :func:`nb_score`.
+
+    ``label`` is any boolean Column over ``df``'s columns (e.g.
+    ``F.col("lang") == "en"``).  Rows where it is NULL are dropped."""
+    labeled = (
+        df.withColumn("__y", label.cast("boolean"))
+        .filter(F.col("__y").isNotNull())
+        .withColumn("__toks", _doc_tokens(df, text_col))
+    )
+    class_counts = labeled.agg(
+        F.sum(F.col("__y").cast("long")).alias("n_pos"),
+        F.sum((~F.col("__y")).cast("long")).alias("n_neg"),
+    )
+    tok = labeled.select(
+        F.explode(F.col("__toks")).alias("token"), "__y"
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.sum(F.col("__y").cast("long")).alias("df_pos"),
+        F.sum((~F.col("__y")).cast("long")).alias("df_neg"),
+    ).filter((F.col("df_pos") + F.col("df_neg")) >= min_doc_freq)
+    s = float(smoothing)
+    return counts.crossJoin(F.broadcast(class_counts)).select(
+        "token",
+        F.round(
+            F.log((F.col("df_pos") + s)
+                  / (F.col("n_pos") + 2 * s))
+            - F.log((F.col("df_neg") + s)
+                    / (F.col("n_neg") + 2 * s)),
+            6,
+        ).alias("weight"),
+    )
+
+
+def nb_score(df: DataFrame, weights: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id",
+             score_col: str = "nb_score") -> DataFrame:
+    """Score documents with trained weights: sum of the weights of the
+    document's distinct tokens (absent tokens contribute 0), rounded
+    to 4 decimals.  Positive = looks like the positive class.
+
+    Returns (id, score) — join back on the id to attach it.  The
+    weights broadcast; the only shuffle is the per-document sum."""
+    tok = (
+        df.select(F.col(id_col), _doc_tokens(df, text_col).alias("__toks"))
+        .select(F.col(id_col), F.explode("__toks").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    joined = tok.join(F.broadcast(weights), "token", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(F.round(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))), 4)
+             .alias(score_col))
+    )
