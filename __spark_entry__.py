@@ -2443,6 +2443,57 @@ def q_nb_classifier(spark, sf_dir):
     return cl.nb_score(docs, w).orderBy("doc_id")
 
 
+_LM_LTOKS = (
+    "CASE WHEN length(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'))"
+    " = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split_regex("
+    "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') END"
+)
+
+
+@_q(f"""
+WITH toks AS (
+  SELECT doc_id, list_concat(['<s>'], {_LM_LTOKS}) AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+              ELSE list_transform(range(1, len(t)),
+                                  i -> t[i] || ' ' || t[i + 1]) END AS gs
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(gs) AS bigram FROM bg
+), grams AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS n_bigram
+  FROM ex GROUP BY bigram
+), ctx AS (
+  SELECT string_split(bigram, ' ')[1] AS w1,
+         CAST(sum(n_bigram) AS BIGINT) AS n_ctx
+  FROM grams GROUP BY 1
+), scored AS (
+  SELECT e.doc_id,
+         round(ln((coalesce(g.n_bigram, 0) + 0.5)
+                  / (coalesce(c.n_ctx, 0) + 0.5 * 65536)), 6) AS lp
+  FROM ex e
+  LEFT JOIN grams g USING (bigram)
+  LEFT JOIN ctx c ON string_split(e.bigram, ' ')[1] = c.w1
+)
+SELECT doc_id, round(avg(lp), 4) AS lm_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""")
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity gate (extras/classify.py bigram_lm_train +
+    lm_score — the KenLM-style 'reads like the reference corpus'
+    filter of CCNet-shaped pipelines): model trained on the corpus
+    itself, every document scored by mean smoothed bigram
+    log-probability.  Two hash-agg passes to train, broadcast joins to
+    score — the corpus shuffles once; ln() and float-sum rounding
+    pinned at 6/4 decimals for engine parity."""
+    from pydiverse_transform_spark.extras import classify as cl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams, ctx = cl.bigram_lm_train(docs)
+    return cl.lm_score(docs, grams, ctx).orderBy("doc_id")
+
+
 @_q("""
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["nb_train", "nb_score"]
+__all__ = ["nb_train", "nb_score", "bigram_lm_train", "lm_score"]
 
 
 def _doc_tokens(df: DataFrame, text_col: str) -> Column:
@@ -94,4 +94,80 @@ def nb_score(df: DataFrame, weights: DataFrame, text_col: str = "text",
         joined.groupBy(id_col)
         .agg(F.round(F.sum(F.coalesce(F.col("weight"), F.lit(0.0))), 4)
              .alias(score_col))
+    )
+
+
+def _doc_bigrams(text_col: str) -> Column:
+    """Per-document bigram array '<w1> <w2>' over lowercase whitespace
+    tokens, with an <s> start sentinel so one-token documents still
+    produce one bigram (KenLM-style contexts, k=2)."""
+    from .text import tokens
+
+    toks = F.concat(
+        F.array(F.lit("<s>")), tokens(F.lower(F.col(text_col)))
+    )
+    n = F.array_size(toks)
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1)),
+        )
+    )
+
+
+def bigram_lm_train(df: DataFrame, text_col: str = "text"
+                    ) -> tuple[DataFrame, DataFrame]:
+    """Count-based bigram language model over a reference corpus (the
+    KenLM-perplexity stand-in real pipelines use to keep text that
+    'reads like' the reference): returns (bigram_counts, context_counts)
+    DataFrames — ('w1 w2', count) and (w1, count, vocab-size scalar
+    folded in at scoring).  Two map-side-combined hash aggregations
+    over one explode each; both outputs are vocabulary-sized."""
+    grams = (
+        df.select(F.explode(_doc_bigrams(text_col)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+    )
+    ctx = (
+        grams.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("n_bigram").alias("n_ctx"))
+    )
+    return grams, ctx
+
+
+def lm_score(df: DataFrame, bigrams: DataFrame, contexts: DataFrame,
+             text_col: str = "text", id_col: str = "doc_id",
+             alpha: float = 0.5, vocab_size: int = 65536,
+             score_col: str = "lm_logprob") -> DataFrame:
+    """Average per-bigram log-probability under the trained model with
+    additive smoothing: mean of ``round(ln((c(w1 w2) + a) / (c(w1) +
+    a*V)), 6)`` over the document's bigrams, rounded to 4 — higher
+    (less negative) = more like the reference corpus.  Exactly the
+    shape of a perplexity gate: threshold it or feed it to
+    ``filter_by_quantile``.
+
+    Both model tables broadcast (vocabulary-sized); the corpus
+    shuffles once for the per-document mean.  Documents with no
+    bigrams (empty/NULL) are absent from the output."""
+    ex = (
+        df.select(F.col(id_col),
+                  F.explode(_doc_bigrams(text_col)).alias("bigram"))
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    )
+    a = float(alpha)
+    joined = (
+        ex.join(F.broadcast(bigrams), "bigram", "left")
+        .join(F.broadcast(contexts), "w1", "left")
+    )
+    logp = F.round(
+        F.log((F.coalesce(F.col("n_bigram"), F.lit(0)) + a)
+              / (F.coalesce(F.col("n_ctx"), F.lit(0))
+                 + a * float(vocab_size))),
+        6,
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.round(F.avg(logp), 4).alias(score_col))
     )

@@ -66,3 +66,41 @@ def test_nb_empty_and_null_docs_absent(spark):
     w = cl.nb_train(df, F.col("lang") == "en")
     ids = {r["doc_id"] for r in cl.nb_score(df, w).collect()}
     assert ids == {1, 4}
+
+
+def test_lm_self_trained_scores_and_plan(spark, sf_dir):
+    """Self-trained LM: every score is a negative mean log-prob,
+    repeated text scores higher (more probable) than unique text, and
+    both model tables broadcast into the scoring join."""
+    docs = _docs(spark, sf_dir)
+    grams, ctx = cl.bigram_lm_train(docs)
+    scored = cl.lm_score(docs, grams, ctx)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    mx = scored.agg(F.max("lm_logprob")).collect()[0][0]
+    assert mx < 0
+
+
+def test_lm_prefers_in_distribution_text(spark):
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(20)],
+        "doc_id long, text string")
+    grams, ctx = cl.bigram_lm_train(ref)
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "zyx qwv jkl mno pqr stu")],
+        "doc_id long, text string")
+    s = {r["doc_id"]: r["lm_logprob"]
+         for r in cl.lm_score(probe, grams, ctx).collect()}
+    assert s[100] > s[101]
+
+
+def test_lm_empty_docs_absent(spark):
+    ref = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, None), (4, "solo")],
+        "doc_id long, text string")
+    grams, ctx = cl.bigram_lm_train(ref)
+    ids = {r["doc_id"] for r in cl.lm_score(ref, grams, ctx).collect()}
+    # "solo" gets the <s> sentinel bigram; empty/NULL docs vanish
+    assert ids == {1, 4}
