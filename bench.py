@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "q_agg_in_mutate",
     "q_doc_stats",
     "q_tfidf_topk",
+    "q_nb_classifier",
+    "q_lm_perplexity",
     "q_kmeans_step",
     "q_dedup_minhash",
     "q_neardup_corpus",

@@ -70,26 +70,38 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     greatest(NULL - k, 0) is 0 (greatest skips NULLs) and yields
     [NULL], where engines whose greatest propagates NULL yield [] —
     found by tests/test_fuzz_extras.py."""
+    from .util import bind
+
     text = F.coalesce(text, F.lit(""))
     words = F.split(F.lower(F.regexp_replace(text, r"^\s+|\s+$", "")), r"\s+")
-    n = F.array_size(words)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda j: F.array_join(F.slice(words, j + 1, k), " "),
-    )
-    return F.array_distinct(sh)
+
+    def mk(w: Column) -> Column:
+        # w is the BOUND split result — slicing a captured `words`
+        # inside the transform would re-split the text per shingle
+        n = F.array_size(w)
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda j: F.array_join(F.slice(w, j + 1, k), " "),
+        ))
+
+    return bind(words, mk)
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
     """k-character shingles (deduplicated).  NULL docs coalesce to ''
     like word_shingles — engine-independent [''] instead of [NULL]."""
+    from .util import bind
+
     t = F.lower(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " "))
-    n = F.length(t)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda j: F.substring(t, j, k),
-    )
-    return F.array_distinct(sh)
+
+    def mk(s: Column) -> Column:
+        n = F.length(s)
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda j: F.substring(s, j, k),
+        ))
+
+    return bind(t, mk)
 
 
 # affine minhash family over one md5-derived 32-bit base hash per shingle:

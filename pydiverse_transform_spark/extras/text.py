@@ -561,17 +561,23 @@ def segment_words(text: Column, seg_words: int = 3) -> Column:
     condition would go NULL and the otherwise branch would emit a
     single-NULL segment array.  Coalescing to '' makes NULL docs yield
     ``[]`` deterministically regardless of ANSI config."""
+    from .util import bind
+
     words = tokens(F.coalesce(text, F.lit("")))
-    n_seg = F.ceil(F.array_size(words) / F.lit(seg_words)).cast("int")
-    # sequence(1, 0) would yield a DESCENDING [1, 0]; guard empty docs
-    return F.when(n_seg < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_seg, F.lit(1))),
-            lambda i: F.array_join(
-                F.slice(words, (i - 1) * seg_words + 1, seg_words), " "
-            ),
+
+    def mk(w: Column) -> Column:
+        n_seg = F.ceil(F.array_size(w) / F.lit(seg_words)).cast("int")
+        # sequence(1, 0) would yield a DESCENDING [1, 0]; guard empties
+        return F.when(n_seg < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_seg, F.lit(1))),
+                lambda i: F.array_join(
+                    F.slice(w, (i - 1) * seg_words + 1, seg_words), " "
+                ),
+            )
         )
-    )
+
+    return bind(words, mk)
 
 
 def remove_repeated_segments(df: DataFrame, text_col: str = "text",
