@@ -545,14 +545,20 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     subspace): per subspace, argmin squared-L2 between the vector slice
     and the literal sub-centroids — the same linear array-argmin shape
     as :func:`kmeans_cell`, map-only codegen, no shuffle."""
+    from .util import bind
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     vec = F.col(vec_col)
-    codes = [
-        kmeans_cell(F.slice(vec, j * dsub + 1, dsub), codebooks[j])
-        for j in range(m)
-    ]
-    return df.withColumn(code_col, F.array(*codes))
+    # bind the m sub-vector slices once — a slice captured inside
+    # kmeans_cell's per-centroid transform would re-slice k times
+    slices = F.struct(*[
+        F.slice(vec, j * dsub + 1, dsub).alias(f"s{j}") for j in range(m)
+    ])
+    code = bind(slices, lambda s: F.array(*[
+        kmeans_cell(s[f"s{j}"], codebooks[j]) for j in range(m)
+    ]))
+    return df.withColumn(code_col, code)
 
 
 def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
