@@ -46,6 +46,26 @@ def _pretrain_pipeline(docs):
     return sp.deterministic_shuffle(mix, "doc_id", salt="pre", n_shards=64)
 
 
+def _nb_train_score(docs):
+    """Train the NB classifier on lang labels and score the corpus —
+    both phases per run (the model shuffle is vocabulary-bounded, so
+    per-doc cost must fall with corpus size)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import classify as cl
+
+    w = cl.nb_train(docs, F.col("lang") == "en")
+    return cl.nb_score(docs, w)
+
+
+def _lm_train_score(docs):
+    """Train the bigram LM on the corpus and score every document."""
+    from pydiverse_transform_spark.extras import classify as cl
+
+    grams, ctx = cl.bigram_lm_train(docs)
+    return cl.lm_score(docs, grams, ctx)
+
+
 def main():
     sf01 = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     sf1 = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scratch/sf1"
@@ -143,6 +163,8 @@ def main():
          lambda d: tx.gopher_filter(d, min_words=10,
                                     min_required_words=1)),
         ("pretrain_pipeline", _pretrain_pipeline),
+        ("nb_train_score", _nb_train_score),
+        ("lm_train_score", _lm_train_score),
     ]:
         entry = {}
         for sf_dir in [sf01, sf1, *extra_sfs]:
