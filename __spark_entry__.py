@@ -2450,9 +2450,13 @@ _LM_LTOKS = (
 )
 
 
-@_q(f"""
-WITH toks AS (
-  SELECT doc_id, list_concat(['<s>'], {_LM_LTOKS}) AS t FROM documents
+def _lm_ctes(src: str) -> str:
+    """The bigram-LM train+score CTE chain over source relation ``src``
+    (must expose doc_id, text) ending in ``lmscored(doc_id,
+    lm_logprob)`` — shared by q_lm_perplexity and the scored
+    pipeline."""
+    return f"""toks AS (
+  SELECT doc_id, list_concat(['<s>'], {_LM_LTOKS}) AS t FROM {src}
 ), bg AS (
   SELECT doc_id,
          CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
@@ -2468,16 +2472,21 @@ WITH toks AS (
   SELECT string_split(bigram, ' ')[1] AS w1,
          CAST(sum(n_bigram) AS BIGINT) AS n_ctx
   FROM grams GROUP BY 1
-), scored AS (
+), lp AS (
   SELECT e.doc_id,
          round(ln((coalesce(g.n_bigram, 0) + 0.5)
                   / (coalesce(c.n_ctx, 0) + 0.5 * 65536)), 6) AS lp
   FROM ex e
   LEFT JOIN grams g USING (bigram)
   LEFT JOIN ctx c ON string_split(e.bigram, ' ')[1] = c.w1
-)
-SELECT doc_id, round(avg(lp), 4) AS lm_logprob
-FROM scored GROUP BY doc_id ORDER BY doc_id
+), lmscored AS (
+  SELECT doc_id, round(avg(lp), 4) AS lm_logprob FROM lp GROUP BY doc_id
+)"""
+
+
+@_q(f"""
+WITH {_lm_ctes('documents')}
+SELECT doc_id, lm_logprob FROM lmscored ORDER BY doc_id
 """)
 def q_lm_perplexity(spark, sf_dir):
     """Bigram-LM perplexity gate (extras/classify.py bigram_lm_train +
@@ -2492,6 +2501,92 @@ def q_lm_perplexity(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     grams, ctx = cl.bigram_lm_train(docs)
     return cl.lm_score(docs, grams, ctx).orderBy("doc_id")
+
+
+def _pretrain_scored_sql() -> str:
+    return f"""
+WITH {_gopher_ctes()},
+gated AS (
+  SELECT doc_id, lang, n_chars, text FROM m WHERE {_GOPHER_GATE_SQL}
+), fp AS (
+  SELECT doc_id, lang, n_chars, text,
+         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fpp
+  FROM gated
+), ded AS (
+  SELECT doc_id, lang, n_chars, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY fpp ORDER BY doc_id) AS rn
+    FROM fp)
+  WHERE rn = 1
+), {_lm_ctes('ded')},
+enriched AS (
+  SELECT d.doc_id, d.lang, d.n_chars, s.lm_logprob
+  FROM ded d JOIN lmscored s USING (doc_id)
+), keep AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT *, percent_rank() OVER (PARTITION BY lang
+                                   ORDER BY lm_logprob) AS pr
+    FROM enriched)
+  WHERE pr >= 0.2
+), mix AS (
+  SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM keep)
+  WHERE cum - n_chars < 5000
+)
+SELECT doc_id, lang, n_chars, shard, shard_pos FROM (
+  SELECT doc_id, lang, n_chars,
+         (('0x' || substr(h, 1, 4))::BIGINT % 8)             AS shard,
+         CAST(row_number() OVER (
+              PARTITION BY (('0x' || substr(h, 1, 4))::BIGINT % 8)
+              ORDER BY h, doc_id) AS BIGINT)                 AS shard_pos
+  FROM (SELECT *, md5(CAST(doc_id AS VARCHAR) || 'pre2') AS h FROM mix)
+)
+ORDER BY shard, shard_pos
+"""
+
+
+@_q(_pretrain_scored_sql())
+def q_pretrain_pipeline_scored(spark, sf_dir):
+    """Model-in-the-loop curation pipeline: the v1 chain (Gopher gate ->
+    exact dedup) plus a bigram-LM perplexity gate — the model is
+    TRAINED on the surviving corpus, every survivor scored, and the
+    bottom 20% per language dropped by exact percentile
+    (filter_by_quantile) — then the per-language token budget and
+    deterministic shuffle.  The oracle replays gate, dedup, LM
+    training, scoring, the percentile cut and the final (shard,
+    shard_pos) addressing in one CTE chain — every stage is a pure
+    function of the rows."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import classify as cl
+    from pydiverse_transform_spark.extras import dedup as dd
+    from pydiverse_transform_spark.extras import sampling as sp
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gated = tx.gopher_filter(docs, "text", min_words=10,
+                             min_required_words=1)
+    # the deduped corpus feeds FOUR consumers (LM bigram counts, context
+    # counts, scoring explode, and the score join) — persist it once or
+    # the gate + fingerprint window recompute per consumer (4 scans, 4
+    # tokenizations; plan-audited in tests)
+    ded = dd.exact_dedup_rows(gated, "text", "doc_id").persist()
+    grams, ctx = cl.bigram_lm_train(ded)
+    scored = cl.lm_score(ded, grams, ctx)
+    enriched = ded.select("doc_id", "lang", "n_chars").join(scored,
+                                                            "doc_id")
+    keep = sp.filter_by_quantile(enriched, "lm_logprob", 0.2,
+                                 partition_by=["lang"])
+    mix = sp.take_token_budget(
+        keep.select("doc_id", "lang", "n_chars"),
+        "n_chars", 5000, order_by="doc_id", partition_by=["lang"],
+    )
+    out = sp.deterministic_shuffle(mix, "doc_id", salt="pre2",
+                                   n_shards=8)
+    return out.select("doc_id", "lang", "n_chars", "shard",
+                      "shard_pos").orderBy("shard", "shard_pos")
 
 
 @_q("""

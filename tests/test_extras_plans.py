@@ -168,3 +168,19 @@ def test_pretrain_pipeline_three_shuffles_one_tokenization(spark):
     hashx = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     assert len(hashx) == 3, hashx
     assert plan.count("split(regexp_replace(text") == 1, plan
+
+
+def test_pretrain_scored_pipeline_caches_dedup_and_broadcasts_model(
+        spark):
+    """The model-gated pipeline must (a) persist the deduped corpus —
+    it feeds four consumers, and without the cache the gate +
+    fingerprint window recompute per consumer — and (b) broadcast the
+    LM model tables rather than shuffling the corpus against them."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["q_pretrain_pipeline_scored"](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
