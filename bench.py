@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q_cosine_topk",
     "q_pq_topk",
     "q_pretrain_pipeline",
+    "q_pretrain_pipeline_scored",
     "q_sessionize",
     "q_tumbling_agg",
     "q_asof_join",
