@@ -368,10 +368,13 @@ def simhash(text: Column, bits: int = 16) -> Column:
     per-token hashes.  bit b of the result = sign of the sum over tokens
     of ±1 according to bit b of md5(token).  Pure Catalyst expressions.
 
-    NOTE: embeds the tokenization ``bits`` times in one expression; for
-    bulk use prefer :func:`simhash_df`, which stages the token-hash array
-    through a projection so it is computed once per row."""
-    return _simhash_from_hashes(_token_hashes(text), bits)
+    The token-hash array is lambda-bound (util.bind) so the ``bits``
+    per-bit folds all read ONE tokenization — same per-row cost as the
+    staged :func:`simhash_df`."""
+    from .util import bind
+
+    return bind(_token_hashes(text),
+                lambda th: _simhash_from_hashes(th, bits))
 
 
 def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

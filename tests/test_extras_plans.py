@@ -184,3 +184,15 @@ def test_pretrain_scored_pipeline_caches_dedup_and_broadcasts_model(
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_scalar_simhash_equals_staged(spark, sf_dir):
+    """The lambda-bound scalar simhash must produce exactly the staged
+    simhash_df values (it replaced a form that re-tokenized per bit)."""
+    from pydiverse_transform_spark.extras import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = docs.select("doc_id",
+                    dd.simhash(F.col("text"), bits=16).alias("sh"))
+    b = dd.simhash_df(docs, "text", "doc_id", bits=16, out_col="sh")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -345,3 +345,42 @@ def test_gopher_filter_on_stream_matches_batch(spark, sf_dir):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_simhash_neardup_matches_batch(spark, sf_dir):
+    """Streaming near-dup by composition: dedup_stream keyed on a
+    simhash fingerprint keeps the first document per 16-bit sketch —
+    the same rows a batch simhash-distinct keeps (watermark wider than
+    the corpus)."""
+    from pyspark.sql import Window
+
+    from pydiverse_transform_spark.extras import dedup as dd
+
+    src = os.path.join(TMP, "docs_simhash_src")
+    shutil.rmtree(src, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # documents need an event-time column for the watermark
+    staged = docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")))
+    staged.coalesce(1).write.mode("overwrite").parquet(src)
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = st.run_to_memory(
+            st.dedup_stream(stream, dd.simhash(F.col("text"), bits=16),
+                            ts_col="ts", watermark="800 hours")
+            .select("doc_id"),
+            "simhash_stream_test", output_mode="append",
+        )
+        got = sorted(r["doc_id"] for r in out.collect())
+
+        w = Window.partitionBy("sh").orderBy("doc_id")
+        want = sorted(
+            r["doc_id"]
+            for r in dd.simhash_df(docs, "text", "doc_id", bits=16)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).collect()
+        )
+        assert got == want and 0 < len(got) <= docs.count()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
