@@ -514,17 +514,25 @@ def repetition_ratio(text: Column, k: int = 3) -> Column:
     array expressions, no shuffle.  NULL docs coalesce to '' (ratio
     0.0, like empty docs) so the result is engine-independent — found
     by tests/test_fuzz_extras.py."""
+    from .util import bind
+
     words = tokens(F.lower(F.coalesce(text, F.lit(""))))
-    n = F.array_size(words)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda j: F.array_join(F.slice(words, j + 1, k), " "),
-    )
-    total = F.array_size(sh)
-    distinct = F.array_size(F.array_distinct(sh))
-    return F.round(
-        F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
-    )
+
+    def mk(w: Column) -> Column:
+        # w is the bound split — a captured `words` would re-tokenize
+        # the document per shingle (util.bind docstring)
+        n = F.array_size(w)
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda j: F.array_join(F.slice(w, j + 1, k), " "),
+        )
+
+    def ratio(s: Column) -> Column:
+        total = F.array_size(s)
+        distinct = F.array_size(F.array_distinct(s))
+        return F.lit(1.0) - distinct.cast("double") / total.cast("double")
+
+    return F.round(bind(bind(words, mk), ratio), 6)
 
 
 # RE2-compatible (no lookahead/backrefs) so Java regex and RE2 engines
