@@ -2066,18 +2066,22 @@ def q_map_month(spark, sf_dir):
 # =============================================================================
 
 @_q("""
-SELECT doc_id, lang, n_chars, round(pr, 6) AS q
-FROM (SELECT doc_id, lang, n_chars,
-             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
-      FROM documents WHERE n_chars IS NOT NULL)
-WHERE pr >= 0.8
-ORDER BY doc_id
+SELECT t.doc_id, t.lang, t.n_chars, CAST(u.thr AS BIGINT) AS thr
+FROM (SELECT doc_id, lang, n_chars FROM documents
+      WHERE n_chars IS NOT NULL) t
+JOIN (SELECT lang, quantile_disc(n_chars, 0.8) AS thr
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY lang) u
+  ON t.lang = u.lang
+WHERE t.n_chars >= u.thr
+ORDER BY t.doc_id
 """)
 def q_quantile_filter(spark, sf_dir):
     """Percentile quality gate (extras/sampling.py filter_by_quantile,
-    exact path): keep the top 20% of documents by length within each
-    language.  percent_rank is rank-exact and identical in every SQL
-    dialect, so the cut is oracle-checkable; the approximate
+    exact path): keep documents at or above the per-language 0.8
+    DISCRETE length quantile — a value-threshold cut (ties at the
+    threshold kept), identical on the exact and sketch paths.  The
+    exact path's cume_dist threshold IS DuckDB's quantile_disc, so the
+    oracle states the contract directly; the approximate
     sketch-threshold path for 100-TB corpora is pinned against this one
     in tests/test_sampling.py."""
     from pyspark.sql import functions as F
@@ -2092,7 +2096,7 @@ def q_quantile_filter(spark, sf_dir):
     )
     return (
         out.select("doc_id", "lang", "n_chars",
-                   F.round(F.col("__q"), 6).alias("q"))
+                   F.col("__thr").cast("long").alias("thr"))
         .orderBy("doc_id")
     )
 
@@ -2143,7 +2147,7 @@ WITH base AS (
          CASE WHEN length(text) = 0 THEN 0.0
               ELSE (length(text) - length(regexp_replace(text, '[0-9]', '',
                     'g'))) * 1.0 / length(text) END AS digit_raw,
-         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fp
   FROM documents
 ), tok AS (
   SELECT *, CASE WHEN n_tokens = 0 THEN CAST([] AS VARCHAR[])
@@ -2337,7 +2341,7 @@ gated AS (
   SELECT doc_id, lang, n_chars, text FROM m WHERE {_GOPHER_GATE_SQL}
 ), fp AS (
   SELECT doc_id, lang, n_chars,
-         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fp
   FROM gated
 ), ded AS (
   SELECT doc_id, lang, n_chars FROM (
@@ -2510,7 +2514,7 @@ gated AS (
   SELECT doc_id, lang, n_chars, text FROM m WHERE {_GOPHER_GATE_SQL}
 ), fp AS (
   SELECT doc_id, lang, n_chars, text,
-         md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fpp
+         md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fpp
   FROM gated
 ), ded AS (
   SELECT doc_id, lang, n_chars, text FROM (
@@ -2523,10 +2527,12 @@ enriched AS (
   FROM ded d JOIN lmscored s USING (doc_id)
 ), keep AS (
   SELECT doc_id, lang, n_chars FROM (
-    SELECT *, percent_rank() OVER (PARTITION BY lang
-                                   ORDER BY lm_logprob) AS pr
-    FROM enriched)
-  WHERE pr >= 0.2
+    SELECT *, min(CASE WHEN cd >= 0.2 THEN lm_logprob END)
+                OVER (PARTITION BY lang) AS thr
+    FROM (SELECT *, cume_dist() OVER (PARTITION BY lang
+                                      ORDER BY lm_logprob) AS cd
+          FROM enriched))
+  WHERE lm_logprob >= thr
 ), mix AS (
   SELECT doc_id, lang, n_chars FROM (
     SELECT doc_id, lang, n_chars,
@@ -2613,7 +2619,7 @@ def q_doc_agg(spark, sf_dir):
 @_q("""
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies
 FROM (SELECT doc_id,
-             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+             md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) AS fp
       FROM documents)
 GROUP BY fp
 """)

@@ -29,7 +29,8 @@ __all__ = [
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the smallest id per normalized-text fingerprint.
-    One hash-aggregate; at scale the md5 keys distribute uniformly."""
+    One hash-aggregate; at scale the md5 keys distribute uniformly.
+    NULL text fingerprints like '' (see :func:`~..text.fingerprint`)."""
     from .text import fingerprint
 
     fp = fingerprint(F.col(text_col))
@@ -48,7 +49,8 @@ def exact_dedup_rows(df: DataFrame, text_col: str = "text",
     collapses to (id, n_copies) — fine for reporting, useless mid-
     pipeline).  One hash-partition shuffle on the md5 fingerprint
     (uniform keys), per-group rank — no second join back to the
-    corpus."""
+    corpus.  NULL text fingerprints like '' (one survivor across all
+    NULL/empty docs) — see :func:`~..text.fingerprint` for why."""
     from pyspark.sql import Window
 
     from .text import fingerprint

@@ -25,6 +25,8 @@ projection.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,6 +44,39 @@ __all__ = [
 ]
 
 _U32 = float(1 << 32)
+
+# Above this Catalyst size estimate, an UNPARTITIONED ordered window
+# (pack_sequences / take_token_budget / filter_by_quantile(exact=True)
+# with partition_by=None) is flagged: a global ordered window funnels the
+# whole input through ONE reducer, which is fine for a dev-sized table
+# and a cliff at corpus scale.  1 GiB ~ the point where a single sort
+# task stops being obviously cheap.
+UNPARTITIONED_WINDOW_WARN_BYTES = 1 << 30
+
+
+def _warn_global_window(df: DataFrame, fn_name: str) -> None:
+    """Enforce the "partition_by REQUIRED at scale" contract of the
+    global-ordered-window operators: warn when the input's Catalyst size
+    estimate exceeds :data:`UNPARTITIONED_WINDOW_WARN_BYTES` (the same
+    free statistic AQE uses for broadcast decisions — no job runs).
+    Stats-unknown inputs (RDD-backed frames from ``createDataFrame`` —
+    driver-created, so small by construction; every file/table scan at
+    corpus scale carries stats) are exempt."""
+    from .util import plan_size_bytes
+
+    size = plan_size_bytes(df)
+    if size >= (1 << 62):  # unknown: driver-created input, not a scan
+        return
+    if size > UNPARTITIONED_WINDOW_WARN_BYTES:
+        warnings.warn(
+            f"{fn_name}: partition_by=None builds ONE global ordered "
+            f"window over an input whose plan-size estimate is {size} "
+            "bytes — a single-reducer funnel at scale. Pass partition_by "
+            "to shard the work (e.g. by source/lang), or ignore this for "
+            "known-small inputs.",
+            ResourceWarning,
+            stacklevel=3,
+        )
 
 
 def hash_uniform(key: Column, salt: str = "") -> Column:
@@ -167,9 +202,13 @@ def pack_sequences(df: DataFrame, token_col: str, *, budget: int,
 
     ``partition_by`` shards the packing (e.g. by source): REQUIRED at
     scale — an unpartitioned ordered window funnels through a single
-    reducer, fine only below ~10M rows.  Within a shard the layout is
-    one shuffle on the shard key.
+    reducer, fine only below ~10M rows (enforced: a ``ResourceWarning``
+    fires when the input's size estimate exceeds
+    :data:`UNPARTITIONED_WINDOW_WARN_BYTES`).  Within a shard the
+    layout is one shuffle on the shard key.
     """
+    if partition_by is None:
+        _warn_global_window(df, "pack_sequences")
     w = Window.orderBy(order_by) if partition_by is None else \
         Window.partitionBy(partition_by).orderBy(order_by)
     before = F.coalesce(
@@ -258,39 +297,68 @@ def filter_by_quantile(df: DataFrame, score_col: str,
                        approx_accuracy: int = 10000,
                        keep_quantile_col: bool = False) -> DataFrame:
     """Quality-gate a corpus by score percentile: keep rows whose
-    ``score_col`` sits at or above ``min_quantile`` of its group's
-    distribution (e.g. drop the bottom 30% quality per language:
+    ``score_col`` is at or above the group's ``min_quantile``-th
+    DISCRETE quantile — the smallest score ``t`` in the group such that
+    at least ``min_quantile`` of the group's rows have score <= ``t``
+    (e.g. drop the bottom 30% quality per language:
     ``filter_by_quantile(docs, "quality", 0.3, ["lang"])``).
 
-    Two physical strategies, same contract:
+    ONE keep-semantics for both physical strategies — the cut is always
+    a value threshold, ``score >= t``, so **ties at the threshold are
+    kept** (a boundary tie-group survives or is dropped as a unit, never
+    split by arbitrary rank order), a singleton group always keeps its
+    row for any ``min_quantile`` (its only score IS the group's every
+    quantile), and a group minimum survives whenever ``min_quantile``
+    rounds down to it.  Two physical paths to the same contract:
 
-    - ``exact=True``: ``percent_rank()`` over the group — rank-exact and
-      engine-portable (percent_rank = (rank-1)/(n-1) in every SQL
-      dialect, so the filter is oracle-checkable), at the cost of a full
-      sort shuffle of the group.  Right up to ~memory-sized groups.
+    - ``exact=True``: the threshold is rank-exact, computed with
+      ``cume_dist()`` over the group (``t = min score with cume_dist >=
+      q`` — exactly DuckDB's ``quantile_disc``; both are engine-portable
+      SQL, so the filter is oracle-checkable), at the cost of a full
+      sort shuffle of the group.  Right up to ~memory-sized groups; an
+      unpartitioned call on a large input warns (see
+      :data:`UNPARTITIONED_WINDOW_WARN_BYTES`).
     - ``exact=False`` — the 100-TB path: a per-group
-      ``approx_percentile`` threshold (t-digest-style mergeable sketch,
+      ``approx_percentile`` threshold (mergeable quantile sketch,
       map-side combined: the shuffle carries one sketch per task, never
       rows), broadcast back and applied as a pushable ``score >= t``
-      filter.  No sort of the corpus at all; rank error bounded by
-      ``1/approx_accuracy``.  NULL scores are dropped by both paths
-      (a NULL can't be ranked).
+      filter.  No sort of the corpus at all.  The sketch picks a
+      threshold whose RANK is within ``1/approx_accuracy`` of exact —
+      but the number of rows that rank error moves is tie-sensitive: if
+      the neighboring score is a heavy tie-group, stepping one rank over
+      the boundary moves the whole tie-group in or out, so the ROW
+      divergence from ``exact=True`` can exceed ``n/approx_accuracy``
+      on low-cardinality scores (e.g. scores rounded to 4 decimals).
+      The threshold semantics are still identical; only its position
+      can be off by the sketch error.
 
-    ``keep_quantile_col=True`` keeps the diagnostic column: ``__q`` (the
-    row's percent rank) on the exact path, ``__thr`` (the group's score
-    threshold) on the approximate path.
+    NULL scores are dropped by both paths (a NULL can't be ranked).
+    ``keep_quantile_col=True`` keeps the diagnostic ``__thr`` column
+    (the group's score threshold) on both paths.
     """
     if not 0.0 <= min_quantile <= 1.0:
         raise ValueError(f"min_quantile must be in [0, 1], got {min_quantile}")
     pby = partition_by or []
     scored = df.filter(F.col(score_col).isNotNull())
     if exact:
-        w = (Window.partitionBy(*pby).orderBy(F.col(score_col).asc())
-             if pby else Window.orderBy(F.col(score_col).asc()))
-        out = scored.withColumn(
-            "__q", F.percent_rank().over(w)
-        ).filter(F.col("__q") >= min_quantile)
-        return out if keep_quantile_col else out.drop("__q")
+        if not pby:
+            _warn_global_window(scored, "filter_by_quantile(exact=True)")
+        wo = (Window.partitionBy(*pby) if pby
+              else Window.partitionBy()).orderBy(F.col(score_col).asc())
+        wg = Window.partitionBy(*pby) if pby else Window.partitionBy()
+        out = (
+            scored.withColumn("__cd", F.cume_dist().over(wo))
+            .withColumn(
+                "__thr",
+                F.min(
+                    F.when(F.col("__cd") >= F.lit(min_quantile),
+                           F.col(score_col))
+                ).over(wg),
+            )
+            .filter(F.col(score_col) >= F.col("__thr"))
+            .drop("__cd")
+        )
+        return out if keep_quantile_col else out.drop("__thr")
     thr = scored.groupBy(*pby).agg(
         F.percentile_approx(
             F.col(score_col), F.lit(min_quantile), F.lit(approx_accuracy)
@@ -320,8 +388,12 @@ def take_token_budget(df: DataFrame, token_col: str, budget: int,
     kept iff the cumulative count BEFORE it is under budget.  Rows with
     NULL ``token_col`` are dropped (their budget position is undefined).
     Supply ``tiebreak_col`` whenever ``order_by`` can tie, for the same
-    reproducibility reason as :func:`topk_per_group`."""
+    reproducibility reason as :func:`topk_per_group`.  ``partition_by``
+    is REQUIRED at scale — an unpartitioned call on a large input warns
+    (see :data:`UNPARTITIONED_WINDOW_WARN_BYTES`)."""
     pby = partition_by or []
+    if not pby:
+        _warn_global_window(df, "take_token_budget")
     order = [F.col(order_by).desc() if descending
              else F.col(order_by).asc()]
     if tiebreak_col is not None:

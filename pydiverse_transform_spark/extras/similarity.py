@@ -784,6 +784,14 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
     ]
     probe = [ci for _, ci in sorted(d2)][:nprobe]
     reader = spark.read.parquet(path)
+    if pool is not None and vec_col not in reader.columns:
+        raise ValueError(
+            f"ivfpq_topk(pool={pool}): index at {path!r} was written "
+            f"with store_vectors=False — the {vec_col!r} column needed "
+            "for exact re-ranking is not stored. Rewrite the index with "
+            "write_ivfpq(..., store_vectors=True) or query with "
+            "pool=None (ADC-only)."
+        )
     parts = []
     for ci in probe:
         if residual:

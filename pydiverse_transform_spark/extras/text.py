@@ -142,7 +142,17 @@ def lang_id(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the case- and
-    whitespace-normalized text (portable across engines)."""
+    whitespace-normalized text (portable across engines).
+
+    NULL text coalesces to '' — a NULL document fingerprints like an
+    empty one (same convention as :func:`word_shingles`), explicitly
+    documented because the alternative (md5(NULL) = NULL) would make
+    every downstream group-by silently collapse ALL NULL-text rows into
+    one dedup group anyway (SQL GROUP BY groups NULLs together), which
+    is the same outcome with a less inspectable key.  Oracle twin:
+    ``md5(lower(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))``.
+    """
+    text = F.coalesce(text, F.lit(""))
     return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
 
 

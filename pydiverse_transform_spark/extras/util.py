@@ -15,15 +15,38 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     A small input — one parquet file, or one unsplittable row group —
     arrives as a single split, which serializes the expensive map stage
     on one core even on a 32-core machine.  At the 100-TB target the
-    input has thousands of splits and this probe is a no-op: we only
-    repartition when the current partition count is below the cluster's
-    default parallelism, so no gratuitous shuffle of raw text is ever
-    added on large inputs.
+    input has thousands of splits and this is a no-op.
+
+    The decision uses Catalyst's free sizeInBytes statistic, NOT
+    ``df.rdd.getNumPartitions()`` (the r5-advice item: the RDD probe
+    forces a full plan-to-RDD conversion analysis per call — measurable
+    driver cost on deep plans).  Rule: repartition to ``target`` iff the
+    plan-size estimate is under ``target x maxPartitionBytes`` — below
+    that, the scan cannot have produced ``target`` splits (parquet
+    splits at maxPartitionBytes) and the repartition itself moves only
+    a small input; above it (or when stats are unknown, e.g. after a
+    wide transform at scale), the input already has enough splits and
+    adding a shuffle of raw text would be pure cost.
     """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    sess = df.sparkSession
+    target = min_parts or sess.sparkContext.defaultParallelism
+    raw = str(sess.conf.get("spark.sql.files.maxPartitionBytes",
+                            "134217728"))
+    if plan_size_bytes(df) < target * _parse_byte_conf(raw):
         return df.repartition(target)
     return df
+
+
+def _parse_byte_conf(s: str) -> int:
+    """Spark byte-size conf values: '134217728', '134217728b', '128m',
+    '128MB', '1g', ..."""
+    s = s.strip().lower()
+    for suf, mult in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                      ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                      ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suf):
+            return int(float(s[:-len(suf)])) * mult
+    return int(float(s))
 
 
 # below this estimated (compressed) input size, pipelines that would

@@ -196,3 +196,61 @@ def test_scalar_simhash_equals_staged(spark, sf_dir):
                     dd.simhash(F.col("text"), bits=16).alias("sh"))
     b = dd.simhash_df(docs, "text", "doc_id", bits=16, out_col="sh")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --------------------------------------------------------------------------
+# fan_out (r5 advice): the repartition decision now reads Catalyst's free
+# sizeInBytes statistic instead of forcing a plan->RDD conversion; the
+# observable behavior is unchanged at both sizes
+# --------------------------------------------------------------------------
+
+def test_fan_out_small_input_still_spreads(spark, sf_dir):
+    from pydiverse_transform_spark.extras.util import fan_out
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    out = fan_out(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan, plan[:1500]
+    assert out.rdd.getNumPartitions() == target
+
+
+def test_fan_out_large_input_is_noop(spark, sf_dir):
+    from pydiverse_transform_spark.extras import util as u
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # force the "large" branch: a 1-byte-per-partition budget means any
+    # real input exceeds target*maxPartitionBytes
+    orig = u._parse_byte_conf
+    u._parse_byte_conf = lambda s: 1
+    try:
+        out = u.fan_out(docs)
+    finally:
+        u._parse_byte_conf = orig
+    assert out is docs  # no repartition node added at all
+
+
+def test_fan_out_no_rdd_probe(spark, sf_dir):
+    """fan_out must not trigger the RDD-conversion analysis pass."""
+    from unittest import mock
+
+    from pydiverse_transform_spark.extras.util import fan_out
+    from pyspark.sql import DataFrame
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with mock.patch.object(
+        DataFrame, "rdd",
+        property(lambda self: (_ for _ in ()).throw(
+            AssertionError("fan_out touched df.rdd"))),
+    ):
+        fan_out(docs)
+
+
+def test_parse_byte_conf():
+    from pydiverse_transform_spark.extras.util import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728") == 134217728
+    assert _parse_byte_conf("134217728b") == 134217728
+    assert _parse_byte_conf("128m") == 128 << 20
+    assert _parse_byte_conf("128MB") == 128 << 20
+    assert _parse_byte_conf("1g") == 1 << 30

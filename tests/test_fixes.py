@@ -179,3 +179,26 @@ def test_minhash_strategies_agree(spark, sf_dir):
     rows = lambda df: sorted(map(tuple, df.collect()))
     assert rows(small) == rows(big)
     assert small.columns == big.columns
+
+
+# 12. (ADVICE r5) NULL text fingerprints like '' — NULL/empty/whitespace
+# docs dedup into ONE explicitly-keyed group instead of silently
+# collapsing under a NULL group key
+def test_exact_dedup_null_text_is_empty(spark):
+    from pydiverse_transform_spark.extras import dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "real doc"), (5, None)],
+        "doc_id int, text string",
+    )
+    # NULL and '' share fp(md5('')); '   ' normalizes to ' ' (own group)
+    rows = dedup.exact_dedup_rows(df, "text", "doc_id").collect()
+    assert sorted(r.doc_id for r in rows) == [1, 3, 4]
+    agg = {r.doc_id: r.n_copies
+           for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
+    assert agg == {1: 3, 3: 1, 4: 1}
+    # the group key is a real md5, never NULL
+    from pyspark.sql import functions as F
+    from pydiverse_transform_spark.extras.text import fingerprint
+    fps = df.select(fingerprint(F.col("text")).alias("fp")).collect()
+    assert all(r.fp is not None for r in fps)

@@ -269,10 +269,12 @@ def test_fuzz_sampling_gates(spark):
         ).orderBy("id")
         sql = f"""
             SELECT id, g, score, toks FROM (
-              SELECT *, percent_rank() OVER (PARTITION BY g
-                                             ORDER BY score) AS pr
-              FROM tbl WHERE score IS NOT NULL)
-            WHERE pr >= {q} ORDER BY id"""
+              SELECT *, min(CASE WHEN cd >= {q} THEN score END)
+                          OVER (PARTITION BY g) AS thr
+              FROM (SELECT *, cume_dist() OVER (PARTITION BY g
+                                                ORDER BY score) AS cd
+                    FROM tbl WHERE score IS NOT NULL))
+            WHERE score >= thr ORDER BY id"""
         ok, msg = compare(out, con, sql, f"quantile[{rnd}:q={q}]")
         n_checked += 1
         if not ok:

@@ -231,15 +231,121 @@ def test_quantile_exact_known_ranks(spark):
     df = spark.createDataFrame(
         [(i, float(i)) for i in range(1, 11)], "id int, score double"
     )
-    # percent_rank of score i is (i-1)/9; >= 0.5 keeps i in 6..10
+    # discrete 0.5-quantile of 1..10 is 5 (cume_dist of 5 is 0.5);
+    # the cut keeps score >= 5
     kept = sorted(
         r.id for r in filter_by_quantile(df, "score", 0.5).collect()
     )
-    assert kept == [6, 7, 8, 9, 10]
+    assert kept == [5, 6, 7, 8, 9, 10]
     # boundaries
     assert filter_by_quantile(df, "score", 0.0).count() == 10
     top = filter_by_quantile(df, "score", 1.0).collect()
     assert [r.id for r in top] == [10]
+
+
+def test_quantile_one_semantics_both_paths(spark):
+    """The advice-r5 divergence case: threshold tie-groups, singleton
+    groups and group minima must behave IDENTICALLY on the exact and
+    approximate paths — the cut is a value threshold, ties kept."""
+    from pydiverse_transform_spark.extras.sampling import filter_by_quantile
+
+    rows = (
+        # group a: heavy tie at the bottom — [1,1,1,1,10], q=0.5:
+        # discrete quantile is 1, ALL five rows keep (tie-group unit)
+        [(i, "a", 1.0) for i in range(4)] + [(4, "a", 10.0)]
+        # group b: singleton — must survive any q
+        + [(5, "b", 7.0)]
+        # group c: distinct scores 1..4, q=0.5 -> threshold 2, keep 2..4
+        + [(6 + i, "c", float(i + 1)) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "id int, g string, score double")
+    expect = {0, 1, 2, 3, 4, 5, 7, 8, 9}
+    for exact in (True, False):
+        kept = {r.id for r in filter_by_quantile(
+            df, "score", 0.5, partition_by=["g"], exact=exact).collect()}
+        assert kept == expect, (exact, sorted(kept))
+    # diagnostic column is __thr on BOTH paths now
+    for exact in (True, False):
+        cols = filter_by_quantile(
+            df, "score", 0.5, partition_by=["g"], exact=exact,
+            keep_quantile_col=True).columns
+        assert "__thr" in cols, (exact, cols)
+
+
+def test_quantile_exact_matches_duckdb_quantile_disc(spark):
+    """exact=True is DuckDB's quantile_disc by construction."""
+    import duckdb
+    import pyarrow as pa
+
+    from pydiverse_transform_spark.extras.sampling import filter_by_quantile
+
+    import random
+    rng = random.Random(616)
+    rows = [(i, rng.choice(["x", "y"]), float(rng.randint(0, 6)))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, g string, score double")
+    con = duckdb.connect()
+    con.register("tbl", pa.table({
+        "id": [r[0] for r in rows], "g": [r[1] for r in rows],
+        "score": [r[2] for r in rows]}))
+    for q in (0.0, 0.3, 0.5, 0.9, 1.0):
+        kept = {r.id for r in filter_by_quantile(
+            df, "score", q, partition_by=["g"], exact=True).collect()}
+        want = {r[0] for r in con.execute(f"""
+            SELECT id FROM tbl t JOIN (
+              SELECT g, quantile_disc(score, {q}) AS thr
+              FROM tbl GROUP BY g) u USING (g)
+            WHERE score >= thr""").fetchall()}
+        assert kept == want, (q, sorted(kept ^ want))
+
+
+def test_global_window_guards_warn_on_large_unpartitioned(spark, sf_dir):
+    import warnings as w
+
+    from pydiverse_transform_spark.extras import sampling as sp
+
+    # parquet-backed (stats known); a driver-created frame for the
+    # silent unknown-stats path
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars")
+    local = spark.createDataFrame(
+        [(i, float(i), 5) for i in range(20)],
+        "id int, score double, toks int")
+    # small / unknown inputs: silent
+    with w.catch_warnings():
+        w.simplefilter("error", ResourceWarning)
+        sp.filter_by_quantile(docs, "n_chars", 0.5)
+        sp.filter_by_quantile(local, "score", 0.5)
+        sp.take_token_budget(local, "toks", 10, order_by="id")
+        sp.pack_sequences(local, "toks", budget=10, order_by="id")
+    # threshold forced to 0: every unpartitioned global window over a
+    # stats-carrying input warns; partitioned calls stay silent
+    orig = sp.UNPARTITIONED_WINDOW_WARN_BYTES
+    sp.UNPARTITIONED_WINDOW_WARN_BYTES = 0
+    try:
+        for call in (
+            lambda: sp.filter_by_quantile(docs, "n_chars", 0.5),
+            lambda: sp.take_token_budget(docs, "n_chars", 10,
+                                         order_by="doc_id"),
+            lambda: sp.pack_sequences(docs, "n_chars", budget=10,
+                                      order_by="doc_id"),
+        ):
+            with w.catch_warnings(record=True) as rec:
+                w.simplefilter("always")
+                call()
+            assert any(issubclass(x.category, ResourceWarning)
+                       and "single-reducer" in str(x.message)
+                       for x in rec), [str(x.message) for x in rec]
+        with w.catch_warnings():
+            w.simplefilter("error", ResourceWarning)
+            sp.filter_by_quantile(docs, "n_chars", 0.5,
+                                  partition_by=["doc_id"])
+            sp.take_token_budget(docs, "n_chars", 10, order_by="doc_id",
+                                 partition_by=["doc_id"])
+            sp.pack_sequences(docs, "n_chars", budget=10,
+                              order_by="doc_id", partition_by="doc_id")
+    finally:
+        sp.UNPARTITIONED_WINDOW_WARN_BYTES = orig
 
 
 def test_quantile_null_scores_dropped_both_paths(spark):
