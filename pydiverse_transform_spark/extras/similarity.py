@@ -27,9 +27,11 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "ivf_centroids", "ivf_cell", "ivf_topk",
            "embedding_neardup_pairs",
            "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
-           "kmeans_update", "kmeans_fit",
+           "kmeans_update", "kmeans_fit", "kmeans_spread_seeds",
+           "kmeans_inertia",
            "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
-           "pq_topk_coded", "write_ivfpq", "ivfpq_topk"]
+           "pq_topk_coded", "write_ivfpq", "ivfpq_topk",
+           "opq_permutation", "permute_vec"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -391,6 +393,70 @@ def kmeans_seed_centroids(df: DataFrame, k: int,
     )
 
 
+def kmeans_spread_seeds(df: DataFrame, k: int,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        oversample: int = 8,
+                        salt: str = "kmeans-seeds") -> list[list[float]]:
+    """Deterministic k-means‖-style seeding: hash-spread candidate
+    oversample → farthest-first reduce.
+
+    The r5 smallest-id seeding is degenerate when low ids are
+    correlated with content (a time-ordered corpus seeds every centroid
+    from the same day).  This keeps the engine-reproducibility contract
+    (no RNG — every choice is a pure function of the rows) while
+    decorrelating seeds from id order:
+
+    1. **Candidate oversample** (distributed, one TakeOrdered pass):
+       the ``oversample * k`` rows with the smallest ``md5(id || salt)``
+       — an id-hash is position- and time-independent, so candidates
+       spread pseudo-uniformly over the corpus however it is sorted.
+    2. **Farthest-first reduce** (driver-side, O(L·k·dim) on L =
+       oversample·k candidate vectors — tiny): start from the
+       smallest-hash candidate, then greedily add the candidate with
+       the largest min-distance to the chosen set (ties to the earlier
+       candidate) — the classic 2-approximation k-center sweep, which
+       guarantees spread-out seeds instead of hoping the hash draw
+       avoids collisions.
+    """
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    cand_rows = (
+        df.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .limit(oversample * k)
+        .collect()
+    )
+    if len(cand_rows) < k:
+        raise ValueError(f"k={k} exceeds the number of input rows "
+                         f"({len(cand_rows)})")
+    cands = [[float(v) for v in r[vec_col]] for r in cand_rows]
+
+    def d2(a: list[float], b: list[float]) -> float:
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    seeds = [cands[0]]
+    mind = [d2(v, cands[0]) for v in cands]
+    for _ in range(k - 1):
+        far = max(range(len(cands)), key=lambda i: (mind[i], -i))
+        seeds.append(cands[far])
+        mind = [min(m, d2(v, cands[far]))
+                for m, v in zip(mind, cands)]
+    return seeds
+
+
+def kmeans_inertia(df: DataFrame, centroids: list[list[float]],
+                   vec_col: str = "embedding") -> float:
+    """Total squared-L2 distance of every row to its nearest centroid —
+    the quantity Lloyd iteration minimizes.  One map-only pass + a
+    scalar aggregate; used for seeding A/B comparisons (SCALE.md)."""
+    cens = _cent_lit(centroids)
+    d = F.array_min(F.transform(cens, lambda c: _sq_l2(F.col(vec_col), c)))
+    row = df.agg(F.sum(d).alias("i")).collect()[0]
+    return float(row["i"])
+
+
 def kmeans_assign(df: DataFrame, centroids: DataFrame,
                   vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:
@@ -451,12 +517,34 @@ def kmeans_update(assigned: DataFrame, vec_col: str = "embedding"
     )
 
 
+def _seed_vectors(df: DataFrame, k: int, seeding: str, vec_col: str,
+                  id_col: str) -> list[list[float]]:
+    """Shared seeding dispatch for :func:`kmeans_fit` / :func:`pq_fit`."""
+    if seeding == "spread":
+        return kmeans_spread_seeds(df, k, vec_col=vec_col, id_col=id_col)
+    if seeding == "smallest_id":
+        seed_rows = (
+            df.select(id_col, vec_col).orderBy(F.col(id_col).asc())
+            .limit(k).collect()
+        )
+        if len(seed_rows) < k:
+            raise ValueError(f"k={k} exceeds the number of input rows "
+                             f"({len(seed_rows)})")
+        return [[float(v) for v in r[vec_col]] for r in seed_rows]
+    raise ValueError(f"seeding must be 'spread' or 'smallest_id', "
+                     f"got {seeding!r}")
+
+
 def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
                vec_col: str = "embedding", id_col: str = "vec_id",
                dim: int | None = None,
-               spherical: bool = False) -> list[list[float]]:
-    """Train k centroids by Lloyd iteration (deterministic: seeded from
-    the k smallest ids, ties in assignment to the lower cell id).
+               spherical: bool = False,
+               seeding: str = "spread") -> list[list[float]]:
+    """Train k centroids by Lloyd iteration (deterministic: hash-spread
+    farthest-first seeding by default — see
+    :func:`kmeans_spread_seeds`; ``seeding="smallest_id"`` restores the
+    r5 ORDER BY id LIMIT k seeds, which degrade when low ids are
+    content-correlated; ties in assignment to the lower cell id).
 
     Per iteration: one map-only assignment pass + one combine-heavy
     aggregation whose shuffle is O(k * dim * n_tasks), then k rows
@@ -470,14 +558,7 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
     from .util import fan_out
 
     base = fan_out(df.select(id_col, vec_col))
-    seed_rows = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc())
-        .limit(k).collect()
-    )
-    if len(seed_rows) < k:
-        raise ValueError(f"k={k} exceeds the number of input rows "
-                         f"({len(seed_rows)})")
-    centroids = [[float(v) for v in r[vec_col]] for r in seed_rows]
+    centroids = _seed_vectors(df, k, seeding, vec_col, id_col)
 
     def _norm(c: list[float]) -> list[float]:
         n = sum(v * v for v in c) ** 0.5 or 1.0
@@ -563,7 +644,8 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
 
 def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
            vec_col: str = "embedding", id_col: str = "vec_id",
-           dim: int | None = None) -> list[list[list[float]]]:
+           dim: int | None = None,
+           seeding: str = "spread") -> list[list[list[float]]]:
     """Train PQ codebooks by per-subspace Lloyd iteration, all m
     subspaces in ONE pass per iteration: the assignment inlines every
     subspace's argmin into one projection, `inline` stacks
@@ -572,8 +654,10 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
     map-side partial combine — each task emits <= m*k*dsub = k*dim
     partial sums, so shuffle volume is independent of corpus size
     (the same treeAggregate shape as :func:`kmeans_fit`).  Seeds are
-    the k smallest-id vectors' slices (deterministic); empty cells
-    keep their previous sub-centroid."""
+    slices of :func:`kmeans_spread_seeds` vectors by default
+    (deterministic; ``seeding="smallest_id"`` restores the r5 k
+    smallest-id slices); empty cells keep their previous
+    sub-centroid."""
     dim = _require_dim(dim, vec_col)
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
@@ -581,16 +665,9 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
     from .util import fan_out
 
     base = fan_out(df.select(id_col, vec_col))
-    seed_rows = (
-        df.select(id_col, vec_col).orderBy(F.col(id_col).asc())
-        .limit(k).collect()
-    )
-    if len(seed_rows) < k:
-        raise ValueError(f"k={k} exceeds the number of input rows "
-                         f"({len(seed_rows)})")
+    seed_vecs = _seed_vectors(df, k, seeding, vec_col, id_col)
     books = [
-        [[float(v) for v in r[vec_col]][j * dsub:(j + 1) * dsub]
-         for r in seed_rows]
+        [vec[j * dsub:(j + 1) * dsub] for vec in seed_vecs]
         for j in range(m)
     ]
     for _ in range(n_iter):
@@ -624,6 +701,59 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
             for j in range(m)
         ]
     return books
+
+
+def opq_permutation(df: DataFrame, m: int = 8,
+                    vec_col: str = "embedding",
+                    dim: int | None = None) -> list[int]:
+    """OPQ-lite: a deterministic dimension permutation that balances
+    per-dimension variance across the m PQ subspaces.
+
+    Full OPQ (Ge et al. 2013) learns an orthogonal rotation by
+    eigendecomposition; the -lite variant keeps the engine-portable
+    subset — a PERMUTATION is orthogonal, cheap to apply (pure column
+    reindexing, no matmul per row), and already fixes the common PQ
+    failure where a few high-variance dimensions land in the same
+    subspace and its k cells must quantize most of the energy alone.
+
+    One posexplode aggregation computes per-dimension variance (the
+    shuffle carries <= dim rows per task — map-side combined), then a
+    greedy driver-side balanced assignment: dimensions in descending
+    variance order, each placed into the eligible (non-full) subspace
+    with the smallest variance sum (longest-processing-time scheduling,
+    a 4/3-approximation of the balanced partition).  Returns ``perm``
+    with the new vector being ``[vec[perm[0]], vec[perm[1]], ...]``;
+    apply with :func:`permute_vec` (and permute the query the same way
+    — squared L2 is permutation-invariant, so exact distances and
+    ground truth are unchanged)."""
+    dim = _require_dim(dim, vec_col)
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.var_samp(F.col("v").cast("double")).alias("var"))
+        .collect()
+    )
+    var = {int(r["pos"]): float(r["var"] or 0.0) for r in rows}
+    order = sorted(range(dim), key=lambda i: (-var.get(i, 0.0), i))
+    groups: list[list[int]] = [[] for _ in range(m)]
+    sums = [0.0] * m
+    for d in order:
+        j = min((g for g in range(m) if len(groups[g]) < dsub),
+                key=lambda g: (sums[g], g))
+        groups[j].append(d)
+        sums[j] += var.get(d, 0.0)
+    for g in groups:
+        g.sort()  # stable within-subspace layout
+    return [d for g in groups for d in g]
+
+
+def permute_vec(vec: Column, perm: list[int]) -> Column:
+    """Reindex an array column by a permutation (1-based element_at):
+    map-only codegen, the apply side of :func:`opq_permutation`."""
+    return F.array(*[F.element_at(vec, int(i) + 1) for i in perm])
 
 
 def _adc_dist(query_vec: list[float], codebooks: list[list[list[float]]],

@@ -114,3 +114,59 @@ def test_fit_k_exceeds_rows_raises(spark):
     )
     with pytest.raises(ValueError, match="exceeds"):
         sim.kmeans_fit(tiny, k=5, dim=2)
+
+
+# --------------------------------------------------------------------------
+# r6: hash-spread farthest-first seeding (kmeans_spread_seeds)
+# --------------------------------------------------------------------------
+
+def test_spread_seeds_deterministic_and_distinct(emb):
+    a = sim.kmeans_spread_seeds(emb, k=6)
+    b = sim.kmeans_spread_seeds(emb, k=6)
+    assert a == b
+    assert len(a) == 6 and all(len(c) == 64 for c in a)
+    # farthest-first guarantees pairwise-distinct seeds when the corpus
+    # has >= k distinct vectors
+    assert len({tuple(c) for c in a}) == 6
+
+
+def test_spread_seeding_beats_degenerate_ids(spark, emb):
+    """Adversarial id order: ids re-assigned along the first embedding
+    coordinate, so the k smallest ids all come from one corner of the
+    space (the time-ordered-corpus failure mode).  Spread seeding must
+    yield strictly better (or equal) k-means inertia after the same
+    number of Lloyd iterations."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("embedding")[0].asc(), F.col("vec_id").asc())
+    bad = emb.select(
+        F.row_number().over(w).cast("long").alias("vec_id"), "embedding"
+    )
+    k, n_iter = 8, 3
+    cents_spread = sim.kmeans_fit(bad, k=k, n_iter=n_iter, dim=64,
+                                  seeding="spread")
+    cents_smallest = sim.kmeans_fit(bad, k=k, n_iter=n_iter, dim=64,
+                                    seeding="smallest_id")
+    i_spread = sim.kmeans_inertia(bad, cents_spread)
+    i_smallest = sim.kmeans_inertia(bad, cents_smallest)
+    assert i_spread <= i_smallest * 1.001, (i_spread, i_smallest)
+
+
+def test_seeding_rejects_unknown(emb):
+    with pytest.raises(ValueError, match="seeding"):
+        sim.kmeans_fit(emb, k=2, n_iter=1, dim=64, seeding="random")
+
+
+def test_kmeans_inertia_matches_manual(emb):
+    cents = sim.kmeans_fit(emb, k=4, n_iter=2, dim=64)
+    got = sim.kmeans_inertia(emb, cents)
+    assigned = emb.select(
+        sim.kmeans_cell(F.col("embedding"), cents).alias("cid"),
+        "embedding",
+    )
+    d2 = None
+    for c, cen in enumerate(cents):
+        cur = sim._sq_l2(F.col("embedding"), sim._qlit(cen))
+        d2 = cur if d2 is None else F.when(F.col("cid") == c, cur).otherwise(d2)
+    want = assigned.agg(F.sum(d2).alias("i")).collect()[0]["i"]
+    assert abs(got - want) <= 1e-6 * max(1.0, abs(want)), (got, want)

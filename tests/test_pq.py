@@ -193,3 +193,60 @@ def test_ivfpq_store_vectors_false_is_codes_only(spark, sf_dir, tmp_path):
     cols = set(spark.read.parquet(path).columns)
     assert "embedding" not in cols and {"vec_id", "pq_code",
                                         "cell"} <= cols
+
+
+# --------------------------------------------------------------------------
+# r6: OPQ-lite variance-balancing permutation
+# --------------------------------------------------------------------------
+
+def test_opq_permutation_is_valid_and_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    perm = sim.opq_permutation(emb, m=8, dim=64)
+    assert sorted(perm) == list(range(64))
+    assert perm == sim.opq_permutation(emb, m=8, dim=64)
+
+
+def test_opq_balances_subspace_variance(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    """The greedy assignment must spread variance at least as evenly as
+    the identity layout: max-subspace-variance(opq) <= max(identity)."""
+    rows = (
+        emb.select(F.posexplode(F.col("embedding")).alias("pos", "v"))
+        .groupBy("pos").agg(F.var_samp("v").alias("var")).collect()
+    )
+    var = {int(r["pos"]): float(r["var"] or 0.0) for r in rows}
+    perm = sim.opq_permutation(emb, m=8, dim=64)
+    dsub = 8
+
+    def group_sums(layout):
+        return [sum(var[d] for d in layout[j * dsub:(j + 1) * dsub])
+                for j in range(8)]
+
+    opq_sums = group_sums(perm)
+    id_sums = group_sums(list(range(64)))
+    assert max(opq_sums) <= max(id_sums) + 1e-9, (opq_sums, id_sums)
+    # and the spread (max-min) does not get worse
+    assert (max(opq_sums) - min(opq_sums)
+            <= max(id_sums) - min(id_sums) + 1e-9)
+
+
+def test_permute_vec_l2_invariant(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    """Squared L2 between two permuted vectors equals the unpermuted
+    distance — the property that keeps ground truth unchanged."""
+    perm = sim.opq_permutation(emb, m=8, dim=64)
+    two = emb.orderBy("vec_id").limit(2).collect()
+    a = [float(v) for v in two[0]["embedding"]]
+    b = [float(v) for v in two[1]["embedding"]]
+    direct = sum((x - y) ** 2 for x, y in zip(a, b))
+    pa = [a[i] for i in perm]
+    pb = [b[i] for i in perm]
+    permuted = sum((x - y) ** 2 for x, y in zip(pa, pb))
+    assert abs(direct - permuted) < 1e-9
+    # the Column-side permute agrees with the Python-side one
+    row = (
+        emb.orderBy("vec_id").limit(1)
+        .select(sim.permute_vec(F.col("embedding"), perm).alias("p"))
+        .collect()[0]
+    )
+    assert [float(v) for v in row["p"]] == pa
