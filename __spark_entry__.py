@@ -4726,6 +4726,67 @@ def q_stream_dedup(spark, sf_dir):
     ).orderBy("event_id")
 
 
+def _stream_neardup_sql(bits: int = 16) -> str:
+    """Batch twin of neardup_stream: keep the first (arrival = doc_id
+    order) document per simhash sketch — same md5 token hashes and
+    sign-sum folds as extras/dedup.py simhash."""
+    toks = _TOKENS_SQL.format(col="lower(text)")
+    th = (f"list_transform({toks}, "
+          f"w -> ('0x' || substr(md5(w), 1, 8))::BIGINT)")
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(th, "
+        f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY sh ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id, lang, n_chars, ({terms}) AS sh
+        FROM (SELECT doc_id, lang, n_chars, {th} AS th FROM documents)))
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@_q(_stream_neardup_sql(16))
+def q_stream_neardup(spark, sf_dir):
+    """Streaming near-dup suppression (streaming/__init__.py
+    neardup_stream): documents arrive as a stream in doc_id order and
+    the first document per 16-bit simhash sketch survives; the oracle
+    replays the sketch and the keep-first rule in batch SQL.  The
+    watermark is wider than the synthesized event-time span, so no
+    sketch expires mid-replay — arrival order is the dedup order."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream",
+        "neardup_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # one file in doc_id order => one availableNow micro-batch whose
+    # row order IS the oracle's keep-first order
+    (docs.orderBy("doc_id")
+     .withColumn("ts", F.timestamp_seconds(
+         F.lit(1700000000) + F.col("doc_id")))
+     .coalesce(1).write.mode("overwrite").parquet(staged))
+    schema = spark.read.parquet(staged).schema
+    stream = st.read_event_stream(spark, staged, schema=schema)
+    kept = st.neardup_stream(stream, "text", ts_col="ts",
+                             watermark="4000 hours", bits=16)
+    out = st.run_to_memory(
+        kept, f"q_stream_neardup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 @_q("""
 SELECT bucket_start, event_type, n_events
 FROM (

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "stateful_sessionize", "dedup_stream",
+    "neardup_stream",
     "stream_interval_join", "run_to_memory", "write_stream_parquet",
 ]
 
@@ -227,6 +228,40 @@ def dedup_stream(events: DataFrame, fingerprint_col: Column | str,
          .withColumn("__fp", fp)
          .withWatermark(ts_col, watermark))
     return w.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+
+
+def neardup_stream(docs: DataFrame, text_col: str = "text",
+                   ts_col: str = "ts",
+                   watermark: str = "1 hour",
+                   bits: int = 16) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: keep the first document per
+    SimHash sketch bucket (the streaming twin of a batch
+    ``simhash_df`` + keep-first-per-sketch; promoted from the r5
+    composition test to a public operator).
+
+    Near-identical documents — small edits, boilerplate variants —
+    produce the SAME ``bits``-bit simhash with high probability, so
+    keying :func:`dedup_stream`'s bounded-state
+    ``dropDuplicatesWithinWatermark`` on the sketch suppresses them in
+    flight.  This is a bucket-granularity filter: two docs in one
+    bucket are *probably* near-dups (false-positive rate falls with
+    ``bits``), and near-dups split across adjacent buckets are NOT
+    caught — it is the cheap first line of defense; run the batch
+    MinHash+LSH pipeline (``extras.dedup.neardup_dedup``) downstream
+    for verified clustering.
+
+    State is O(distinct sketches inside the watermark horizon) — at
+    most ``2^bits`` entries, so a 16-bit sketch caps state at 65k keys
+    regardless of stream volume.  The simhash itself is pure Catalyst
+    expression work (one tokenization per document, lambda-bound), no
+    Python in the hot path.
+    """
+    from ..extras.dedup import simhash
+
+    return dedup_stream(
+        docs, simhash(F.col(text_col), bits=bits),
+        ts_col=ts_col, watermark=watermark,
+    )
 
 
 def run_to_memory(stream_df: DataFrame, table_name: str,

@@ -367,8 +367,8 @@ def test_streaming_simhash_neardup_matches_batch(spark, sf_dir):
         schema = spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(src)
         out = st.run_to_memory(
-            st.dedup_stream(stream, dd.simhash(F.col("text"), bits=16),
-                            ts_col="ts", watermark="800 hours")
+            st.neardup_stream(stream, "text", ts_col="ts",
+                              watermark="800 hours", bits=16)
             .select("doc_id"),
             "simhash_stream_test", output_mode="append",
         )
