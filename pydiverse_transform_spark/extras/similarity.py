@@ -907,7 +907,15 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
     ``residual``, since the query residual differs per cell), and with
     ``pool=P`` re-rank the P best candidates against the raw vectors
     via a second scan of the same probed partitions semi-joined on the
-    pool ids (a broadcast of P ids, never a second full pass)."""
+    pool ids (a broadcast of P ids, never a second full pass).
+
+    Operating guidance (measured, ANN_CURVE_r06.json / SCALE.md): on
+    near-duplicate-heavy corpora the exact re-rank is load-bearing —
+    use ``pool >= 16*k`` with trained codebooks for recall ~1.0 at any
+    nprobe; ADC-only ranking cannot separate near-identical neighbors.
+    With weak (data-independent) codebooks, raise ``pool`` TOGETHER
+    with ``nprobe``: extra probed cells add ADC-plausible imposters
+    that crowd true neighbors out of a fixed-size pool."""
     d2 = [
         (sum((float(q) - c) ** 2 for q, c in zip(query_vec, cen)), ci)
         for ci, cen in enumerate(centroids)

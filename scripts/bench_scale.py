@@ -46,6 +46,33 @@ def _pretrain_pipeline(docs):
     return sp.deterministic_shuffle(mix, "doc_id", salt="pre", n_shards=64)
 
 
+def _scored_pipeline(docs):
+    """The model-gated chain of q_pretrain_pipeline_scored: gate ->
+    exact dedup -> bigram-LM train + score -> per-lang percentile cut
+    -> token budget -> deterministic shuffle (the full curation path;
+    deduped corpus persisted once for its four consumers)."""
+    from pydiverse_transform_spark.extras import classify as cl
+    from pydiverse_transform_spark.extras import dedup as dd
+    from pydiverse_transform_spark.extras import sampling as sp
+    from pydiverse_transform_spark.extras import text as tx
+
+    gated = tx.gopher_filter(docs, "text", min_words=10,
+                             min_required_words=1)
+    ded = dd.exact_dedup_rows(gated, "text", "doc_id").persist()
+    grams, ctx = cl.bigram_lm_train(ded)
+    scored = cl.lm_score(ded, grams, ctx)
+    enriched = ded.select("doc_id", "lang", "n_chars").join(scored,
+                                                            "doc_id")
+    keep = sp.filter_by_quantile(enriched, "lm_logprob", 0.2,
+                                 partition_by=["lang"])
+    mix = sp.take_token_budget(
+        keep.select("doc_id", "lang", "n_chars"),
+        "n_chars", 1_000_000, order_by="doc_id", partition_by=["lang"],
+    )
+    return sp.deterministic_shuffle(mix, "doc_id", salt="pre2",
+                                    n_shards=64)
+
+
 def _nb_train_score(docs):
     """Train the NB classifier on lang labels and score the corpus —
     both phases per run (the model shuffle is vocabulary-bounded, so
@@ -163,6 +190,7 @@ def main():
          lambda d: tx.gopher_filter(d, min_words=10,
                                     min_required_words=1)),
         ("pretrain_pipeline", _pretrain_pipeline),
+        ("scored_pipeline", _scored_pipeline),
         ("nb_train_score", _nb_train_score),
         ("lm_train_score", _lm_train_score),
     ]:

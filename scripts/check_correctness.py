@@ -2,9 +2,14 @@
 __spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
 at sf0.01, compare row count + columns + normalized values.
 
-Usage: python scripts/check_correctness.py [query_name ...]
+Usage: python scripts/check_correctness.py [--json OUT.json] [query_name ...]
+
+``--json`` additionally writes a driver-shaped artifact (one row per
+query with ok/detail + the session's ANSI mode) — used to commit the
+ANSI-off evidence run (ANSI_OFF_r06.json).
 """
 
+import json
 import os
 import sys
 import time
@@ -24,7 +29,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    only = set(args)
     spark = make_spark("check-correctness")
     # SPARK_GRAFT_ANSI=false mirrors tests/conftest.py: prove the whole
     # registry is spark.sql.ansi.enabled-independent (unset = Spark 4
@@ -36,6 +47,7 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_ok = n_fail = 0
+    rows = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -47,10 +59,15 @@ def main():
                 print(f"  {name}: rows-only check, {cnt} rows "
                       f"({time.time() - t0:.1f}s)")
                 n_ok += 1
+                rows[name] = {"ok": True, "mode": "rows_only",
+                              "n_rows": cnt,
+                              "sec": round(time.time() - t0, 1)}
                 continue
             ok, msg = compare(df, con, oracles[name], name)
         except Exception as e:
             ok, msg = False, f"{name}: EXCEPTION {type(e).__name__}: {e}"
+        rows[name] = {"ok": bool(ok), "detail": msg,
+                      "sec": round(time.time() - t0, 1)}
         if ok:
             n_ok += 1
             print(f"  {msg} ({time.time() - t0:.1f}s)")
@@ -58,6 +75,15 @@ def main():
             n_fail += 1
             print(f"FAIL {msg} ({time.time() - t0:.1f}s)")
     print(f"\n{n_ok} ok, {n_fail} failed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({
+                "sf_dir": SF_DIR,
+                "ansi_enabled": spark.conf.get("spark.sql.ansi.enabled"),
+                "n_ok": n_ok, "n_fail": n_fail,
+                "queries": rows,
+            }, f, indent=1)
+        print(f"wrote {json_out}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
