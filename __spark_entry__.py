@@ -4962,6 +4962,142 @@ def q_token_budget(spark, sf_dir):
     )
 
 
+_DSIR_NB = 4096
+
+
+def _dsir_ctes(nb: int = _DSIR_NB) -> str:
+    """Shared DSIR oracle CTEs: tokenize -> unigrams+bigrams -> md5
+    buckets -> Laplace-smoothed target/raw distributions -> per-doc
+    log-ratio weight (extras/importance.py twin; target = lang='en')."""
+    toks = _TOKENS_SQL.format(col="text")
+    return f"""
+toksd AS (
+  SELECT doc_id, lang, {toks} AS t FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(t) AS g FROM toksd
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(t[1:len(t)-1],
+                               (w, i) -> w || ' ' || t[i+1])) AS g
+  FROM toksd
+), bucketed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {nb} AS b
+  FROM grams
+), tcnt AS (
+  SELECT b, count(*) AS n FROM bucketed WHERE lang = 'en' GROUP BY b
+), rcnt AS (
+  SELECT b, count(*) AS n FROM bucketed GROUP BY b
+), tot AS (
+  SELECT (SELECT count(*) FROM bucketed WHERE lang = 'en') AS t_n,
+         (SELECT count(*) FROM bucketed) AS r_n
+), lut AS (
+  SELECT r.b,
+         ln((coalesce(t.n, 0) + 1.0) / (tot.t_n + {nb}))
+         - ln((r.n + 1.0) / (tot.r_n + {nb})) AS lr
+  FROM rcnt r LEFT JOIN tcnt t USING (b), tot
+), wts AS (
+  SELECT doc_id, sum(lr) AS w
+  FROM bucketed JOIN lut USING (b) GROUP BY doc_id
+)"""
+
+
+@_q(f"""
+WITH {_dsir_ctes()}
+SELECT d.doc_id, d.lang, round(wts.w, 6) AS dsir_w
+FROM documents d JOIN wts USING (doc_id)
+ORDER BY d.doc_id
+""")
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (extras/importance.py; Xie et al.
+    2023): hashed unigram+bigram bucket distributions of the target
+    (English subset) and the raw pool, per-document log-likelihood
+    ratio.  Model fit = two bounded bucket-count aggregations; scoring
+    is map-only (the 4096-entry log-ratio LUT is a literal in the plan
+    — zero joins, zero shuffles, plan-asserted in
+    tests/test_importance.py)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = imp.dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                           n_buckets=_DSIR_NB)
+    return (
+        out.select("doc_id", "lang",
+                   F.round("dsir_weight", 6).alias("dsir_w"))
+        .orderBy("doc_id")
+    )
+
+
+@_q(f"""
+WITH {_dsir_ctes()},
+scored AS (
+  SELECT doc_id,
+         w - ln(-ln(greatest(
+             ('0x' || substr(md5(doc_id::VARCHAR || 'dsir'), 1, 8))::BIGINT
+             / 4294967296.0,
+             1.0 / 4294967296.0))) AS s
+  FROM wts
+)
+SELECT doc_id, round(s, 6) AS gumbel_score
+FROM scored ORDER BY s DESC, doc_id LIMIT 60
+""")
+def q_dsir_sample(spark, sf_dir):
+    """Importance RESAMPLING: draw 60 documents without replacement
+    with probability proportional to exp(dsir_weight), via the
+    deterministic hash-Gumbel top-k (extras/importance.py gumbel_topk —
+    the Gumbel-max / Efraimidis-Spirakis rule as ONE TakeOrdered).  The
+    oracle replays weighting, the md5-Gumbel noise and the top-k."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = imp.dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                         n_buckets=_DSIR_NB)
+    kept = imp.gumbel_topk(w, "dsir_weight", 60, "doc_id", salt="dsir",
+                           score_col="__s")
+    return (
+        kept.select("doc_id", F.round("__s", 6).alias("gumbel_score"))
+        .orderBy(F.col("gumbel_score").desc(), "doc_id")
+    )
+
+
+@_q("""
+WITH c AS (
+  SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang
+), r AS (
+  SELECT lang,
+         least(1.0, pow(n, 0.5) / sum(pow(n, 0.5)) OVER ()
+                    * sum(n) OVER () / n) AS rate
+  FROM c
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d JOIN r USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'tmix'), 1, 8))::BIGINT
+      / 4294967296.0 < r.rate
+ORDER BY d.doc_id
+""")
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled rebalancing (extras/importance.py
+    temperature_mix; the multilingual-sampling recipe of XLM): the
+    corpus is language-skewed (en ~2.2x any other lang), so the alpha=0.5
+    keep rate downsamples English and keeps the small languages whole
+    (their rates cap at 1) while preserving the expected corpus size.
+    One bounded counts aggregation broadcast back — no driver action
+    (plan-asserted job-free build in tests/test_importance.py)."""
+    from pydiverse_transform_spark.extras import importance as imp
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        imp.temperature_mix(docs, "lang", "doc_id", alpha=0.5,
+                            salt="tmix")
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    )
+
+
 @_q("""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
