@@ -180,6 +180,7 @@ def main():
     for name, fn in [
         ("minhash_dedup_pairs",
          lambda d: dd.minhash_dedup_pairs(d, persist_shingles=False)),
+        ("neardup_dedup", dd.neardup_dedup),
         ("remove_repeated_segments",
          lambda d: tx.remove_repeated_segments(d, persist_segments=False)),
         ("build_vocab",
