@@ -2938,6 +2938,80 @@ WHERE round({cos}, 6) >= {threshold}
 """
 
 
+def _semdedup_sql(threshold: float, n_cells: int = 16) -> str:
+    """DuckDB twin of similarity.semdedup: fixed md5-derived cell
+    centroids (argmin squared L2), within-cell cosine pairs >=
+    threshold, recursive-CTE connected components, keep the minimum id
+    of every cluster."""
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    cents = hyperplanes(64, n_cells, seed="semdedup")
+    # ||e-c||^2 = |e|^2 - 2 e.c + |c|^2, and |e|^2 is constant within a
+    # row, so argmin over cells of (-2 e.c + |c|^2) IS the squared-L2
+    # argmin — one list_dot_product node per cell instead of 128
+    # explicit product terms (the explicit form is a ~8000-node
+    # expression that DuckDB re-plans per CTE inline: measured 13 s per
+    # inline on 500 rows; this form is milliseconds).  Float near-ties
+    # between cells would break exact parity with Spark's explicit-sum
+    # argmin; with md5-random centroids the margin is astronomically
+    # larger than double rounding.
+    def vec(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    dists = ", ".join(
+        f"(-2.0 * list_dot_product(e, {vec(cen)}) + "
+        f"{sum(c * c for c in cen)!r})"
+        for cen in cents
+    )
+    cos = ("list_dot_product(a.e, b.e) / "
+           "(sqrt(list_dot_product(a.e, a.e)) * "
+           "sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+WITH RECURSIVE celled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_position([{dists}], list_min([{dists}])) - 1 AS cell
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM celled a JOIN celled b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != comp)
+ORDER BY vec_id
+"""
+
+
+@_q(_semdedup_sql(0.4))
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (extras/similarity.py semdedup; Abbas et al. 2023):
+    embedding near-duplicate clusters found WITHIN quantizer cells
+    (cell equi-join, never all-pairs), connected components, keep the
+    canonical minimum-id vector per semantic cluster.  Fixed
+    md5-derived centroids here so the oracle re-derives the cells;
+    production trains them (kmeans_fit(spherical=True))."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 16, seed="semdedup")
+    return (
+        similarity.semdedup(emb, cents, threshold=0.4)
+        .select("vec_id").orderBy("vec_id")
+    )
+
+
 @_q(_embedding_neardup_sql(0.35))
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH bucket self-join +

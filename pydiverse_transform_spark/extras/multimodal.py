@@ -210,16 +210,34 @@ def resize_images(df: DataFrame, media_col: str = "media",
                     F.col(f"{media_col}.payload").alias("payload"))
 
     def kernel(batches: Iterator) -> Iterator:
+        import io
+
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf["id"], pdf["payload"]):
                 data = bytes(payload)
-                w, h = _fake_dims(data)
-                scale = max_side / max(w, h)
-                if scale < 1.0:
-                    w, h = int(w * scale), int(h * scale)
+                if have_pil and not deterministic_fake:
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(data))
+                    fmt = img.format or "PNG"
+                    w, h = img.size
+                    scale = max_side / max(w, h)
+                    if scale < 1.0:
+                        img = img.resize(
+                            (max(1, int(w * scale)),
+                             max(1, int(h * scale))))
+                        w, h = img.size
+                        buf = io.BytesIO()
+                        img.save(buf, format=fmt)
+                        data = buf.getvalue()
+                else:
+                    w, h = _fake_dims(data)
+                    scale = max_side / max(w, h)
+                    if scale < 1.0:
+                        w, h = int(w * scale), int(h * scale)
                 rows.append((i, data, w, h))
             yield pd.DataFrame(
                 rows, columns=["id", "payload", "width", "height"]

@@ -25,7 +25,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "signlsh_bucket", "signlsh_topk", "query_bucket",
            "write_bucketed", "signlsh_topk_bucketed",
            "ivf_centroids", "ivf_cell", "ivf_topk",
-           "embedding_neardup_pairs",
+           "embedding_neardup_pairs", "semdedup_pairs", "semdedup",
            "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
            "kmeans_update", "kmeans_fit", "kmeans_spread_seeds",
            "kmeans_inertia",
@@ -701,6 +701,76 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
             for j in range(m)
         ]
     return books
+
+
+def semdedup_pairs(df: DataFrame, centroids: list[list[float]],
+                   threshold: float = 0.95,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    semantic near-duplicates are pairs in the SAME quantizer cell with
+    cosine >= threshold — the k-means cell plays the role the LSH
+    bucket plays in :func:`embedding_neardup_pairs`, but cells follow
+    the data's cluster structure (train with :func:`kmeans_fit`,
+    ideally ``spherical=True`` for cosine geometry), so semantically
+    close pairs co-locate even when no random hyperplane family would
+    put them together.  Returns (id_a, id_b, cos_sim), id_a < id_b.
+
+    Scale shape: one map-only cell assignment, a self-equi-join that
+    shuffles on the cell id (k cells; raise k so a cell's pair count
+    fits a task), exact cosine only on within-cell candidates — never
+    the O(n²) cross join.  Norms are precomputed once per row."""
+    from .util import fan_out
+
+    celled = fan_out(df).select(
+        F.col(id_col), F.col(vec_col),
+        kmeans_cell(F.col(vec_col), centroids).alias("__cell"),
+        norm(F.col(vec_col)).alias("__norm"),
+    )
+    a = celled.select(
+        F.col("__cell"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"), F.col("__norm").alias("na"),
+    )
+    b = celled.select(
+        F.col("__cell"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
+    )
+    return (
+        a.join(b, on="__cell", how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semdedup(df: DataFrame, centroids: list[list[float]],
+             threshold: float = 0.95,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id",
+             max_iter: int = 30) -> DataFrame:
+    """End-to-end SemDeDup: within-cell cosine pairs -> connected
+    components -> keep only the canonical (minimum-id) row of every
+    semantic-duplicate cluster.  The non-canonical id set is tiny
+    relative to the corpus, so Catalyst broadcasts the anti-join and
+    the full table is read exactly once (same shape as
+    ``dedup.neardup_dedup``)."""
+    from .dedup import connected_components
+
+    pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col)
+    comp = connected_components(pairs, "id_a", "id_b",
+                                max_iter=max_iter)
+    losers = comp.filter(F.col("node") != F.col("comp")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
 
 
 def opq_permutation(df: DataFrame, m: int = 8,

