@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "q_pq_topk",
     "q_pretrain_pipeline",
     "q_pretrain_pipeline_scored",
+    "q_dsir_sample",
+    "q_temperature_mix",
+    "q_semdedup",
     "q_sessionize",
     "q_tumbling_agg",
     "q_asof_join",

@@ -297,3 +297,148 @@ def test_fuzz_sampling_gates(spark):
         con.close()
     assert n_checked == 8
     assert not failures, "\n".join(failures[:5])
+
+
+# --------------------------------------------------------------------------
+# importance module (r6): DSIR weights, Gumbel top-k, temperature mix vs
+# DuckDB twins on random corpora with NULL/empty/adversarial text
+# --------------------------------------------------------------------------
+
+def test_fuzz_importance_gates(spark):
+    from pydiverse_transform_spark.extras import importance as imp
+
+    words = ["alpha", "beta", "Gamma", "δδ", "x", "..", "1", "the"]
+    failures = []
+    for rnd in range(3):
+        rng = random.Random(8100 + rnd)
+        n = rng.randint(10, 40)
+        rows = []
+        for i in range(n):
+            t = rng.choice([
+                None, "", "   ",
+                " ".join(rng.choices(words, k=rng.randint(1, 12))),
+            ])
+            g = rng.choice(["s1", "s2", "s3"])
+            rows.append((i, g, t))
+        sdf = spark.createDataFrame(rows, "id long, g string, text string")
+        con = duckdb.connect()
+        con.register("tbl", pa.table({
+            "id": [r[0] for r in rows],
+            "g": [r[1] for r in rows],
+            "text": [r[2] for r in rows],
+        }))
+        nb = 128
+
+        # --- DSIR weight vs full SQL replay (target = group s1) -------
+        t_counts = imp.bucket_counts(
+            sdf.filter(F.col("g") == "s1"), "text", n_buckets=nb)
+        r_counts = imp.bucket_counts(sdf, "text", n_buckets=nb)
+        lut = imp.log_ratio_table(t_counts, r_counts)
+        out = sdf.select(
+            "id",
+            F.round(imp.importance_weight(F.col("text"), lut), 6)
+            .alias("w"),
+        ).orderBy("id")
+        toks = ("string_split_regex(lower(regexp_replace("
+                "coalesce(text, ''), '^\\s+|\\s+$', '', 'g')), '\\s+')")
+        sql = f"""
+            WITH toksd AS (SELECT id, g, {toks} AS t FROM tbl),
+            grams AS (
+              SELECT id, g, unnest(t) AS gr FROM toksd
+              UNION ALL
+              SELECT id, g, unnest(list_transform(t[1:len(t)-1],
+                     (w, i) -> w || ' ' || t[i+1])) AS gr FROM toksd
+            ), bucketed AS (
+              SELECT id, g,
+                     ('0x' || substr(md5(gr), 1, 8))::BIGINT % {nb} AS b
+              FROM grams
+            ), tcnt AS (
+              SELECT b, count(*) AS n FROM bucketed WHERE g = 's1'
+              GROUP BY b
+            ), rcnt AS (
+              SELECT b, count(*) AS n FROM bucketed GROUP BY b
+            ), tot AS (
+              SELECT (SELECT count(*) FROM bucketed WHERE g = 's1') AS tn,
+                     (SELECT count(*) FROM bucketed) AS rn
+            ), lut AS (
+              SELECT r.b,
+                     ln((coalesce(t.n, 0) + 1.0) / (tot.tn + {nb}))
+                     - ln((r.n + 1.0) / (tot.rn + {nb})) AS lr
+              FROM rcnt r LEFT JOIN tcnt t USING (b), tot
+            ), wts AS (
+              SELECT id, sum(lr) AS w FROM bucketed JOIN lut USING (b)
+              GROUP BY id
+            )
+            SELECT tbl.id, round(coalesce(wts.w, 0.0), 6) AS w
+            FROM tbl LEFT JOIN wts USING (id) ORDER BY id"""
+        ok, msg = compare(out, con, sql, f"dsir[{rnd}]")
+        if not ok:
+            failures.append(msg)
+
+        # --- gumbel top-k on those weights ----------------------------
+        k = rng.choice([3, 7])
+        wdf = sdf.select(
+            "id", imp.importance_weight(F.col("text"), lut).alias("w"))
+        kept = imp.gumbel_topk(wdf, "w", k, "id", salt="fz") \
+            .select("id").orderBy("id")
+        sql = f"""
+            WITH toksd AS (SELECT id, g, {toks} AS t FROM tbl),
+            grams AS (
+              SELECT id, g, unnest(t) AS gr FROM toksd
+              UNION ALL
+              SELECT id, g, unnest(list_transform(t[1:len(t)-1],
+                     (w, i) -> w || ' ' || t[i+1])) AS gr FROM toksd
+            ), bucketed AS (
+              SELECT id, g,
+                     ('0x' || substr(md5(gr), 1, 8))::BIGINT % {nb} AS b
+              FROM grams
+            ), tcnt AS (
+              SELECT b, count(*) AS n FROM bucketed WHERE g = 's1'
+              GROUP BY b
+            ), rcnt AS (
+              SELECT b, count(*) AS n FROM bucketed GROUP BY b
+            ), tot AS (
+              SELECT (SELECT count(*) FROM bucketed WHERE g = 's1') AS tn,
+                     (SELECT count(*) FROM bucketed) AS rn
+            ), lut AS (
+              SELECT r.b,
+                     ln((coalesce(t.n, 0) + 1.0) / (tot.tn + {nb}))
+                     - ln((r.n + 1.0) / (tot.rn + {nb})) AS lr
+              FROM rcnt r LEFT JOIN tcnt t USING (b), tot
+            ), wts AS (
+              SELECT tbl.id, coalesce(w.w, 0.0) AS w
+              FROM tbl LEFT JOIN (
+                SELECT id, sum(lr) AS w FROM bucketed JOIN lut USING (b)
+                GROUP BY id) w USING (id)
+            )
+            SELECT id FROM (
+              SELECT id, w - ln(-ln(greatest(
+                  ('0x' || substr(md5(id::VARCHAR || 'fz'), 1, 8))::BIGINT
+                  / 4294967296.0, 1.0 / 4294967296.0))) AS s
+              FROM wts)
+            ORDER BY s DESC, id LIMIT {k}"""
+        want = sorted(r[0] for r in con.execute(sql).fetchall())
+        got = sorted(r["id"] for r in kept.collect())
+        if got != want:
+            failures.append(f"gumbel[{rnd}]: {got} != {want}")
+
+        # --- temperature mix ------------------------------------------
+        alpha = rng.choice([0.3, 0.7])
+        out = imp.temperature_mix(sdf, "g", "id", alpha=alpha,
+                                  salt="fzmix").select("id", "g") \
+            .orderBy("id")
+        sql = f"""
+            WITH c AS (SELECT g, count(*)::DOUBLE AS n FROM tbl GROUP BY g),
+            r AS (SELECT g, least(1.0,
+                     pow(n, {alpha}) / sum(pow(n, {alpha})) OVER ()
+                     * sum(n) OVER () / n) AS rate FROM c)
+            SELECT t.id, t.g FROM tbl t JOIN r USING (g)
+            WHERE ('0x' || substr(md5(t.id::VARCHAR || 'fzmix'), 1, 8))::BIGINT
+                  / 4294967296.0 < r.rate
+            ORDER BY t.id"""
+        ok, msg = compare(out, con, sql, f"tmix[{rnd}:a={alpha}]")
+        if not ok:
+            failures.append(msg)
+
+    assert not failures, f"{len(failures)} mismatches:\n" + "\n".join(
+        failures[:5])
