@@ -5095,7 +5095,7 @@ def q_dsir_weights(spark, sf_dir):
     from pydiverse_transform_spark.extras import importance as imp
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = imp.dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+    out = imp.dsir_weights(docs, F.col("lang") == "en",
                            n_buckets=_DSIR_NB)
     return (
         out.select("doc_id", "lang",
@@ -5128,7 +5128,7 @@ def q_dsir_sample(spark, sf_dir):
     from pydiverse_transform_spark.extras import importance as imp
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = imp.dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+    w = imp.dsir_weights(docs, F.col("lang") == "en",
                          n_buckets=_DSIR_NB)
     kept = imp.gumbel_topk(w, "dsir_weight", 60, "doc_id", salt="dsir",
                            score_col="__s")

@@ -150,17 +150,43 @@ def importance_weight(text: Column, log_ratios: list[float],
     )
 
 
-def dsir_weights(df: DataFrame, target: DataFrame,
+def dsir_weights(df: DataFrame, target: DataFrame | Column,
                  text_col: str = "text",
                  n_buckets: int = 4096, bigrams: bool = True,
                  weight_col: str = "dsir_weight") -> DataFrame:
     """Attach DSIR importance weights to ``df``: estimate the hashed
     n-gram distribution of the TARGET corpus (what you want more of)
     and of ``df`` itself (the raw pool), then score every raw document
-    with the log-likelihood ratio.  Two bounded model-fit passes + one
-    map-only scoring pass."""
-    t_counts = bucket_counts(target, text_col, n_buckets, bigrams)
-    r_counts = bucket_counts(df, text_col, n_buckets, bigrams)
+    with the log-likelihood ratio.
+
+    ``target`` is either a separate DataFrame (two bounded model-fit
+    passes — the general cross-corpus form) or a boolean Column over
+    ``df``'s rows (e.g. ``F.col("lang") == "en"``): then BOTH
+    distributions come from ONE tokenization pass — the raw count per
+    bucket plus a conditional count for the target subset ride the same
+    hash-aggregate, halving the training scan.  Scoring is map-only
+    either way."""
+    if isinstance(target, Column):
+        from .util import fan_out
+
+        ex = fan_out(df).select(
+            F.explode(
+                hashed_ngram_buckets(F.col(text_col), n_buckets, bigrams)
+            ).alias("b"),
+            target.alias("__t"),
+        )
+        rows = ex.groupBy("b").agg(
+            F.count(F.lit(1)).alias("r"),
+            F.count_if(F.col("__t")).alias("t"),
+        ).collect()
+        t_counts = [0] * n_buckets
+        r_counts = [0] * n_buckets
+        for row in rows:
+            r_counts[int(row["b"])] = int(row["r"])
+            t_counts[int(row["b"])] = int(row["t"])
+    else:
+        t_counts = bucket_counts(target, text_col, n_buckets, bigrams)
+        r_counts = bucket_counts(df, text_col, n_buckets, bigrams)
     lut = log_ratio_table(t_counts, r_counts)
     return df.withColumn(
         weight_col,

@@ -210,3 +210,18 @@ def test_rejects_bad_alpha(spark, sf_dir):
         imp.temperature_mix(docs, "source", "doc_id", alpha=0.0)
     with pytest.raises(ValueError, match="alpha"):
         imp.temperature_mix_rates({"a": 1}, alpha=-1)
+
+
+def test_dsir_weights_column_target_matches_dataframe_target(spark, sf_dir):
+    """The single-pass Column-target form must produce identical
+    weights to the general two-pass DataFrame-target form."""
+    docs = _docs(spark, sf_dir)
+    two_pass = imp.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=512)
+    one_pass = imp.dsir_weights(
+        docs, F.col("lang") == "en", n_buckets=512)
+    a = {r["doc_id"]: r["dsir_weight"] for r in two_pass.collect()}
+    b = {r["doc_id"]: r["dsir_weight"] for r in one_pass.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12, k
