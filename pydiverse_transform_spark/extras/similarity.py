@@ -706,7 +706,8 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
 def semdedup_pairs(df: DataFrame, centroids: list[list[float]],
                    threshold: float = 0.95,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   persist_celled: bool | None = None) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     semantic near-duplicates are pairs in the SAME quantizer cell with
@@ -720,14 +721,25 @@ def semdedup_pairs(df: DataFrame, centroids: list[list[float]],
     Scale shape: one map-only cell assignment, a self-equi-join that
     shuffles on the cell id (k cells; raise k so a cell's pair count
     fits a task), exact cosine only on within-cell candidates — never
-    the O(n²) cross join.  Norms are precomputed once per row."""
-    from .util import fan_out
+    the O(n²) cross join.  Norms are precomputed once per row.
 
+    ``persist_celled`` caches the celled projection so the k-centroid
+    argmin (interpreted higher-order folds) runs once instead of once
+    per self-join branch; default (None) persists only when the input's
+    size estimate is small (the same adaptive-materialization rule as
+    ``minhash_dedup_pairs`` — at corpus scale the projection is the
+    whole vector table and must NOT be pinned)."""
+    from .util import SMALL_CORPUS_BYTES, fan_out, plan_size_bytes
+
+    if persist_celled is None:
+        persist_celled = plan_size_bytes(df) <= SMALL_CORPUS_BYTES
     celled = fan_out(df).select(
         F.col(id_col), F.col(vec_col),
         kmeans_cell(F.col(vec_col), centroids).alias("__cell"),
         norm(F.col(vec_col)).alias("__norm"),
     )
+    if persist_celled:
+        celled = celled.persist()
     a = celled.select(
         F.col("__cell"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"), F.col("__norm").alias("na"),

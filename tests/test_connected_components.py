@@ -88,3 +88,51 @@ def test_star_chain_rounds_independent_of_diameter(spark):
     assert comps == {0}
     assert cc.count() == n
     assert rounds[0] <= 15, rounds
+
+
+def test_pointer_jumping_log_rounds_on_chain(spark):
+    """r6: hash-min with pointer jumping must converge in O(log d)
+    rounds — a 32-hop chain needs <= 7, where 1-hop propagation
+    needed ~32."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 33)], "id_a long, id_b long")
+    rounds = []
+    out = connected_components(pairs, strategy="distributed",
+                               _rounds_out=rounds)
+    got = {r.node: r.comp for r in out.collect()}
+    assert got == {i: 1 for i in range(1, 34)}
+    assert rounds[0] <= 7, rounds
+
+
+def test_driver_and_distributed_strategies_agree(spark):
+    """r6: the auto/driver union-find path and the distributed
+    pointer-jumping loop must label identically on random graphs."""
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = rng.randint(5, 40)
+        edges = [(rng.randint(1, n), rng.randint(1, n))
+                 for _ in range(rng.randint(3, 60))]
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        drv = {(r.node, r.comp) for r in
+               connected_components(pairs, strategy="driver").collect()}
+        dist = {(r.node, r.comp) for r in
+                connected_components(pairs, strategy="distributed")
+                .collect()}
+        assert drv == dist, (trial, sorted(drv ^ dist))
+
+
+def test_auto_switches_to_distributed_over_cap(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 20)], "id_a long, id_b long")
+    rounds = []
+    out = connected_components(pairs, driver_max_pairs=5,
+                               _rounds_out=rounds)
+    got = {r.node: r.comp for r in out.collect()}
+    assert got == {i: 1 for i in range(1, 21)}
+    assert rounds[0] > 0  # the distributed loop ran
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="driver_max_pairs"):
+        connected_components(pairs, strategy="driver",
+                             driver_max_pairs=5)
