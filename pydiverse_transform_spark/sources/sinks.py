@@ -10,11 +10,14 @@ a pipe: ``t >> write_parquet(path, partition_by=["dt"]) >> ...``.
 
 from __future__ import annotations
 
+import os
+
 from ..operators.pipeable import verb
 from ..table import Table
 
 __all__ = ["write_parquet", "write_csv", "write_json", "write_orc",
-           "save_as_table", "write_time_partitioned", "write_sorted"]
+           "save_as_table", "write_time_partitioned", "write_sorted",
+           "compact_parquet", "dataset_manifest", "write_manifest"]
 
 
 def _writer(table: Table, mode: str, partition_by, **options):
@@ -147,3 +150,130 @@ def write_sorted(table: Table, path: str, sort_by, *,
         .write.mode(mode).options(**options).parquet(path)
     )
     return table
+
+
+# ---------------------------------------------------------------------------
+# Operational sinks: small-file compaction and dataset manifests.  At the
+# 100-TB target a pipeline's output health is measured in FILES as much as
+# rows — thousands of tiny files destroy scan throughput (per-file open
+# cost, tiny row groups, NameNode/listing pressure), and downstream
+# consumers need dataset-level stats without a full scan.
+# ---------------------------------------------------------------------------
+
+def _hadoop_files(spark, path: str):
+    """(path, size_bytes) for every data file under ``path``, via the
+    JVM Hadoop FileSystem (works on any supported scheme: file://,
+    hdfs://, s3a://...)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, checksums, manifests
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return out
+
+
+def compact_parquet(spark, path: str, out_path: str, *,
+                    target_file_bytes: int = 128 << 20,
+                    partition_by: list[str] | None = None,
+                    shuffle: bool = False,
+                    mode: str = "error") -> dict:
+    """Compact a small-file parquet dataset into ~``target_file_bytes``
+    files at ``out_path`` (the standard maintenance pass after a
+    streaming sink or an over-parallel write).
+
+    File count is sized from the ACTUAL on-disk bytes (Hadoop listing —
+    no scan), not a row-count guess.  ``shuffle=False`` (default) uses
+    ``coalesce`` — a metadata-only narrow dependency, zero shuffle: the
+    right mode for pure compaction.  ``shuffle=True`` repartitions for
+    balanced output when the input is skewed.  With ``partition_by``
+    the data is hash-clustered on the partition keys first so each
+    output task holds few partition values (without it, coalesce +
+    partitionBy would make every task write a file per key it holds —
+    MORE files, not fewer).
+
+    In-place compaction is refused: Spark cannot atomically overwrite a
+    path it is reading; write to ``out_path`` and swap at the catalog /
+    directory level.  Returns {files_before, bytes, n_files_target}."""
+    if os.path.abspath(out_path) == os.path.abspath(path):
+        raise ValueError(
+            "compact_parquet: out_path must differ from path — Spark "
+            "cannot overwrite a dataset it is reading; write to a new "
+            "directory and swap it in afterwards")
+    files = _hadoop_files(spark, path)
+    total = sum(sz for _, sz in files)
+    n_target = max(1, -(-total // int(target_file_bytes)))
+    df = spark.read.parquet(path)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        clustered = df.repartition(n_target,
+                                   *[F.col(c) for c in partition_by])
+        clustered.write.mode(mode).partitionBy(*partition_by) \
+            .parquet(out_path)
+    elif shuffle:
+        df.repartition(n_target).write.mode(mode).parquet(out_path)
+    else:
+        df.coalesce(n_target).write.mode(mode).parquet(out_path)
+    return {"files_before": len(files), "bytes": total,
+            "n_files_target": n_target}
+
+
+def dataset_manifest(spark, path: str,
+                     partition_cols: list[str] | None = None) -> dict:
+    """Dataset-level stats: file count/bytes from the Hadoop listing
+    (no scan) + row counts overall and per partition-column value (one
+    count-star aggregate — parquet answers it from footer metadata,
+    no data pages read).  The cheap contract a downstream consumer
+    checks before a 100-TB read."""
+    from pyspark.sql import functions as F
+
+    files = _hadoop_files(spark, path)
+    df = spark.read.parquet(path)
+    out = {
+        "path": path,
+        "n_files": len(files),
+        "total_bytes": sum(sz for _, sz in files),
+        "n_rows": df.count(),
+        "schema": [(f.name, f.dataType.simpleString())
+                   for f in df.schema.fields],
+    }
+    if partition_cols:
+        rows = (
+            df.groupBy(*partition_cols)
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        )
+        out["partitions"] = [
+            {"values": {c: (None if r[c] is None else str(r[c]))
+                        for c in partition_cols},
+             "n_rows": int(r["n_rows"])}
+            for r in sorted(rows, key=lambda r: tuple(
+                str(r[c]) for c in partition_cols))
+        ]
+    return out
+
+
+def write_manifest(spark, path: str,
+                   partition_cols: list[str] | None = None,
+                   filename: str = "_manifest.json") -> dict:
+    """Compute :func:`dataset_manifest` and persist it as a JSON
+    sidecar inside the dataset directory (underscore-prefixed, so scans
+    ignore it like _SUCCESS).  Returns the manifest."""
+    import json
+
+    man = dataset_manifest(spark, path, partition_cols)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/" + filename)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(man, indent=1).encode()))
+    finally:
+        out.close()
+    return man

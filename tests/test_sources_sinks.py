@@ -68,3 +68,86 @@ def test_from_rows_and_polars(spark):
         pytest.skip("polars not installed")
     t2 = pdt.from_polars(spark, pl.DataFrame({"x": [1, 2, 3]}))
     assert sorted((t2 >> pdt.export(pdt.Polars))["x"].to_list()) == [1, 2, 3]
+
+
+# --------------------------------------------------------------------------
+# r6: compaction + manifest
+# --------------------------------------------------------------------------
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from pydiverse_transform_spark.sources.sinks import (
+        _hadoop_files,
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "frag")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(24).write.parquet(src)
+    before = _hadoop_files(spark, src)
+    assert len(before) >= 24
+    out = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, out,
+                            target_file_bytes=1 << 40)  # everything -> 1
+    after = _hadoop_files(spark, out)
+    assert stats["n_files_target"] == 1 and len(after) == 1
+    assert spark.read.parquet(out).count() == docs.count()
+    # the coalesce path must not shuffle
+    df = spark.read.parquet(src).coalesce(1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_compact_parquet_partitioned_layout(spark, sf_dir, tmp_path):
+    from pydiverse_transform_spark.sources.sinks import (
+        _hadoop_files,
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "bylang")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(16).write.partitionBy("lang").parquet(src)
+    n_before = len(_hadoop_files(spark, src))
+    out = str(tmp_path / "bylang_c")
+    compact_parquet(spark, src, out, target_file_bytes=1 << 40,
+                    partition_by=["lang"])
+    n_after = len(_hadoop_files(spark, out))
+    assert n_after < n_before
+    got = spark.read.parquet(out)
+    assert got.count() == docs.count()
+    assert set(got.select("lang").distinct().toPandas()["lang"]) == \
+        set(docs.select("lang").distinct().toPandas()["lang"])
+
+
+def test_compact_refuses_in_place(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from pydiverse_transform_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "x")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.parquet(src)
+    with _pytest.raises(ValueError, match="out_path must differ"):
+        compact_parquet(spark, src, src)
+
+
+def test_write_manifest_sidecar(spark, sf_dir, tmp_path):
+    import json
+    import os
+
+    from pydiverse_transform_spark.sources.sinks import write_manifest
+
+    src = str(tmp_path / "man")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.partitionBy("lang").parquet(src)
+    man = write_manifest(spark, src, partition_cols=["lang"])
+    assert man["n_rows"] == docs.count()
+    assert man["n_files"] >= 1 and man["total_bytes"] > 0
+    per = {p["values"]["lang"]: p["n_rows"] for p in man["partitions"]}
+    want = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").count().withColumnRenamed("count", "n")
+            .collect()}
+    assert per == {k: v for k, v in want.items()}
+    # sidecar exists and is scan-invisible
+    assert os.path.exists(os.path.join(src, "_manifest.json"))
+    loaded = json.load(open(os.path.join(src, "_manifest.json")))
+    assert loaded["n_rows"] == man["n_rows"]
+    assert spark.read.parquet(src).count() == docs.count()
