@@ -4347,6 +4347,66 @@ def q_chunk_text(spark, sf_dir):
         .select("doc_id", "chunk_id", "chunk")
 
 
+@_q(f"""
+WITH chunks AS (
+  SELECT doc_id, lang, CAST(s // 400 AS BIGINT) AS chunk_id,
+         substring(text, CAST(s AS INT) + 1, 400) AS chunk
+  FROM (SELECT doc_id, lang, text,
+               unnest(range(0, greatest(length(text), 1), 400)) AS s
+        FROM documents)
+), toks AS (
+  SELECT lang, doc_id * 10000 + chunk_id AS k,
+         {{tok}} AS n_tok
+  FROM chunks
+), packed AS (
+  SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS before
+  FROM toks
+)
+SELECT lang, CAST(before // 256 AS BIGINT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       min(k) AS first_k, max(k) AS last_k
+FROM packed GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+""".format(tok=(
+    "CASE WHEN length(regexp_replace(chunk, '^\\s+|\\s+$', '', 'g')) = 0 "
+    "THEN CAST(0 AS BIGINT) ELSE CAST(len(string_split_regex("
+    "regexp_replace(chunk, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) "
+    "END")))
+def q_packed_batches(spark, sf_dir):
+    """End-to-end context-window assembly — the last mile of a
+    pretraining data pipeline: chunk documents to bounded pieces
+    (map-only), count tokens per chunk, lay chunks into 256-token bins
+    with the concat-and-split packing cumsum (one window shuffle per
+    language shard), and assemble per-bin manifests (one hash
+    aggregation).  Two shuffles end-to-end; the oracle replays
+    chunking, token counts, the packing layout and the bin rollup."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import sampling as sp
+    from pydiverse_transform_spark.extras import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = tx.chunk_text(docs, "text", size=400, overlap=0)
+    toks = chunks.select(
+        "lang",
+        (F.col("doc_id") * 10000 + F.col("chunk_id")).alias("k"),
+        tx.token_count(F.col("chunk")).alias("n_tok"),
+    )
+    packed = sp.pack_sequences(toks, "n_tok", budget=256,
+                               order_by="k", partition_by="lang")
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum("n_tok").alias("n_tokens"),
+             F.min("k").alias("first_k"),
+             F.max("k").alias("last_k"))
+        .orderBy("lang", "bin_id")
+    )
+
+
 def _shingle_all_sql(col: str, k: int = 3) -> str:
     """Non-deduplicated k-word shingle list (mirrors the windows of
     extras.dedup.word_shingles before array_distinct)."""
