@@ -73,6 +73,18 @@ def _scored_pipeline(docs):
                                     n_shards=64)
 
 
+def _dsir_select(docs):
+    """DSIR train (single-pass labeled-subset form) + map-only scoring
+    + Gumbel top-1000 selection."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import importance as imp
+
+    return imp.gumbel_topk(
+        imp.dsir_weights(docs, F.col("lang") == "en"),
+        "dsir_weight", 1000, "doc_id", salt="bench")
+
+
 def _nb_train_score(docs):
     """Train the NB classifier on lang labels and score the corpus —
     both phases per run (the model shuffle is vocabulary-bounded, so
@@ -192,6 +204,7 @@ def main():
                                     min_required_words=1)),
         ("pretrain_pipeline", _pretrain_pipeline),
         ("scored_pipeline", _scored_pipeline),
+        ("dsir_select", _dsir_select),
         ("nb_train_score", _nb_train_score),
         ("lm_train_score", _lm_train_score),
     ]:

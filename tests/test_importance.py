@@ -225,3 +225,34 @@ def test_dsir_weights_column_target_matches_dataframe_target(spark, sf_dir):
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12, k
+
+
+def test_dsir_scoring_runs_on_a_stream(spark, sf_dir, tmp_path):
+    """The scoring pass is a pure map (literal LUT, no join/shuffle),
+    so a trained model applies unmodified to a document STREAM — the
+    online-filtering deployment shape."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = imp.bucket_counts(docs.filter(F.col("lang") == "en"),
+                          n_buckets=256)
+    r = imp.bucket_counts(docs, n_buckets=256)
+    lut = imp.log_ratio_table(t, r)
+
+    src = str(tmp_path / "docstream")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    scored = stream.select(
+        "doc_id",
+        F.round(imp.importance_weight(F.col("text"), lut), 6).alias("w"),
+    )
+    q = (scored.writeStream.format("memory")
+         .queryName("dsir_stream_test")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r_["doc_id"]: r_["w"] for r_ in
+           spark.sql("SELECT * FROM dsir_stream_test").collect()}
+    want = {r_["doc_id"]: r_["w"] for r_ in docs.select(
+        "doc_id",
+        F.round(imp.importance_weight(F.col("text"), lut), 6).alias("w"),
+    ).collect()}
+    assert got == want and len(got) == docs.count()
