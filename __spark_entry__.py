@@ -5266,6 +5266,53 @@ def q_sorted_scan(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+""")
+def q_compacted_scan(spark, sf_dir):
+    """Small-file compaction round-trip (sources/sinks.py
+    compact_parquet): the corpus is deliberately fragmented into 24
+    files, compacted back (zero-shuffle coalesce, file count sized from
+    the Hadoop listing), and a manifest sidecar written; the aggregate
+    over the compacted layout must equal the raw table — compaction is
+    purely a physical-layout maintenance pass, content unchanged.  The
+    query asserts the file count actually shrank and the manifest row
+    count matches, so a silent no-op compaction fails the row."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.sources.sinks import (
+        _hadoop_files,
+        compact_parquet,
+        write_manifest,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", "compact_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    frag, out = base + "_frag", base + "_out"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(24).write.mode("overwrite").parquet(frag)
+    stats = compact_parquet(spark, frag, out,
+                            target_file_bytes=64 << 20)
+    man = write_manifest(spark, out)
+    n_after = len(_hadoop_files(spark, out))
+    assert stats["files_before"] >= 24 and n_after < stats["files_before"]
+    assert man["n_rows"] == docs.count()
+    return (
+        spark.read.parquet(out)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
 # =============================================================================
 # driver contract
 # =============================================================================

@@ -200,7 +200,12 @@ def compact_parquet(spark, path: str, out_path: str, *,
     In-place compaction is refused: Spark cannot atomically overwrite a
     path it is reading; write to ``out_path`` and swap at the catalog /
     directory level.  Returns {files_before, bytes, n_files_target}."""
-    if os.path.abspath(out_path) == os.path.abspath(path):
+    def _norm(p: str) -> str:
+        # scheme-aware: abspath would mangle s3a://... URIs
+        return (p.rstrip("/") if "://" in p
+                else os.path.abspath(p).rstrip("/"))
+
+    if _norm(out_path) == _norm(path):
         raise ValueError(
             "compact_parquet: out_path must differ from path — Spark "
             "cannot overwrite a dataset it is reading; write to a new "
