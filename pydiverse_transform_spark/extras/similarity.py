@@ -31,6 +31,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "kmeans_inertia",
            "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
            "pq_topk_coded", "write_ivfpq", "ivfpq_topk",
+           "write_ivfpq_meta", "read_ivfpq_meta", "ivfpq_topk_auto",
            "opq_permutation", "permute_vec"]
 
 
@@ -947,14 +948,17 @@ def write_ivfpq(df: DataFrame, path: str,
                 codebooks: list[list[list[float]]],
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 residual: bool = True,
-                store_vectors: bool = True) -> None:
+                store_vectors: bool = True,
+                write_meta: bool = True) -> None:
     """Materialize an IVF-PQ index: rows are assigned to their L2-argmin
     coarse cell (:func:`kmeans_cell`), PQ-encoded — classically on the
     RESIDUAL vector v - centroid[cell], which centers each cell's data
     on the codebooks and tightens quantization — and written with the
     cell as a parquet PARTITION column.  ``store_vectors`` keeps the
     raw vectors in the same files for the re-rank fetch (column
-    pruning keeps them out of the ADC scan).
+    pruning keeps them out of the ADC scan).  ``write_meta`` persists
+    the quantizer model as a sidecar so
+    :func:`ivfpq_topk_auto` can query the index from its path alone.
 
     One map-only pass over the corpus; no shuffle beyond the write's
     own file layout."""
@@ -973,6 +977,88 @@ def write_ivfpq(df: DataFrame, path: str,
     if not store_vectors:
         coded = coded.drop(vec_col)
     coded.write.mode("overwrite").partitionBy("cell").parquet(path)
+    if write_meta:
+        write_ivfpq_meta(df.sparkSession, path, centroids, codebooks,
+                         residual, store_vectors, vec_col, id_col)
+
+
+IVFPQ_META_FILE = "_ivfpq_meta.json"
+
+
+def write_ivfpq_meta(spark, path: str, centroids: list[list[float]],
+                     codebooks: list[list[list[float]]],
+                     residual: bool, store_vectors: bool,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> None:
+    """Persist the quantizer model as an underscore sidecar inside the
+    index directory (scans ignore it like _SUCCESS), making the index
+    SELF-DESCRIBING: a consumer needs only the path, not a re-derivation
+    of the trained centroids/codebooks.  Written via the Hadoop
+    FileSystem so it lands on whatever scheme the index uses."""
+    import json
+
+    meta = {
+        "format": "ivfpq/1",
+        "dim": len(centroids[0]),
+        "n_cells": len(centroids),
+        "m": len(codebooks),
+        "k_codes": len(codebooks[0]),
+        "residual": bool(residual),
+        "store_vectors": bool(store_vectors),
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "centroids": centroids,
+        "codebooks": codebooks,
+    }
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/" + IVFPQ_META_FILE)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(meta).encode()))
+    finally:
+        out.close()
+
+
+def read_ivfpq_meta(spark, path: str) -> dict:
+    """Load the :func:`write_ivfpq_meta` sidecar of an index."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path + "/" + IVFPQ_META_FILE)
+    fs = hpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(
+            f"no {IVFPQ_META_FILE} under {path!r} — the index was "
+            "written without metadata (write_ivfpq(write_meta=False)); "
+            "pass centroids/codebooks explicitly to ivfpq_topk")
+    stream = fs.open(hpath)
+    try:
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    meta = json.loads(data.decode())
+    if meta.get("format") != "ivfpq/1":
+        raise ValueError(f"unknown index metadata format: "
+                         f"{meta.get('format')!r}")
+    return meta
+
+
+def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
+                    k: int = 10, nprobe: int = 2,
+                    pool: int | None = None):
+    """Query a self-describing :func:`write_ivfpq` index: the quantizer
+    model, residual mode and column names all come from the sidecar."""
+    meta = read_ivfpq_meta(spark, path)
+    return ivfpq_topk(
+        spark, path, query_vec,
+        centroids=meta["centroids"], codebooks=meta["codebooks"],
+        k=k, nprobe=nprobe, residual=meta["residual"], pool=pool,
+        vec_col=meta["vec_col"], id_col=meta["id_col"],
+    )
 
 
 def ivfpq_topk(spark, path: str, query_vec: list[float],

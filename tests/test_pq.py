@@ -250,3 +250,52 @@ def test_permute_vec_l2_invariant(spark, sf_dir):
         .collect()[0]
     )
     assert [float(v) for v in row["p"]] == pa
+
+
+# --------------------------------------------------------------------------
+# r6: self-describing IVF-PQ index (metadata sidecar)
+# --------------------------------------------------------------------------
+
+def test_ivfpq_meta_roundtrip_and_auto_query(spark, sf_dir, tmp_path):
+    emb = _emb(spark, sf_dir)
+    cents = sim.hyperplanes(64, 8, seed="ivfpq")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    path = str(tmp_path / "idx")
+    sim.write_ivfpq(emb, path, cents, cbs, residual=True)
+    meta = sim.read_ivfpq_meta(spark, path)
+    assert (meta["n_cells"], meta["m"], meta["k_codes"]) == (8, 8, 16)
+    assert meta["residual"] is True and meta["store_vectors"] is True
+    explicit = sim.ivfpq_topk(spark, path, QVEC, cents, cbs, k=5,
+                              nprobe=2, residual=True, pool=50).collect()
+    auto = sim.ivfpq_topk_auto(spark, path, QVEC, k=5, nprobe=2,
+                               pool=50).collect()
+    assert [tuple(r) for r in auto] == [tuple(r) for r in explicit]
+    # the sidecar is scan-invisible
+    assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_ivfpq_meta_missing_raises(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    emb = _emb(spark, sf_dir)
+    cents = sim.hyperplanes(64, 8, seed="ivfpq")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    path = str(tmp_path / "bare")
+    sim.write_ivfpq(emb, path, cents, cbs, write_meta=False)
+    with _pytest.raises(FileNotFoundError, match="_ivfpq_meta"):
+        sim.ivfpq_topk_auto(spark, path, QVEC, k=5)
+
+
+def test_ivfpq_pool_guard_on_vectorless_index(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    emb = _emb(spark, sf_dir)
+    cents = sim.hyperplanes(64, 8, seed="ivfpq")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    path = str(tmp_path / "novec")
+    sim.write_ivfpq(emb, path, cents, cbs, store_vectors=False)
+    with _pytest.raises(ValueError, match="store_vectors=False"):
+        sim.ivfpq_topk(spark, path, QVEC, cents, cbs, k=5, pool=50)
+    # ADC-only querying still works
+    assert len(sim.ivfpq_topk_auto(spark, path, QVEC, k=5,
+                                   pool=None).collect()) == 5
