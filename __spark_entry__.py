@@ -3014,6 +3014,66 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def _semantic_decon_sql(threshold: float, n_cells: int = 16,
+                        bench_max_id: int = 20) -> str:
+    """DuckDB twin of similarity.semantic_decontaminate: same fixed
+    cells, cross-side within-cell cosine >= threshold marks a corpus id
+    contaminated; survivors are the anti-join."""
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    cents = hyperplanes(64, n_cells, seed="semdedup")
+    dists = ", ".join(
+        f"(-2.0 * list_dot_product(e, ["
+        + ", ".join(repr(float(x)) for x in cen)
+        + f"]::DOUBLE[]) + {sum(c * c for c in cen)!r})"
+        for cen in cents
+    )
+    cos = ("list_dot_product(c.e, b.e) / "
+           "(sqrt(list_dot_product(c.e, c.e)) * "
+           "sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+WITH celled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_position([{dists}], list_min([{dists}])) - 1 AS cell
+  FROM embeddings
+), corpus AS (SELECT * FROM celled WHERE vec_id >= {bench_max_id}),
+bench AS (SELECT * FROM celled WHERE vec_id < {bench_max_id}),
+bad AS (
+  SELECT DISTINCT c.vec_id
+  FROM corpus c JOIN bench b ON c.cell = b.cell
+  WHERE round({cos}, 6) >= {threshold}
+)
+SELECT vec_id FROM corpus
+WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+ORDER BY vec_id
+"""
+
+
+@_q(_semantic_decon_sql(0.3))
+def q_semantic_decontaminate(spark, sf_dir):
+    """Semantic benchmark decontamination (extras/similarity.py
+    semantic_decontaminate): corpus vectors whose cosine to ANY
+    benchmark vector (here: the 20 smallest-id embeddings, a
+    deterministic eval-set stand-in) reaches 0.3 are dropped — the
+    embedding-space sibling of the exact-shingle q_decontaminate,
+    catching paraphrases that share no n-grams.  Candidates come from
+    a quantizer-cell equi-join with the benchmark side BROADCAST —
+    the corpus never shuffles."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    cents = similarity.hyperplanes(64, 16, seed="semdedup")
+    return (
+        similarity.semantic_decontaminate(corpus, bench, cents,
+                                          threshold=0.3)
+        .select("vec_id").orderBy("vec_id")
+    )
+
+
 @_q(_embedding_neardup_sql(0.35))
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH bucket self-join +

@@ -26,6 +26,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "write_bucketed", "signlsh_topk_bucketed",
            "ivf_centroids", "ivf_cell", "ivf_topk",
            "embedding_neardup_pairs", "semdedup_pairs", "semdedup",
+           "semantic_contaminated_ids", "semantic_decontaminate",
            "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
            "kmeans_update", "kmeans_fit", "kmeans_spread_seeds",
            "kmeans_inertia",
@@ -784,6 +785,58 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
     losers = comp.filter(F.col("node") != F.col("comp")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+def semantic_contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
+                              centroids: list[list[float]],
+                              threshold: float = 0.95,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> DataFrame:
+    """Corpus ids semantically too close to a BENCHMARK set — the
+    embedding-space sibling of ``dedup.contaminated_ids`` (which
+    matches exact shingles; this catches paraphrases and translations
+    that share no n-grams).  Bipartite version of
+    :func:`semdedup_pairs`: both sides are assigned to the same
+    quantizer cells, candidates are the cross-side within-cell pairs
+    (equi-join on the cell — never corpus × benchmark), and exact
+    cosine confirms each candidate.  Returns distinct contaminated
+    corpus ids.
+
+    Scale shape: the benchmark side is small by definition (an eval
+    set), so after the cell filter its celled projection broadcasts;
+    the corpus pays one map-only assignment pass and the probe join —
+    no corpus shuffle at all when the broadcast fires."""
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__vc"),
+        kmeans_cell(F.col(vec_col), centroids).alias("__cell"),
+        norm(F.col(vec_col)).alias("__nc"),
+    )
+    b = benchmark.select(
+        kmeans_cell(F.col(vec_col), centroids).alias("__cell"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = F.try_divide(dot(F.col("__vc"), F.col("__vb")),
+                       F.col("__nc") * F.col("__nb"))
+    return (
+        c.join(F.broadcast(b), on="__cell", how="inner")
+        .filter(F.round(cos, 6) >= threshold)
+        .select(id_col)
+        .distinct()
+    )
+
+
+def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                           centroids: list[list[float]],
+                           threshold: float = 0.95,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id") -> DataFrame:
+    """Drop semantically benchmark-contaminated rows from the corpus:
+    anti-join against :func:`semantic_contaminated_ids` (a tiny id set —
+    broadcast anti-join, corpus read once)."""
+    bad = semantic_contaminated_ids(corpus, benchmark, centroids,
+                                    threshold, vec_col, id_col)
+    return corpus.join(bad, id_col, "left_anti")
 
 
 def opq_permutation(df: DataFrame, m: int = 8,

@@ -108,3 +108,46 @@ def test_semdedup_keeps_canonical_per_cluster(spark, sf_dir):
     assert len(losers) > 0
     assert kept == {r["vec_id"] for r in emb.select("vec_id").collect()} - losers
     assert len(kept) == n - len(losers)
+
+
+def test_semantic_decontaminate_drops_close_corpus_rows(spark, sf_dir):
+    """Bipartite contract: a corpus row is dropped iff SOME benchmark
+    row shares its cell and reaches the cosine threshold; the benchmark
+    side broadcasts (plan-asserted) and the corpus never shuffles."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    cents = sim.hyperplanes(64, 16, seed="semdedup")
+    kept = sim.semantic_decontaminate(corpus, bench, cents,
+                                      threshold=0.25)
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    # the probe join broadcasts STATICALLY (bench stats are known); the
+    # anti-join's build side is a derived distinct with unknown stats, so
+    # its broadcast conversion is AQE's runtime call — statically it is a
+    # LeftAnti whose only hash exchanges carry the tiny id relation
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    import re
+    exch = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert all("vec_id" in e for e in exch), exch
+
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    # brute-force twin restricted to shared cells
+    cell = sim.kmeans_cell(F.col("embedding"), cents)
+    c = corpus.select(F.col("vec_id").alias("ci"),
+                      F.col("embedding").alias("cv"),
+                      cell.alias("cc"))
+    b = bench.select(F.col("embedding").alias("bv"), cell.alias("bc"))
+    bad = {
+        r["ci"] for r in
+        c.crossJoin(b)
+        .filter(F.col("cc") == F.col("bc"))
+        .filter(F.round(sim.cosine(F.col("cv"), F.col("bv")), 6) >= 0.25)
+        .collect()
+    }
+    all_ids = {r["vec_id"] for r in corpus.select("vec_id").collect()}
+    assert len(bad) > 0 and kept_ids == all_ids - bad
