@@ -31,7 +31,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "kmeans_update", "kmeans_fit", "kmeans_spread_seeds",
            "kmeans_inertia",
            "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
-           "pq_topk_coded", "write_ivfpq", "ivfpq_topk",
+           "pq_topk_coded", "write_ivfpq", "ivfpq_topk", "ivfpq_encode",
            "write_ivfpq_meta", "read_ivfpq_meta", "ivfpq_topk_auto",
            "opq_permutation", "permute_vec"]
 
@@ -996,6 +996,33 @@ def _cent_lit(centroids: list[list[float]]) -> Column:
     ])
 
 
+def ivfpq_encode(df: DataFrame, centroids: list[list[float]],
+                 codebooks: list[list[list[float]]],
+                 vec_col: str = "embedding",
+                 residual: bool = True,
+                 store_vectors: bool = True) -> DataFrame:
+    """The row transform of the IVF-PQ index: attach the coarse ``cell``
+    (argmin squared L2) and the ``pq_code`` (residual-encoded when
+    ``residual``).  A PURE PROJECTION — no shuffle, no state — so it
+    applies to a STREAMING DataFrame unchanged
+    (``streaming.ivfpq_append_stream`` builds on exactly this)."""
+    vec = F.col(vec_col)
+    cell = kmeans_cell(vec, centroids)
+    staged = df.withColumn("cell", cell)
+    if residual:
+        code_src = F.zip_with(
+            vec, F.element_at(_cent_lit(centroids), F.col("cell") + 1),
+            lambda x, y: x.cast("double") - y,
+        )
+    else:
+        code_src = vec
+    staged = staged.withColumn("__src", code_src)
+    coded = pq_encode(staged, codebooks, vec_col="__src").drop("__src")
+    if not store_vectors:
+        coded = coded.drop(vec_col)
+    return coded
+
+
 def write_ivfpq(df: DataFrame, path: str,
                 centroids: list[list[float]],
                 codebooks: list[list[list[float]]],
@@ -1015,20 +1042,9 @@ def write_ivfpq(df: DataFrame, path: str,
 
     One map-only pass over the corpus; no shuffle beyond the write's
     own file layout."""
-    vec = F.col(vec_col)
-    cell = kmeans_cell(vec, centroids)
-    staged = df.withColumn("cell", cell)
-    if residual:
-        code_src = F.zip_with(
-            vec, F.element_at(_cent_lit(centroids), F.col("cell") + 1),
-            lambda x, y: x.cast("double") - y,
-        )
-    else:
-        code_src = vec
-    staged = staged.withColumn("__src", code_src)
-    coded = pq_encode(staged, codebooks, vec_col="__src").drop("__src")
-    if not store_vectors:
-        coded = coded.drop(vec_col)
+    coded = ivfpq_encode(df, centroids, codebooks, vec_col=vec_col,
+                         residual=residual,
+                         store_vectors=store_vectors)
     coded.write.mode("overwrite").partitionBy("cell").parquet(path)
     if write_meta:
         write_ivfpq_meta(df.sparkSession, path, centroids, codebooks,
@@ -1102,7 +1118,8 @@ def read_ivfpq_meta(spark, path: str) -> dict:
 
 def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
                     k: int = 10, nprobe: int = 2,
-                    pool: int | None = None):
+                    pool: int | None = None,
+                    extra_paths: list[str] | None = None):
     """Query a self-describing :func:`write_ivfpq` index: the quantizer
     model, residual mode and column names all come from the sidecar."""
     meta = read_ivfpq_meta(spark, path)
@@ -1111,6 +1128,7 @@ def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
         centroids=meta["centroids"], codebooks=meta["codebooks"],
         k=k, nprobe=nprobe, residual=meta["residual"], pool=pool,
         vec_col=meta["vec_col"], id_col=meta["id_col"],
+        extra_paths=extra_paths,
     )
 
 
@@ -1120,7 +1138,8 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
                k: int = 10, nprobe: int = 2,
                vec_col: str = "embedding", id_col: str = "vec_id",
                residual: bool = True,
-               pool: int | None = None) -> DataFrame:
+               pool: int | None = None,
+               extra_paths: list[str] | None = None) -> DataFrame:
     """Top-k (squared L2) over a :func:`write_ivfpq` table: probe the
     query's ``nprobe`` closest cells — a partition-column predicate, so
     non-matching directories are pruned from metadata — ADC-score ONLY
@@ -1142,7 +1161,17 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
         for ci, cen in enumerate(centroids)
     ]
     probe = [ci for _, ci in sorted(d2)][:nprobe]
+    # extra_paths: streaming-staged appends (ivfpq_append_stream) — each
+    # root carries the same cell=NN layout; a staged root's
+    # _spark_metadata log governs only its own files, so reading the
+    # roots per-root and unioning sees base + appends (appending
+    # streamed files INTO the base root would instead shadow the batch
+    # files behind the sink's metadata log, and a single multi-root
+    # read trips CONFLICTING_DIRECTORY_STRUCTURES without a shared
+    # basePath).  Partition pruning applies within each root.
     reader = spark.read.parquet(path)
+    for p in (extra_paths or []):
+        reader = reader.unionByName(spark.read.parquet(p))
     if pool is not None and vec_col not in reader.columns:
         raise ValueError(
             f"ivfpq_topk(pool={pool}): index at {path!r} was written "

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "stateful_sessionize", "dedup_stream",
-    "neardup_stream",
+    "neardup_stream", "ivfpq_append_stream",
     "stream_interval_join", "run_to_memory", "write_stream_parquet",
 ]
 
@@ -309,6 +309,49 @@ def write_stream_parquet(stream_df: DataFrame, path: str,
     elif trigger_seconds is not None:
         w = w.trigger(processingTime=f"{trigger_seconds} seconds")
     return w.start()
+
+
+def ivfpq_append_stream(stream_df: DataFrame, index_path: str,
+                        staging_path: str, checkpoint: str, *,
+                        vec_col: str = "embedding",
+                        available_now: bool = False,
+                        trigger_seconds: int | None = None):
+    """Continuously ingest a vector stream into a
+    ``similarity.write_ivfpq`` index via a STAGING extension: the
+    encode transform (coarse cell + residual PQ code) is a pure
+    projection, so it runs on the stream unchanged, and the
+    checkpointed exactly-once parquet sink writes the same cell=NN
+    layout under ``staging_path``.  Query base + appends together with
+    ``ivfpq_topk_auto(spark, index_path,
+    extra_paths=[staging_path], ...)`` — partition pruning applies to
+    both roots.
+
+    Why a staging root instead of appending into the index directory:
+    the streaming parquet sink owns its output through a
+    ``_spark_metadata`` commit log, and a batch re-read of a directory
+    carrying that log returns ONLY log-listed files — streamed appends
+    into the base root would silently SHADOW the original index files
+    (found by tests/test_streaming.py).  Fold staging into the base
+    periodically with a batch rewrite (``sources.sinks.compact_parquet``
+    over both roots) and reset the staging dir + checkpoint.
+
+    The quantizer model comes from the index's own sidecar
+    (``read_ivfpq_meta``) — streaming appenders never re-derive or
+    drift from the model the index was built with.  Returns the
+    StreamingQuery handle."""
+    from ..extras.similarity import ivfpq_encode, read_ivfpq_meta
+
+    spark = stream_df.sparkSession
+    meta = read_ivfpq_meta(spark, index_path)
+    coded = ivfpq_encode(
+        stream_df, meta["centroids"], meta["codebooks"],
+        vec_col=vec_col, residual=meta["residual"],
+        store_vectors=meta["store_vectors"],
+    )
+    return write_stream_parquet(
+        coded, staging_path, checkpoint, partition_by=["cell"],
+        available_now=available_now, trigger_seconds=trigger_seconds,
+    )
 
 
 def stream_interval_join(left: DataFrame, right: DataFrame, *,

@@ -384,3 +384,46 @@ def test_streaming_simhash_neardup_matches_batch(spark, sf_dir):
         assert got == want and 0 < len(got) <= docs.count()
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_ivfpq_append_stream_extends_index(spark, sf_dir):
+    """Streaming vectors appended into a write_ivfpq layout land in the
+    same cell partition dirs with the same residual codes: querying the
+    grown index equals querying a batch-rebuilt index over the union."""
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    extra = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = sim.hyperplanes(64, 8, seed="ivfpq")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    qvec = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
+
+    idx = os.path.join(TMP, "ivfpq_stream_idx")
+    staging = os.path.join(TMP, "ivfpq_stream_staging")
+    src = os.path.join(TMP, "ivfpq_stream_src")
+    ckpt = os.path.join(TMP, "ivfpq_stream_ckpt")
+    for p in (idx, staging, src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+
+    sim.write_ivfpq(base, idx, cents, cbs, residual=True)
+    extra.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = st.ivfpq_append_stream(stream, idx, staging, ckpt,
+                               available_now=True)
+    q.awaitTermination(120)
+
+    grown = sim.ivfpq_topk_auto(spark, idx, qvec, k=10, nprobe=8,
+                                pool=100,
+                                extra_paths=[staging]).collect()
+    rebuilt_path = os.path.join(TMP, "ivfpq_stream_rebuilt")
+    shutil.rmtree(rebuilt_path, ignore_errors=True)
+    sim.write_ivfpq(emb, rebuilt_path, cents, cbs, residual=True)
+    rebuilt = sim.ivfpq_topk_auto(spark, rebuilt_path, qvec, k=10,
+                                  nprobe=8, pool=100).collect()
+    assert [tuple(r) for r in grown] == [tuple(r) for r in rebuilt]
+    # the appended rows really went through the stream sink, into the
+    # staging root; the base index is untouched
+    assert spark.read.parquet(staging).count() == extra.count()
+    assert spark.read.parquet(idx).count() == base.count()
