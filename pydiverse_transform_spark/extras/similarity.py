@@ -33,6 +33,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
            "pq_topk_coded", "write_ivfpq", "ivfpq_topk", "ivfpq_encode",
            "write_ivfpq_meta", "read_ivfpq_meta", "ivfpq_topk_auto",
+           "ivfpq_fold_staging",
            "opq_permutation", "permute_vec"]
 
 
@@ -1130,6 +1131,30 @@ def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
         vec_col=meta["vec_col"], id_col=meta["id_col"],
         extra_paths=extra_paths,
     )
+
+
+def ivfpq_fold_staging(spark, index_path: str, staging_path: str,
+                       out_path: str,
+                       target_file_bytes: int = 128 << 20) -> dict:
+    """The maintenance pass of the streaming-ingest pattern: fold a
+    staging root (``streaming.ivfpq_append_stream``) and the base index
+    into a fresh, compacted index at ``out_path`` — one batch rewrite
+    hash-clustered on the cell — and carry the quantizer-model sidecar
+    over.  Swap ``out_path`` in for the base, then reset the staging
+    dir and its checkpoint.  Returns compact_parquet's stats."""
+    from ..sources.sinks import compact_parquet
+
+    meta = read_ivfpq_meta(spark, index_path)
+    stats = compact_parquet(
+        spark, [index_path, staging_path], out_path,
+        target_file_bytes=target_file_bytes, partition_by=["cell"],
+    )
+    write_ivfpq_meta(
+        spark, out_path, meta["centroids"], meta["codebooks"],
+        meta["residual"], meta["store_vectors"],
+        meta["vec_col"], meta["id_col"],
+    )
+    return stats
 
 
 def ivfpq_topk(spark, path: str, query_vec: list[float],

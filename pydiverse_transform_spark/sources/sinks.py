@@ -178,7 +178,7 @@ def _hadoop_files(spark, path: str):
     return out
 
 
-def compact_parquet(spark, path: str, out_path: str, *,
+def compact_parquet(spark, path, out_path: str, *,
                     target_file_bytes: int = 128 << 20,
                     partition_by: list[str] | None = None,
                     shuffle: bool = False,
@@ -197,23 +197,33 @@ def compact_parquet(spark, path: str, out_path: str, *,
     partitionBy would make every task write a file per key it holds —
     MORE files, not fewer).
 
+    ``path`` may be a LIST of roots carrying the same layout (e.g. a
+    base dataset plus a streaming staging root) — each root is read
+    separately and unioned (a single multi-root read of partitioned
+    layouts trips CONFLICTING_DIRECTORY_STRUCTURES), so compaction
+    doubles as the staging-fold maintenance pass.
+
     In-place compaction is refused: Spark cannot atomically overwrite a
     path it is reading; write to ``out_path`` and swap at the catalog /
     directory level.  Returns {files_before, bytes, n_files_target}."""
+    paths = [path] if isinstance(path, str) else list(path)
+
     def _norm(p: str) -> str:
         # scheme-aware: abspath would mangle s3a://... URIs
         return (p.rstrip("/") if "://" in p
                 else os.path.abspath(p).rstrip("/"))
 
-    if _norm(out_path) == _norm(path):
+    if any(_norm(out_path) == _norm(p) for p in paths):
         raise ValueError(
             "compact_parquet: out_path must differ from path — Spark "
             "cannot overwrite a dataset it is reading; write to a new "
             "directory and swap it in afterwards")
-    files = _hadoop_files(spark, path)
+    files = [f for p in paths for f in _hadoop_files(spark, p)]
     total = sum(sz for _, sz in files)
     n_target = max(1, -(-total // int(target_file_bytes)))
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(paths[0])
+    for p in paths[1:]:
+        df = df.unionByName(spark.read.parquet(p))
     if partition_by:
         from pyspark.sql import functions as F
 

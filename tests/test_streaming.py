@@ -427,3 +427,13 @@ def test_ivfpq_append_stream_extends_index(spark, sf_dir):
     # staging root; the base index is untouched
     assert spark.read.parquet(staging).count() == extra.count()
     assert spark.read.parquet(idx).count() == base.count()
+
+    # maintenance fold: base + staging -> fresh compacted index whose
+    # sidecar carries over and whose queries need no extra_paths
+    folded = os.path.join(TMP, "ivfpq_stream_folded")
+    shutil.rmtree(folded, ignore_errors=True)
+    sim.ivfpq_fold_staging(spark, idx, staging, folded)
+    assert spark.read.parquet(folded).count() == emb.count()
+    after_fold = sim.ivfpq_topk_auto(spark, folded, qvec, k=10,
+                                     nprobe=8, pool=100).collect()
+    assert [tuple(r) for r in after_fold] == [tuple(r) for r in rebuilt]
