@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q_dsir_sample",
     "q_temperature_mix",
     "q_semdedup",
+    "q_semantic_decontaminate",
     "q_packed_batches",
     "q_sessionize",
     "q_tumbling_agg",
