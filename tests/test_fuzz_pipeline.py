@@ -159,6 +159,12 @@ class PipelineGen:
             expr = v.cum_sum(partition_by=part, arrange=order)
             sql_e = (f"sum({v.name}) {over} ROWS BETWEEN UNBOUNDED "
                      f"PRECEDING AND CURRENT ROW)")
+            if any(v is c for c in pools["int"]):
+                # DuckDB sum(BIGINT) is HUGEINT, which fetchdf bridges
+                # to float64 ("24.000000" vs Spark's LONG "24") — the
+                # same reason every driver oracle CASTs integer sums.
+                # Found by the round-6 shifted-seed sweep (pipe[21]).
+                sql_e = f"CAST({sql_e} AS BIGINT)"
         self.t = self.t >> pdt.mutate(**{name: expr})
         self.sql = f"SELECT *, {sql_e} AS {name} FROM ({self.sql})"
         return True
