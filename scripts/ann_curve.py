@@ -172,6 +172,57 @@ def main():
                               "sec_8_queries": round(el, 2)}
                 worst_ok.append((rec, key))
 
+    # ---- out-of-corpus queries: deterministic md5 jitter ------------------
+    # corpus-member queries make top-1 trivial (the vector finds itself);
+    # a perturbed query has NO exact match, so every pool candidate is a
+    # genuine ADC ranking decision — the harder, more realistic regime.
+    import hashlib as _h
+
+    def _jit(qi, i):
+        h = _h.md5(f"oov:{qi}:{i}".encode()).hexdigest()
+        return (int(h[:8], 16) % 2001 - 1000) / 1000.0 * 0.5
+
+    oov_queries = [
+        (qi, [v + _jit(qi, i) for i, v in enumerate(qvec)])
+        for qi, (_, qvec) in enumerate(queries)
+    ]
+    plans = []
+    for qi, q in oov_queries:
+        d = sim._sq_l2(F.col("embedding"), sim._qlit(q))
+        plans.append(emb.select(F.lit(qi).alias("qi"), "vec_id",
+                                d.alias("d"))
+                     .orderBy("d", "vec_id").limit(TOPK))
+    un = plans[0]
+    for p in plans[1:]:
+        un = un.unionAll(p)
+    oov_truth = {}
+    for r in un.collect():
+        oov_truth.setdefault(int(r["qi"]), set()).add(int(r["vec_id"]))
+
+    oov_curve = {}
+    name = "trained+res"
+    _, cs, bs, res, _ = variants[name]
+    for nprobe in NPROBES:
+        for pool in POOLS:
+            parts = [
+                sim.ivfpq_topk(spark, paths[name], q, cs, bs, k=TOPK,
+                               nprobe=nprobe, residual=res, pool=pool)
+                .select(F.lit(qi).alias("qi"), "vec_id")
+                for qi, q in oov_queries
+            ]
+            un = parts[0]
+            for p in parts[1:]:
+                un = un.unionAll(p)
+            got = {}
+            for r in un.collect():
+                got.setdefault(int(r["qi"]), set()).add(int(r["vec_id"]))
+            rec = sum(
+                len(got.get(qi, set()) & oov_truth[qi]) / TOPK
+                for qi, _ in oov_queries
+            ) / len(oov_queries)
+            oov_curve[f"{name}|nprobe={nprobe}|pool={pool or 'adc'}"] = \
+                round(rec, 4)
+
     low = sorted(k for r, k in worst_ok if r < 0.9)
     out = {
         "n_vectors": n_vectors, "dim": DIM, "k_cells": K_CELLS,
@@ -180,6 +231,7 @@ def main():
         "pq_fit_sec": round(t_pq, 1),
         "seeding_ab": seeding_ab,
         "curve": curve,
+        "oov_curve_trained_res": oov_curve,
         "configs_below_0.9_recall": low,
     }
     print(json.dumps(out))
