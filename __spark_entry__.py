@@ -3238,6 +3238,47 @@ def q_ivfpq_topk(spark, sf_dir):
                                  k=10, nprobe=2, residual=False, pool=100)
 
 
+@_q(_ivfpq_sql())
+def q_stream_ivfpq_ingest(spark, sf_dir):
+    """Streaming index ingest (streaming/__init__.py
+    ivfpq_append_stream): the base index holds the even vec_ids, the
+    odd ones arrive as a STREAM into a staging root (exactly-once
+    checkpointed sink, same cell layout, model from the index's own
+    sidecar), and ivfpq_topk_auto queries base + staging together —
+    the answer must equal the batch oracle over ALL vectors.  The
+    oracle is the same CTE as q_ivfpq_topk: how the index was built
+    (batch, stream, or both) is invisible to the query contract."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 8, seed="ivfpq")
+    cbs = similarity.pq_codebooks(64, m=8, k=16)
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_stream",
+        "ivfpq_ing_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    staging, ckpt, src = base + "_stg", base + "_ckpt", base + "_src"
+    for p in (staging, ckpt, src):
+        shutil.rmtree(p, ignore_errors=True)
+    similarity.write_ivfpq(emb.filter(F.col("vec_id") % 2 == 0),
+                           base, cents, cbs, residual=False)
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write \
+        .mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = st.ivfpq_append_stream(stream, base, staging, ckpt,
+                               available_now=True)
+    q.awaitTermination(120)
+    return similarity.ivfpq_topk_auto(spark, base, _QVEC, k=10,
+                                      nprobe=2, pool=100,
+                                      extra_paths=[staging])
+
+
 @_q(_ivf_sql())
 def q_ivf_topk(spark, sf_dir):
     """IVF-style ANN: fixed md5-derived coarse quantizer, nprobe=2 of 8
