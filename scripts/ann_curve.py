@@ -176,11 +176,17 @@ def main():
     # corpus-member queries make top-1 trivial (the vector finds itself);
     # a perturbed query has NO exact match, so every pool candidate is a
     # genuine ADC ranking decision — the harder, more realistic regime.
+    # Jitter calibration: vectors are unit-norm with nearest-neighbor
+    # spacing ~0.042 on this corpus; amplitude 0.03/dim gives a jitter
+    # norm ~0.14 ≈ 3x the NN spacing — out-of-corpus but in-distribution
+    # (the first cut used 0.5/dim = jitter norm 2.3, i.e. pure noise
+    # whose "true neighbors" are arbitrary — recall on noise measures
+    # nothing).
     import hashlib as _h
 
     def _jit(qi, i):
         h = _h.md5(f"oov:{qi}:{i}".encode()).hexdigest()
-        return (int(h[:8], 16) % 2001 - 1000) / 1000.0 * 0.5
+        return (int(h[:8], 16) % 2001 - 1000) / 1000.0 * 0.03
 
     oov_queries = [
         (qi, [v + _jit(qi, i) for i, v in enumerate(qvec)])
