@@ -5432,8 +5432,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # round 0), ties broken by registration order.  The per-query rounds
 # come from the committed last_verified.json, regenerated each round
 # from CORRECTNESS_r0N.json by `python tools/gen_last_verified.py` —
-# with 139 queries and a 50-slot window, every query re-verifies at
-# worst every ceil(139/50) = 3 rounds.
+# with 142 queries and a 50-slot window, every query re-verifies at
+# worst every ceil(142/50) = 3 rounds.
 _CANARIES = ["q01_pricing_summary", "q21_waiting_supplier", "q_window_ops"]
 
 
