@@ -1162,7 +1162,8 @@ SELECT l_orderkey, l_linenumber,
        (l_linenumber - 3) % 2                        AS a_mod,
        round(pow(l_quantity, 2), 6)                  AS a_pow,
        abs(l_linenumber - 3)                         AS a_abs,
-       -l_linenumber                                 AS a_neg,
+       -(l_linenumber)                               AS a_neg,
+       +(l_linenumber)                               AS a_pos,
        round(l_extendedprice, 1)                     AS a_round1,
        floor(l_extendedprice)                        AS a_floor,
        ceil(l_extendedprice)                         AS a_ceil
@@ -1183,14 +1184,16 @@ def q_arithmetic(spark, sf_dir):
             a_mod=(li.l_linenumber - 3) % 2,
             a_pow=(li.l_quantity ** 2).round(6),
             a_abs=(li.l_linenumber - 3).abs(),
-            a_neg=-li.l_linenumber,
+            a_neg=-(li.l_linenumber),
+            a_pos=+(li.l_linenumber),
             a_round1=li.l_extendedprice.round(1),
             a_floor=li.l_extendedprice.floor(),
             a_ceil=li.l_extendedprice.ceil(),
         )
         >> pdt.select(li.l_orderkey, li.l_linenumber, C.a_add, C.a_sub,
                       C.a_mul, C.a_div, C.a_fdiv, C.a_mod, C.a_pow, C.a_abs,
-                      C.a_neg, C.a_round1, C.a_floor, C.a_ceil)
+                      C.a_neg, C.a_pos, C.a_round1, C.a_floor,
+                      C.a_ceil)
         >> pdt.export(pdt.Spark)
     )
 
@@ -5206,7 +5209,7 @@ def _dsir_ctes(nb: int = _DSIR_NB) -> str:
     """Shared DSIR oracle CTEs: tokenize -> unigrams+bigrams -> md5
     buckets -> Laplace-smoothed target/raw distributions -> per-doc
     log-ratio weight (extras/importance.py twin; target = lang='en')."""
-    toks = _TOKENS_SQL.format(col="text")
+    toks = _TOKENS_SQL.format(col="coalesce(text, '')")
     return f"""
 toksd AS (
   SELECT doc_id, lang, {toks} AS t FROM documents
@@ -5239,6 +5242,28 @@ toksd AS (
 )"""
 
 
+_DSIR_MODELS: dict = {}
+
+
+def _dsir_model(spark, sf_dir):
+    """dsir_fit once per corpus, memoized — the fit/apply split
+    (importance.dsir_fit/dsir_score): a real pipeline fits the model
+    once and scores every batch/shard map-only with the cached LUT, so
+    the queries below share one fit the same way.  The model is a
+    deterministic pure function of the corpus; re-fitting per call
+    cannot change any result, only re-pay the two training scans."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import importance as imp
+
+    key = (sf_dir, _DSIR_NB)
+    if key not in _DSIR_MODELS:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _DSIR_MODELS[key] = imp.dsir_fit(
+            docs, F.col("lang") == "en", n_buckets=_DSIR_NB)
+    return _DSIR_MODELS[key]
+
+
 @_q(f"""
 WITH {_dsir_ctes()}
 SELECT d.doc_id, d.lang, round(wts.w, 6) AS dsir_w
@@ -5249,17 +5274,16 @@ def q_dsir_weights(spark, sf_dir):
     """DSIR-style importance weights (extras/importance.py; Xie et al.
     2023): hashed unigram+bigram bucket distributions of the target
     (English subset) and the raw pool, per-document log-likelihood
-    ratio.  Model fit = two bounded bucket-count aggregations; scoring
-    is map-only (the 4096-entry log-ratio LUT is a literal in the plan
-    — zero joins, zero shuffles, plan-asserted in
-    tests/test_importance.py)."""
+    ratio.  Model fit = two bounded bucket-count aggregations
+    (dsir_fit, memoized per corpus); scoring is map-only (dsir_score:
+    the 4096-entry log-ratio LUT is a literal in the plan — zero
+    joins, zero shuffles, plan-asserted in tests/test_importance.py)."""
     from pyspark.sql import functions as F
 
     from pydiverse_transform_spark.extras import importance as imp
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = imp.dsir_weights(docs, F.col("lang") == "en",
-                           n_buckets=_DSIR_NB)
+    out = imp.dsir_score(docs, _dsir_model(spark, sf_dir))
     return (
         out.select("doc_id", "lang",
                    F.round("dsir_weight", 6).alias("dsir_w"))
@@ -5285,14 +5309,15 @@ def q_dsir_sample(spark, sf_dir):
     with probability proportional to exp(dsir_weight), via the
     deterministic hash-Gumbel top-k (extras/importance.py gumbel_topk —
     the Gumbel-max / Efraimidis-Spirakis rule as ONE TakeOrdered).  The
-    oracle replays weighting, the md5-Gumbel noise and the top-k."""
+    oracle replays weighting, the md5-Gumbel noise and the top-k.
+    Scoring applies the memoized dsir_fit model (fit/apply split) —
+    map-only, no refit."""
     from pyspark.sql import functions as F
 
     from pydiverse_transform_spark.extras import importance as imp
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = imp.dsir_weights(docs, F.col("lang") == "en",
-                         n_buckets=_DSIR_NB)
+    w = imp.dsir_score(docs, _dsir_model(spark, sf_dir))
     kept = imp.gumbel_topk(w, "dsir_weight", 60, "doc_id", salt="dsir",
                            score_col="__s")
     return (

@@ -104,6 +104,35 @@ def _vs_prev(timings: dict[str, float], total: float, sf_val=None):
     return out
 
 
+def _cpu_sentinel() -> float:
+    """Fixed CPU-bound probe (~0.1-0.2 s unloaded): wall-clock of a
+    deterministic numpy+pure-Python workload.  Its ONLY variable is
+    host contention, so recording it beside the query timings lets a
+    cross-round drift be attributed to neighbor load (sentinel moved
+    too) vs a real plan regression (sentinel flat) — the r6 1.11x
+    driver-bench drift was unattributable for lack of exactly this."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.random.default_rng(0).random((512, 512))
+    for _ in range(8):
+        a = a @ a.T
+        a /= np.abs(a).max()
+    s = 0
+    for i in range(200_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 4)
+
+
+def _load_sentinel() -> dict:
+    out = {"cpu_sentinel_sec": _cpu_sentinel()}
+    try:
+        out["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    return out
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -126,19 +155,29 @@ def main():
     qs["q01_pricing_summary"](spark, SF_DIR).write.format("noop") \
         .mode("overwrite").save()
 
-    # min of 2 runs per query: run 1 pays one-off codegen/JIT compile
-    # (amortized to nothing over a 100-TB job), run 2 is the steady-state
-    # per-query cost; min also damps same-host load noise.
+    sentinel_start = _load_sentinel()
+
+    # min of 3 runs per query: run 1 pays one-off codegen/JIT compile
+    # (amortized to nothing over a 100-TB job), later runs are the
+    # steady-state per-query cost; min-of-3 damps same-host load noise
+    # (r6 advice: min-of-2 left an unattributable 1.11x driver drift).
     timings: dict[str, float] = {}
+    spreads: list[float] = []
     for name in BENCH_QUERIES:
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        # 2nd-best / best among post-warmup-capable runs = pure noise
+        # measure (both runs are steady-state candidates)
+        if runs[0] > 0:
+            spreads.append(runs[1] / runs[0])
+
+    sentinel_end = _load_sentinel()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -146,12 +185,21 @@ def main():
     except ValueError:
         sf_val = None
     total = round(sum(timings.values()), 3)
+    spreads.sort()
     payload = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "runs_per_query": 3,
+        "sentinel": {"start": sentinel_start, "end": sentinel_end},
+        "noise": {
+            "median_run_spread": round(
+                spreads[len(spreads) // 2], 3) if spreads else None,
+            "p90_run_spread": round(
+                spreads[int(len(spreads) * 0.9)], 3) if spreads else None,
+        },
     }
     vs_prev = _vs_prev(timings, total, sf_val)
     if vs_prev is not None:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .util import fan_out
+from .util import UNKNOWN_PLAN_SIZE, fan_out, plan_size_bytes
 
 __all__ = [
     "exact_dedup", "exact_dedup_rows", "word_shingles", "char_shingles",
@@ -390,9 +390,10 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
-def _cc_driver(pairs: DataFrame, head: list, a: str) -> DataFrame:
+def _cc_driver(pairs: DataFrame, head: list, a: str, b: str) -> DataFrame:
     """Union-find over collected pair rows; returns (node, comp) with
-    comp = component minimum, node dtype preserved from the input."""
+    comp = component minimum, node dtype = the promoted common type of
+    the two input columns."""
     parent: dict = {}
 
     def find(x):
@@ -416,7 +417,13 @@ def _cc_driver(pairs: DataFrame, head: list, a: str) -> DataFrame:
             parent[hi] = lo
     rows = [(n, find(n)) for n in parent]
     rows.sort()
-    node_type = pairs.schema[a].dataType
+    # node/comp dtype = the PROMOTED common type of columns a and b
+    # (they can differ, e.g. int vs bigint); coalesce makes Catalyst
+    # compute the least common type for us — no job runs.
+    node_type = (
+        pairs.select(F.coalesce(F.col(a), F.col(b)).alias("__t"))
+        .schema[0].dataType
+    )
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType([
@@ -468,12 +475,28 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"strategy must be auto|driver|distributed, "
                          f"got {strategy!r}")
+    # NULL node ids carry no identity: an equality join can never
+    # connect them (the distributed path silently dropped them) and
+    # they crash Python's ordering in the driver path — drop the pair
+    # up front so both strategies agree.
+    pairs = pairs.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
+    if strategy == "auto":
+        # Size by Catalyst stats BEFORE paying the probe pass: when the
+        # two-column projection's estimate already exceeds what
+        # driver_max_pairs rows could plausibly occupy (64 B/edge is
+        # generous for ids), the graph cannot fit the driver — go
+        # distributed without collecting anything (r6 advice: the probe
+        # collected up to cap+1 wide-string rows and then threw them
+        # away).
+        est = plan_size_bytes(pairs.select(a, b))
+        if est != UNKNOWN_PLAN_SIZE and est > driver_max_pairs * 64:
+            strategy = "distributed"
     if strategy != "distributed":
         head = pairs.select(a, b).limit(driver_max_pairs + 1).collect()
         if len(head) <= driver_max_pairs:
             if _rounds_out is not None:
                 _rounds_out.append(0)
-            return _cc_driver(pairs, head, a)
+            return _cc_driver(pairs, head, a, b)
         if strategy == "driver":
             raise ValueError(
                 f"strategy='driver' but the graph exceeds "

@@ -28,12 +28,13 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "embedding_neardup_pairs", "semdedup_pairs", "semdedup",
            "semantic_contaminated_ids", "semantic_decontaminate",
            "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
+           "assign_cells",
            "kmeans_update", "kmeans_fit", "kmeans_spread_seeds",
            "kmeans_inertia",
            "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
            "pq_topk_coded", "write_ivfpq", "ivfpq_topk", "ivfpq_encode",
            "write_ivfpq_meta", "read_ivfpq_meta", "ivfpq_topk_auto",
-           "ivfpq_fold_staging",
+           "ivfpq_fold_staging", "ivfpq_maintain",
            "opq_permutation", "permute_vec"]
 
 
@@ -488,6 +489,157 @@ def kmeans_assign(df: DataFrame, centroids: DataFrame,
     )
 
 
+def _centroid_matrix(centroids):
+    """(cids, matrix) as numpy from either a ``list[list[float]]`` or a
+    (cid, centroid) DataFrame.  The collect is the MODEL, not data —
+    O(k x dim) rows, the same bounded fold every fit function does."""
+    import numpy as np
+
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select("cid", "centroid").collect()
+        rows.sort(key=lambda r: r["cid"])
+        cids = np.array([int(r["cid"]) for r in rows], dtype=np.int64)
+        mat = np.asarray([list(r["centroid"]) for r in rows],
+                         dtype=np.float64)
+    else:
+        cids = np.arange(len(centroids), dtype=np.int64)
+        mat = np.asarray(centroids, dtype=np.float64)
+    if mat.ndim != 2 or mat.shape[0] == 0:
+        raise ValueError("centroids must be a non-empty k x dim matrix")
+    return cids, mat
+
+
+def _assign_cells_numpy(df: DataFrame, centroids, vec_col: str,
+                        out_col: str) -> DataFrame:
+    """Map-only large-k cell assignment: the centroid matrix rides an
+    executor broadcast (NOT the plan), distances are one BLAS matmul
+    per Arrow batch.  Plan size is flat in k; per-row work is k x dim
+    FLOPs in vectorized numpy instead of an interpreted Catalyst fold —
+    the path that stays viable at SemDeDup's published ~110k clusters
+    where a plan-literal argmin would be a ~50 MB plan and an
+    interpreted 100k-iteration loop per row."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cids, mat = _centroid_matrix(centroids)
+    # argmin ||x-c||^2 == argmax (x . c - ||c||^2 / 2); precompute the
+    # half-norms once.  Ties go to the LOWEST cid (np.argmax returns the
+    # first maximal index and cids are sorted) — same contract as the
+    # literal argmin.
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cids, mat, 0.5 * (mat * mat).sum(axis=1)))
+    # StructType.add mutates in place — build a fresh schema
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())])
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, mat_, half = bc.value
+        for pdf in batches:
+            vs = pdf[vec_col]
+            out = pd.array([None] * len(vs), dtype="Int32")
+            valid = [i for i, v in enumerate(vs) if v is not None]
+            if valid:
+                x = np.asarray([np.asarray(vs.iloc[i], dtype=np.float64)
+                                for i in valid])
+                lab = cids_[np.argmax(x @ mat_.T - half, axis=1)]
+                for j, i in enumerate(valid):
+                    out[i] = int(lab[j])
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
+
+
+def _assign_cells_join(df: DataFrame, centroids: DataFrame, vec_col: str,
+                       id_col: str, out_col: str) -> DataFrame:
+    """Broadcast min-by join assignment (the :func:`kmeans_assign`
+    shape, generalized to carry every input column through): k centroid
+    rows broadcast, squared-L2 in codegen, argmin via a map-side-
+    combinable min(struct) re-grouped on ``id_col``.  Pays ONE shuffle
+    of the projection; distances never leave the JVM."""
+    cens = F.broadcast(centroids.select("cid", "centroid"))
+    others = [c for c in df.columns if c != id_col]
+    scored = df.crossJoin(cens).select(
+        F.col(id_col),
+        F.struct(
+            _sq_l2(F.col(vec_col), F.col("centroid")).alias("__d2"),
+            F.col("cid").alias("__cid"),
+            *[F.col(c) for c in others],
+        ).alias("__s"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.min("__s").alias("__s"))
+        .select(
+            F.col(id_col),
+            *[F.col(f"__s.{c}").alias(c) for c in others],
+            F.col("__s.__cid").cast("int").alias(out_col),
+        )
+    )
+
+
+def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding",
+                 out_col: str = "__cell", id_col: str | None = None,
+                 method: str = "auto",
+                 max_literal_k: int = 256) -> DataFrame:
+    """Add a quantizer-cell column, choosing the physical strategy by
+    model size.  ``centroids`` is either a ``list[list[float]]`` or a
+    (cid, centroid) DataFrame (what :func:`kmeans_fit` /
+    :func:`kmeans_update` produce) — the r6 ceiling where SemDeDup &
+    friends only took plan-literal centroids is gone.
+
+    - ``literal`` — :func:`kmeans_cell` codegen argmin.  Plan size and
+      per-row interpreted-fold cost grow with k x dim; right for small
+      k (<= ``max_literal_k``), wrong at SemDeDup's ~110k clusters.
+    - ``numpy`` — Arrow-batched ``pandas_udf``; centroid matrix on an
+      executor BROADCAST, one BLAS matmul per batch.  Map-only (zero
+      shuffle), plan size flat in k: the large-k / 100-TB path.
+    - ``join`` — broadcast min-by join (:func:`kmeans_assign` shape);
+      needs ``id_col``; one shuffle, distances in codegen.
+    - ``auto`` — literal when a plain list with k <= ``max_literal_k``,
+      else numpy.
+
+    Tie contract everywhere: equal distance -> LOWEST cid."""
+    if method not in ("auto", "literal", "numpy", "join"):
+        raise ValueError(f"method must be auto|literal|numpy|join, "
+                         f"got {method!r}")
+    if method == "auto":
+        method = ("literal"
+                  if not isinstance(centroids, DataFrame)
+                  and len(centroids) <= max_literal_k else "numpy")
+    if method == "literal":
+        if isinstance(centroids, DataFrame):
+            import numpy as np
+
+            cids, mat = _centroid_matrix(centroids)
+            if not np.array_equal(cids, np.arange(len(cids))):
+                raise ValueError(
+                    "literal assignment needs contiguous cids 0..k-1 "
+                    "(kmeans_cell returns positional indexes); use "
+                    "method='numpy' for arbitrary cid labels")
+            centroids = mat.tolist()
+        vec = F.col(vec_col)
+        return df.withColumn(out_col, kmeans_cell(vec, centroids))
+    if method == "join":
+        if id_col is None:
+            raise ValueError("method='join' requires id_col")
+        if not isinstance(centroids, DataFrame):
+            centroids = _centroids_as_df(df.sparkSession, centroids)
+        return _assign_cells_join(df, centroids, vec_col, id_col, out_col)
+    return _assign_cells_numpy(df, centroids, vec_col, out_col)
+
+
+def _centroids_as_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """(cid, centroid) DataFrame from a plain centroid list."""
+    return spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    )
+
+
 def kmeans_update(assigned: DataFrame, vec_col: str = "embedding"
                   ) -> DataFrame:
     """Recompute per-cell means + stats from an assignment carrying
@@ -706,11 +858,12 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
     return books
 
 
-def semdedup_pairs(df: DataFrame, centroids: list[list[float]],
+def semdedup_pairs(df: DataFrame, centroids,
                    threshold: float = 0.95,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id",
-                   persist_celled: bool | None = None) -> DataFrame:
+                   persist_celled: bool | None = None,
+                   assign_method: str = "auto") -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     semantic near-duplicates are pairs in the SAME quantizer cell with
@@ -726,21 +879,28 @@ def semdedup_pairs(df: DataFrame, centroids: list[list[float]],
     fits a task), exact cosine only on within-cell candidates — never
     the O(n²) cross join.  Norms are precomputed once per row.
 
+    ``centroids`` is a plain list (small k: plan-literal codegen
+    argmin) or a (cid, centroid) DataFrame / large list, dispatched by
+    :func:`assign_cells` (``assign_method`` passes through) — the
+    broadcast-matrix numpy path keeps plan size flat in k, so the
+    SemDeDup scaling rule "raise k until a cell's pair count fits a
+    task" holds all the way to the paper's ~110k clusters.
+
     ``persist_celled`` caches the celled projection so the k-centroid
-    argmin (interpreted higher-order folds) runs once instead of once
-    per self-join branch; default (None) persists only when the input's
-    size estimate is small (the same adaptive-materialization rule as
-    ``minhash_dedup_pairs`` — at corpus scale the projection is the
-    whole vector table and must NOT be pinned)."""
+    assignment runs once instead of once per self-join branch; default
+    (None) persists only when the input's size estimate is small (the
+    same adaptive-materialization rule as ``minhash_dedup_pairs`` — at
+    corpus scale the projection is the whole vector table and must NOT
+    be pinned)."""
     from .util import SMALL_CORPUS_BYTES, fan_out, plan_size_bytes
 
     if persist_celled is None:
         persist_celled = plan_size_bytes(df) <= SMALL_CORPUS_BYTES
-    celled = fan_out(df).select(
-        F.col(id_col), F.col(vec_col),
-        kmeans_cell(F.col(vec_col), centroids).alias("__cell"),
-        norm(F.col(vec_col)).alias("__norm"),
-    )
+    celled = assign_cells(
+        fan_out(df).select(F.col(id_col), F.col(vec_col)),
+        centroids, vec_col=vec_col, out_col="__cell", id_col=id_col,
+        method=assign_method,
+    ).withColumn("__norm", norm(F.col(vec_col)))
     if persist_celled:
         celled = celled.persist()
     a = celled.select(
@@ -767,11 +927,12 @@ def semdedup_pairs(df: DataFrame, centroids: list[list[float]],
     )
 
 
-def semdedup(df: DataFrame, centroids: list[list[float]],
+def semdedup(df: DataFrame, centroids,
              threshold: float = 0.95,
              vec_col: str = "embedding",
              id_col: str = "vec_id",
-             max_iter: int = 30) -> DataFrame:
+             max_iter: int = 30,
+             assign_method: str = "auto") -> DataFrame:
     """End-to-end SemDeDup: within-cell cosine pairs -> connected
     components -> keep only the canonical (minimum-id) row of every
     semantic-duplicate cluster.  The non-canonical id set is tiny
@@ -780,7 +941,8 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
     ``dedup.neardup_dedup``)."""
     from .dedup import connected_components
 
-    pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col)
+    pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col,
+                           assign_method=assign_method)
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iter=max_iter)
     losers = comp.filter(F.col("node") != F.col("comp")) \
@@ -789,10 +951,11 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
 
 
 def semantic_contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
-                              centroids: list[list[float]],
+                              centroids,
                               threshold: float = 0.95,
                               vec_col: str = "embedding",
-                              id_col: str = "vec_id") -> DataFrame:
+                              id_col: str = "vec_id",
+                              assign_method: str = "auto") -> DataFrame:
     """Corpus ids semantically too close to a BENCHMARK set — the
     embedding-space sibling of ``dedup.contaminated_ids`` (which
     matches exact shingles; this catches paraphrases and translations
@@ -807,14 +970,20 @@ def semantic_contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
     set), so after the cell filter its celled projection broadcasts;
     the corpus pays one map-only assignment pass and the probe join —
     no corpus shuffle at all when the broadcast fires."""
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("__vc"),
-        kmeans_cell(F.col(vec_col), centroids).alias("__cell"),
+    c = assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        centroids, vec_col=vec_col, out_col="__cell", id_col=id_col,
+        method=assign_method,
+    ).select(
+        F.col(id_col), F.col(vec_col).alias("__vc"), F.col("__cell"),
         norm(F.col(vec_col)).alias("__nc"),
     )
-    b = benchmark.select(
-        kmeans_cell(F.col(vec_col), centroids).alias("__cell"),
-        F.col(vec_col).alias("__vb"),
+    b = assign_cells(
+        benchmark.select(F.col(vec_col)),
+        centroids, vec_col=vec_col, out_col="__cell",
+        method="numpy" if assign_method == "join" else assign_method,
+    ).select(
+        F.col("__cell"), F.col(vec_col).alias("__vb"),
         norm(F.col(vec_col)).alias("__nb"),
     )
     cos = F.try_divide(dot(F.col("__vc"), F.col("__vb")),
@@ -828,15 +997,17 @@ def semantic_contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
 
 
 def semantic_decontaminate(corpus: DataFrame, benchmark: DataFrame,
-                           centroids: list[list[float]],
+                           centroids,
                            threshold: float = 0.95,
                            vec_col: str = "embedding",
-                           id_col: str = "vec_id") -> DataFrame:
+                           id_col: str = "vec_id",
+                           assign_method: str = "auto") -> DataFrame:
     """Drop semantically benchmark-contaminated rows from the corpus:
     anti-join against :func:`semantic_contaminated_ids` (a tiny id set —
     broadcast anti-join, corpus read once)."""
     bad = semantic_contaminated_ids(corpus, benchmark, centroids,
-                                    threshold, vec_col, id_col)
+                                    threshold, vec_col, id_col,
+                                    assign_method=assign_method)
     return corpus.join(bad, id_col, "left_anti")
 
 
@@ -1119,11 +1290,25 @@ def read_ivfpq_meta(spark, path: str) -> dict:
 
 def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
                     k: int = 10, nprobe: int = 2,
-                    pool: int | None = None,
+                    pool: int | None | str = "auto",
                     extra_paths: list[str] | None = None):
     """Query a self-describing :func:`write_ivfpq` index: the quantizer
-    model, residual mode and column names all come from the sidecar."""
+    model, residual mode and column names all come from the sidecar.
+
+    ``pool="auto"`` (default) lands inside the MEASURED safe operating
+    region (`ANN_CURVE_r06.json` / SCALE.md): exact re-rank with
+    ``pool = 8 * k * nprobe`` — i.e. 16·k at the default nprobe=2,
+    and COUPLED to nprobe because raising nprobe at a fixed pool was
+    measured to HURT recall (each extra probed cell contributes
+    ADC-plausible imposters that crowd true neighbors out of a
+    fixed-size pool).  Pass ``pool=None`` for explicit ADC-only
+    ranking, or an int to pin the pool.  Auto quietly degrades to
+    ADC-only when the index was written with ``store_vectors=False``
+    (no vectors to re-rank against)."""
     meta = read_ivfpq_meta(spark, path)
+    if pool == "auto":
+        pool = 8 * k * max(nprobe, 2) if meta.get("store_vectors") \
+            else None
     return ivfpq_topk(
         spark, path, query_vec,
         centroids=meta["centroids"], codebooks=meta["codebooks"],
@@ -1142,11 +1327,20 @@ def ivfpq_fold_staging(spark, index_path: str, staging_path: str,
     hash-clustered on the cell — and carry the quantizer-model sidecar
     over.  Swap ``out_path`` in for the base, then reset the staging
     dir and its checkpoint.  Returns compact_parquet's stats."""
-    from ..sources.sinks import compact_parquet
+    from ..sources.sinks import _hadoop_files, compact_parquet
 
     meta = read_ivfpq_meta(spark, index_path)
+    roots = [index_path]
+    # a missing or data-less staging root (nothing streamed yet, or a
+    # maintenance rerun after the reset already happened) folds as a
+    # plain compaction of the base — not an error
+    _, fs = _hadoop_fs(spark, staging_path)
+    jvm = spark.sparkContext._jvm
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(staging_path)) \
+            and _hadoop_files(spark, staging_path):
+        roots.append(staging_path)
     stats = compact_parquet(
-        spark, [index_path, staging_path], out_path,
+        spark, roots, out_path,
         target_file_bytes=target_file_bytes, partition_by=["cell"],
     )
     write_ivfpq_meta(
@@ -1155,6 +1349,121 @@ def ivfpq_fold_staging(spark, index_path: str, staging_path: str,
         meta["vec_col"], meta["id_col"],
     )
     return stats
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs
+
+
+def ivfpq_maintain(spark, index_path: str, staging_path: str,
+                   checkpoint_path: str | None = None, *,
+                   target_file_bytes: int = 128 << 20) -> dict:
+    """One-call IVF-PQ maintenance: fold the base index and the
+    streaming staging root (:func:`ivfpq_fold_staging`) into a fresh
+    compacted index, SWAP it in at ``index_path``, and reset the
+    staging root (and the appender's ``checkpoint_path``, if given) so
+    ``streaming.ivfpq_append_stream`` restarts cleanly on an empty
+    staging extension.  STOP the appender query before calling —
+    staging must be frozen so the fold captures exactly its contents.
+
+    Crash-safety is a journal-recovery protocol (the caller-assembled
+    r6 flow left the swap window undocumented):
+
+    1. **recover** — if a ``<index>.__swap`` journal is present, a
+       previous run died mid-swap; finish or roll back based on which
+       directories survived (all four states are handled, see below).
+    2. **fold** — rewrite base + staging into ``<index>.__new``.  The
+       EXPENSIVE phase; the live index is read-only input and stays
+       fully queryable throughout.  A crash here leaves a stale
+       ``.__new`` that the next run deletes — nothing else changed.
+    3. **swap** — write the journal, then: ``index -> .__old``,
+       ``.__new -> index``, delete ``.__old``, delete journal.  Each
+       rename is a metadata-only directory move (atomic on HDFS/local;
+       on object stores prefer a catalog-level pointer swap).  The only
+       instant ``index_path`` does not resolve is between the two
+       renames; a crash inside it is repaired forward by recovery
+       (``.__new`` is complete by construction once the journal
+       exists).
+    4. **reset** — delete staging (+ checkpoint).  Safe to redo: after
+       the swap the staged rows live in the index, so a crash between
+       swap and reset only risks DOUBLE-listing via ``extra_paths``,
+       never loss, and rerunning ivfpq_maintain folds it away.
+
+    Recovery decision table (journal present):
+    index ∧ .__new          -> roll BACK: delete .__new (fold rerun)
+    ¬index ∧ .__old ∧ .__new -> roll FORWARD: .__new -> index
+    index ∧ .__old ∧ ¬.__new -> roll FORWARD: delete .__old
+    ¬index ∧ .__old ∧ ¬.__new -> roll BACK: .__old -> index
+
+    Returns compact stats + {"recovered": <action or None>}."""
+    jvm, fs = _hadoop_fs(spark, index_path)
+
+    def P(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    new_p, old_p = index_path + ".__new", index_path + ".__old"
+    journal = index_path + ".__swap"
+    recovered = None
+    if fs.exists(P(journal)):
+        has_idx, has_new, has_old = (fs.exists(P(index_path)),
+                                     fs.exists(P(new_p)),
+                                     fs.exists(P(old_p)))
+        roll_forward = False
+        if has_idx and has_new:
+            fs.delete(P(new_p), True)
+            recovered = "rolled_back_stale_new"
+        elif not has_idx and has_old and has_new:
+            if not fs.rename(P(new_p), P(index_path)):
+                raise IOError(f"recovery rename {new_p} -> "
+                              f"{index_path} failed")
+            fs.delete(P(old_p), True)
+            recovered, roll_forward = "rolled_forward_new", True
+        elif has_idx and has_old:
+            fs.delete(P(old_p), True)
+            recovered, roll_forward = "rolled_forward_cleanup", True
+        elif not has_idx and has_old:
+            if not fs.rename(P(old_p), P(index_path)):
+                raise IOError(f"recovery rename {old_p} -> "
+                              f"{index_path} failed")
+            recovered = "rolled_back_old"
+        fs.delete(P(journal), False)
+        if roll_forward:
+            # the swapped-in index already CONTAINS the staged rows —
+            # finish the interrupted protocol's reset phase now, or the
+            # fold below would double-count them
+            fs.delete(P(staging_path), True)
+            if checkpoint_path is not None:
+                fs.delete(P(checkpoint_path), True)
+    if fs.exists(P(new_p)):       # stale fold from a phase-2 crash
+        fs.delete(P(new_p), True)
+    if fs.exists(P(old_p)):
+        fs.delete(P(old_p), True)
+
+    stats = ivfpq_fold_staging(spark, index_path, staging_path, new_p,
+                               target_file_bytes=target_file_bytes)
+
+    out = fs.create(P(journal), True)
+    try:
+        import json
+
+        out.write(bytearray(json.dumps(
+            {"index": index_path, "staging": staging_path}).encode()))
+    finally:
+        out.close()
+    if not fs.rename(P(index_path), P(old_p)):
+        raise IOError(f"swap rename {index_path} -> {old_p} failed")
+    if not fs.rename(P(new_p), P(index_path)):
+        raise IOError(f"swap rename {new_p} -> {index_path} failed")
+    fs.delete(P(old_p), True)
+    fs.delete(P(journal), False)
+
+    fs.delete(P(staging_path), True)
+    if checkpoint_path is not None:
+        fs.delete(P(checkpoint_path), True)
+    return {**stats, "recovered": recovered}
 
 
 def ivfpq_topk(spark, path: str, query_vec: list[float],

@@ -5,7 +5,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["fan_out", "plan_size_bytes", "SMALL_CORPUS_BYTES"]
+__all__ = ["fan_out", "plan_size_bytes", "SMALL_CORPUS_BYTES",
+           "UNKNOWN_PLAN_SIZE"]
+
+# sentinel plan_size_bytes returns when Catalyst has no sizeInBytes
+# statistic for the plan (RDD-backed createDataFrame inputs, plans
+# behind wide transforms with stats unavailable)
+UNKNOWN_PLAN_SIZE = 1 << 62
 
 
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -32,7 +38,22 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     target = min_parts or sess.sparkContext.defaultParallelism
     raw = str(sess.conf.get("spark.sql.files.maxPartitionBytes",
                             "134217728"))
-    if plan_size_bytes(df) < target * _parse_byte_conf(raw):
+    size = plan_size_bytes(df)
+    if size == UNKNOWN_PLAN_SIZE:
+        # stats-unknown plan (RDD-backed createDataFrame, or behind a
+        # wide transform that erased stats).  Assuming "large" here
+        # leaves a driver-created single-partition input serializing
+        # its mapInPandas kernel on one core (r6 advice), so fall back
+        # to the partition-count probe for these plans only — the
+        # common unknown-stats case IS the small local input, where the
+        # probe is cheap.
+        try:
+            if df.rdd.getNumPartitions() < target:
+                return df.repartition(target)
+        except Exception:
+            pass
+        return df
+    if size < target * _parse_byte_conf(raw):
         return df.repartition(target)
     return df
 
@@ -59,10 +80,14 @@ def plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for the optimized plan — free
     (no job), the same statistic AQE uses for broadcast decisions."""
     try:
-        return int(df._jdf.queryExecution().optimizedPlan()
+        size = int(df._jdf.queryExecution().optimizedPlan()
                    .stats().sizeInBytes())
     except Exception:
-        return 1 << 62  # unknown -> assume large (the scalable path)
+        return UNKNOWN_PLAN_SIZE
+    # Catalyst reports stats-unknown leaves (e.g. LogicalRDD) as
+    # Long.MaxValue-ish products; normalize anything implausibly large
+    # to the explicit sentinel so callers can branch on "unknown"
+    return UNKNOWN_PLAN_SIZE if size >= UNKNOWN_PLAN_SIZE else size
 
 
 def bind(col: Column, body) -> Column:

@@ -167,14 +167,22 @@ def _hadoop_files(spark, path: str):
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    root = fs.makeQualified(hpath).toString().rstrip("/")
     out = []
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
-            continue  # _SUCCESS, checksums, manifests
-        out.append((st.getPath().toString(), int(st.getLen())))
+        full = st.getPath().toString()
+        # hidden-path contract must match Spark's scan: a file is
+        # skipped if ANY component below the root starts with _ or .
+        # (basename-only filtering counted _spark_metadata/0 commit
+        # logs as data files and inflated compaction sizing)
+        rel = full[len(root):].lstrip("/") if full.startswith(root) \
+            else st.getPath().getName()
+        if any(c.startswith("_") or c.startswith(".")
+               for c in rel.split("/")):
+            continue  # _SUCCESS, _spark_metadata/*, checksums
+        out.append((full, int(st.getLen())))
     return out
 
 

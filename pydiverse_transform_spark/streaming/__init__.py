@@ -215,9 +215,25 @@ def dedup_stream(events: DataFrame, fingerprint_col: Column | str,
     fingerprint is remembered only until the watermark passes it, so
     state is O(distinct keys per watermark window), not O(all history)
     — the property that makes this run forever on an unbounded firehose.
-    Duplicates arriving later than ``watermark`` are NOT caught (that is
-    the explicit trade; run a batch `exact_dedup` compaction downstream
-    for the long tail).
+
+    Out-of-order / late-arrival contract (measured empirically on
+    Spark 4, asserted in
+    ``tests/test_streaming.py::test_dedup_stream_late_arrival_contract``):
+
+    - **Guaranteed**: a duplicate whose event time is within
+      ``watermark`` of the first-seen event is ALWAYS suppressed,
+      however the rows are shuffled across micro-batches.
+    - **Dropped**: a row (duplicate or not) whose event time is
+      already behind the PREVIOUS micro-batch's watermark is dropped
+      before the dedup operator ever sees it — Spark's late-event
+      filter lags the eviction watermark by one batch.
+    - **Best-effort window between the two**: a duplicate later than
+      ``watermark`` but not yet behind the late filter may STILL be
+      suppressed, because state eviction runs at batch END — the
+      original's state can outlive its nominal expiry by a batch.
+      Do not rely on late duplicates being either kept or dropped;
+      run a batch ``exact_dedup`` compaction downstream for the long
+      tail (that is the explicit trade).
 
     ``fingerprint_col`` may be a column name or an expression (e.g.
     ``text.fingerprint(F.col("body"))``).
@@ -255,6 +271,12 @@ def neardup_stream(docs: DataFrame, text_col: str = "text",
     regardless of stream volume.  The simhash itself is pure Catalyst
     expression work (one tokenization per document, lambda-bound), no
     Python in the hot path.
+
+    Late/out-of-order arrivals follow :func:`dedup_stream`'s contract
+    verbatim (guaranteed suppression only within ``watermark``; rows
+    behind the previous batch's watermark dropped; a one-batch
+    best-effort window in between) — see its docstring and the
+    late-arrival tests in ``tests/test_streaming.py``.
     """
     from ..extras.dedup import simhash
 

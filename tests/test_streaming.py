@@ -386,6 +386,90 @@ def test_streaming_simhash_neardup_matches_batch(spark, sf_dir):
         shutil.rmtree(src, ignore_errors=True)
 
 
+def _late_mk(spark, rows):
+    return (
+        spark.createDataFrame(rows, "doc_id int, text string, sec long")
+        .withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    )
+
+
+def _late_replay(spark, src, files, name):
+    """Write ``files`` (list of row-lists) as mod-time-ordered parquet
+    dirs and drain them through neardup_stream one file per
+    micro-batch — a deterministic shuffled-arrival replay."""
+    import time
+
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    for i, rows in enumerate(files):
+        _late_mk(spark, rows).coalesce(1).write.parquet(f"{src}/f{i}")
+        if i < len(files) - 1:
+            time.sleep(1.05)  # file source orders batches by mod time
+    schema = spark.read.parquet(f"{src}/f0").schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(f"{src}/f*"))
+    out = st.run_to_memory(
+        st.neardup_stream(stream, "text", ts_col="ts",
+                          watermark="1 hour", bits=16).select("doc_id"),
+        name, output_mode="append",
+    )
+    return sorted(r["doc_id"] for r in out.collect())
+
+
+def test_dedup_stream_late_arrival_contract(spark):
+    """The drop/keep contract for watermark-late rows, asserted on a
+    deterministic out-of-order replay (r6 verdict #6).  Three files /
+    three micro-batches, watermark 1 hour:
+
+    f0: doc1 @T0, doc2 @T0+10h  -> watermark advances to T0+9h
+    f1: doc6 (fresh)            -> intervening batch; late filter for
+                                   the NEXT batch now sits at T0+9h
+    f2: doc3 = dup of doc1 @T0+5m, doc8 unique @T0+5m10s — both behind
+        the previous batch's watermark -> DROPPED outright (neither
+        emitted nor deduped), per the documented late-filter rule.
+    Plus the guarantee side: doc7, a within-watermark dup of doc6,
+    rides f2 and is suppressed."""
+    T0 = 1_700_000_000
+    got = _late_replay(
+        spark, os.path.join(TMP, "late_contract_src"),
+        [
+            [(1, "hello world foo bar", T0),
+             (2, "completely different content here", T0 + 36000)],
+            [(6, "intervening heartbeat message xyz", T0 + 37800)],
+            [(3, "hello world foo bar", T0 + 300),
+             (8, "wholly original never before seen", T0 + 310),
+             (7, "intervening heartbeat message xyz", T0 + 37860)],
+        ],
+        "late_contract_test",
+    )
+    # doc3/doc8 dropped (late), doc7 suppressed (guaranteed dedup)
+    assert got == [1, 2, 6]
+
+
+def test_dedup_stream_late_eviction_lag_window(spark):
+    """The best-effort middle of the contract: in the batch IMMEDIATELY
+    after the watermark jump, the late filter still holds the previous
+    (lower) watermark, so late rows are processed — a late duplicate is
+    suppressed by not-yet-evicted state while a late unique row passes
+    through.  This is the one-batch eviction-lag window the docstring
+    warns about."""
+    T0 = 1_700_000_000
+    got = _late_replay(
+        spark, os.path.join(TMP, "late_lag_src"),
+        [
+            [(1, "hello world foo bar", T0),
+             (2, "completely different content here", T0 + 36000)],
+            [(3, "hello world foo bar", T0 + 300),          # late dup
+             (4, "novel unique never seen words", T0 + 360),  # late new
+             (5, "fresh in-window brand new doc", T0 + 37800)],
+        ],
+        "late_lag_test",
+    )
+    # doc3 suppressed (state alive until batch-end eviction), doc4
+    # emitted (late filter lags one batch), doc5 fresh
+    assert got == [1, 2, 4, 5]
+
+
 def test_ivfpq_append_stream_extends_index(spark, sf_dir):
     """Streaming vectors appended into a write_ivfpq layout land in the
     same cell partition dirs with the same residual codes: querying the
