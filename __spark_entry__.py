@@ -3292,6 +3292,82 @@ def q_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, _QVEC, k=10, n_cells=8, nprobe=2)
 
 
+def _assign_cells_sql() -> str:
+    """DuckDB twin of assign_cells (numpy path): per-row argmin of
+    squared L2 over the same fixed md5-derived centroids, ties to the
+    lower cid (list_position returns the FIRST minimum — the package
+    tie contract in every assignment strategy)."""
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    cents = hyperplanes(64, 8, seed="cells")
+    dists = ", ".join(_sq_sql(cen) for cen in cents)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       list_position([{dists}], list_min([{dists}])) - 1 AS cell
+FROM base ORDER BY vec_id
+"""
+
+
+@_q(_assign_cells_sql())
+def q_assign_cells(spark, sf_dir):
+    """Large-k cell assignment via the broadcast-matrix numpy kernel
+    (extras/similarity.py assign_cells, method='numpy' — the r7 scale
+    path whose plan stays flat in k; see ASSIGN_SWEEP_r07.json).  The
+    oracle replays the argmin in SQL over the same literal centroids,
+    pinning the BLAS argmax trick (x.c - |c|^2/2) to plain summed
+    squared-L2 and the ties-to-lowest-cid contract."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 8, seed="cells")
+    return (
+        similarity.assign_cells(emb.select("vec_id", "embedding"),
+                                cents, method="numpy")
+        .select("vec_id", F.col("__cell").cast("long").alias("cell"))
+        .orderBy("vec_id")
+    )
+
+
+@_q(_ivfpq_sql())
+def q_ivfpq_maintain(spark, sf_dir):
+    """One-call index maintenance (extras/similarity.py ivfpq_maintain):
+    base index holds the even vec_ids, the odds land in a staging root,
+    the maintenance pass folds+compacts them into a fresh index and
+    atomically swaps it in (journaled crash recovery tested in
+    tests/test_r7_fixes.py) — after which a sidecar-driven query with
+    NO extra_paths must equal the batch oracle over ALL vectors.  Same
+    contract as q_stream_ivfpq_ingest: how the index reached its state
+    is invisible to the query."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 8, seed="ivfpq")
+    cbs = similarity.pq_codebooks(64, m=8, k=16)
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_stream",
+        "ivfpq_mnt_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    staging = base + "_stg"
+    for p in (base, staging):
+        shutil.rmtree(p, ignore_errors=True)
+    similarity.write_ivfpq(emb.filter(F.col("vec_id") % 2 == 0),
+                           base, cents, cbs, residual=False)
+    similarity.ivfpq_encode(
+        emb.filter(F.col("vec_id") % 2 == 1), cents, cbs,
+        residual=False,
+    ).write.partitionBy("cell").parquet(staging)
+    similarity.ivfpq_maintain(spark, base, staging)
+    return similarity.ivfpq_topk_auto(spark, base, _QVEC, k=10,
+                                      nprobe=2, pool=100)
+
+
 @_q("""
 WITH cent AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,

@@ -229,6 +229,102 @@ def main():
             oov_curve[f"{name}|nprobe={nprobe}|pool={pool or 'adc'}"] = \
                 round(rec, 4)
 
+    # ---- r7: do the ivfpq_topk_auto DEFAULTS land in the safe region? -----
+    # pool="auto" = 8*k*max(nprobe,2), coupled to nprobe; measured on the
+    # production (trained+res) index for member AND out-of-corpus queries.
+    name = "trained+res"
+    auto_curve = {}
+    member_q = [(qi, q) for qi, (_, q) in enumerate(queries)]
+    for tag, qlist, tru in (("member", member_q, truth),
+                            ("oov", oov_queries, oov_truth)):
+        for nprobe in (2, 4):
+            parts = [
+                sim.ivfpq_topk_auto(spark, paths[name], q, k=TOPK,
+                                    nprobe=nprobe)
+                .select(F.lit(qi).alias("qi"), "vec_id")
+                for qi, q in qlist
+            ]
+            un = parts[0]
+            for p in parts[1:]:
+                un = un.unionAll(p)
+            got = {}
+            for r in un.collect():
+                got.setdefault(int(r["qi"]), set()).add(int(r["vec_id"]))
+            rec = sum(
+                len(got.get(qi, set()) & tru[qi]) / TOPK
+                for qi, _ in qlist
+            ) / len(qlist)
+            auto_curve[f"auto|{tag}|nprobe={nprobe}"] = round(rec, 4)
+
+    # ---- r7 stretch: OPQ on an energy-concentrated corpus -----------------
+    # The base synthetic corpus has uniform per-dim variance, where a
+    # variance-balancing permutation is a wash BY CONSTRUCTION (r6
+    # finding).  Real embeddings are PCA-rotated-ish: energy concentrates
+    # in leading dims.  Emulate that spectrum by scaling dim i with
+    # 0.95^i, refit everything on the scaled corpus, and A/B plain-PQ vs
+    # OPQ-permuted-PQ recall — the regime the permutation exists for.
+    scale_lit = F.array(*[F.lit(0.95 ** i) for i in range(DIM)])
+    emb_ec = emb.withColumn(
+        "embedding",
+        F.zip_with(F.col("embedding"), scale_lit, lambda v, s: v * s))
+    cents_ec = sim.kmeans_fit(emb_ec, k=K_CELLS, n_iter=5, dim=DIM)
+    books_ec = sim.pq_fit(emb_ec, m=M, k=K_CODES, n_iter=5, dim=DIM)
+    perm_ec = sim.opq_permutation(emb_ec, m=M, dim=DIM)
+    emb_ec_opq = emb_ec.withColumn(
+        "embedding", sim.permute_vec(F.col("embedding"), perm_ec))
+    cents_ec_opq = [[c[i] for i in perm_ec] for c in cents_ec]
+    books_ec_opq = sim.pq_fit(emb_ec_opq, m=M, k=K_CODES, n_iter=5,
+                              dim=DIM)
+    ec_paths = {}
+    for tag, (src, cs, bs) in {
+        "ec_plain": (emb_ec, cents_ec, books_ec),
+        "ec_opq": (emb_ec_opq, cents_ec_opq, books_ec_opq),
+    }.items():
+        p = os.path.join(scratch, tag)
+        sim.write_ivfpq(src, p, cs, bs, residual=True)
+        ec_paths[tag] = p
+    ec_queries = [
+        (qi, [v * (0.95 ** i) for i, v in enumerate(q)])
+        for qi, q in member_q
+    ]
+    plans = []
+    for qi, q in ec_queries:
+        d = sim._sq_l2(F.col("embedding"), sim._qlit(q))
+        plans.append(emb_ec.select(F.lit(qi).alias("qi"), "vec_id",
+                                   d.alias("d"))
+                     .orderBy("d", "vec_id").limit(TOPK))
+    un = plans[0]
+    for p in plans[1:]:
+        un = un.unionAll(p)
+    ec_truth = {}
+    for r in un.collect():
+        ec_truth.setdefault(int(r["qi"]), set()).add(int(r["vec_id"]))
+    ec_curve = {}
+    for tag in ("ec_plain", "ec_opq"):
+        cs = cents_ec if tag == "ec_plain" else cents_ec_opq
+        bs = books_ec if tag == "ec_plain" else books_ec_opq
+        for pool in (None, 160):
+            parts = []
+            for qi, q in ec_queries:
+                qq = ([q[i] for i in perm_ec] if tag == "ec_opq" else q)
+                parts.append(
+                    sim.ivfpq_topk(spark, ec_paths[tag], qq, cs, bs,
+                                   k=TOPK, nprobe=2, residual=True,
+                                   pool=pool)
+                    .select(F.lit(qi).alias("qi"), "vec_id"))
+            un = parts[0]
+            for p in parts[1:]:
+                un = un.unionAll(p)
+            got = {}
+            for r in un.collect():
+                got.setdefault(int(r["qi"]), set()).add(int(r["vec_id"]))
+            rec = sum(
+                len(got.get(qi, set()) & ec_truth[qi]) / TOPK
+                for qi, _ in ec_queries
+            ) / len(ec_queries)
+            ec_curve[f"{tag}|nprobe=2|pool={pool or 'adc'}"] = \
+                round(rec, 4)
+
     low = sorted(k for r, k in worst_ok if r < 0.9)
     out = {
         "n_vectors": n_vectors, "dim": DIM, "k_cells": K_CELLS,
@@ -238,6 +334,8 @@ def main():
         "seeding_ab": seeding_ab,
         "curve": curve,
         "oov_curve_trained_res": oov_curve,
+        "auto_defaults_recall": auto_curve,
+        "energy_concentrated_opq_ab": ec_curve,
         "configs_below_0.9_recall": low,
     }
     print(json.dumps(out))

@@ -74,6 +74,10 @@ def main():
         _gen_events(spark, F, src, out, factor)
     if "embeddings" in tables:
         _gen_embeddings(spark, F, src, out, factor)
+    if "tpch" in tables:
+        _gen_tpch(spark, F, src, out, factor)
+        tables.discard("tpch")
+        tables.update(TPCH_TABLES)
 
     counts = " ".join(
         f"{t}={spark.read.parquet(f'{out}/{t}.parquet').count()}"
@@ -115,6 +119,44 @@ def _gen_documents(spark, F, src, out, factor):
     scaled_docs.repartition(int(CPUS)).write.mode("overwrite").parquet(
         f"{out}/documents.parquet"
     )
+
+
+TPCH_TABLES = ["lineitem", "orders", "customer", "supplier", "part",
+               "region", "nation"]
+
+# every foreign key strided identically per replica, so each replica is
+# a SELF-CONTAINED copy of the sf0.1 instance: orders->lineitem,
+# customer->orders, part/supplier->lineitem all join within the replica
+# (TPC-H's own scale-up grows the same way: more keys, same structure).
+# region/nation are fixed dimensions — copied verbatim, every replica
+# references the same 25 nations, exactly like real TPC-H at any SF.
+_TPCH_KEY_STRIDE = 1_000_000_000
+_TPCH_KEYS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+}
+
+
+def _gen_tpch(spark, F, src, out, factor):
+    for t in ("region", "nation"):
+        spark.read.parquet(f"{src}/{t}.parquet").write \
+            .mode("overwrite").parquet(f"{out}/{t}.parquet")
+    for t, keys in _TPCH_KEYS.items():
+        df = spark.read.parquet(f"{src}/{t}.parquet").withColumn(
+            "__replica",
+            F.explode(F.sequence(F.lit(0), F.lit(factor - 1))),
+        )
+        for k in keys:
+            df = df.withColumn(
+                k,
+                F.col(k).cast("long")
+                + F.col("__replica").cast("long") * F.lit(_TPCH_KEY_STRIDE),
+            )
+        df.drop("__replica").repartition(int(CPUS)).write \
+            .mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
 def _gen_events(spark, F, src, out, factor):
