@@ -125,6 +125,7 @@ def _cpu_sentinel() -> float:
 
 
 def _load_sentinel() -> dict:
+    _cpu_sentinel()  # warm numpy/BLAS: the first call pays import+init
     out = {"cpu_sentinel_sec": _cpu_sentinel()}
     try:
         out["loadavg"] = [round(x, 2) for x in os.getloadavg()]

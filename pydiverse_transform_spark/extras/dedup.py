@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .util import UNKNOWN_PLAN_SIZE, fan_out, plan_size_bytes
+from .util import fan_out
 
 __all__ = [
     "exact_dedup", "exact_dedup_rows", "word_shingles", "char_shingles",
@@ -480,17 +480,16 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
     # they crash Python's ordering in the driver path — drop the pair
     # up front so both strategies agree.
     pairs = pairs.filter(F.col(a).isNotNull() & F.col(b).isNotNull())
-    if strategy == "auto":
-        # Size by Catalyst stats BEFORE paying the probe pass: when the
-        # two-column projection's estimate already exceeds what
-        # driver_max_pairs rows could plausibly occupy (64 B/edge is
-        # generous for ids), the graph cannot fit the driver — go
-        # distributed without collecting anything (r6 advice: the probe
-        # collected up to cap+1 wide-string rows and then threw them
-        # away).
-        est = plan_size_bytes(pairs.select(a, b))
-        if est != UNKNOWN_PLAN_SIZE and est > driver_max_pairs * 64:
-            strategy = "distributed"
+    # NOTE on the r6 advice "size by plan_size_bytes before probing":
+    # tried in r7 and REVERTED — dedup pair relations are join-derived
+    # plans whose Catalyst sizeInBytes is a multiplied join estimate,
+    # orders of magnitude above the true (filtered) cardinality; the
+    # gate reclassified semdedup's ~300-edge graph as too-big-for-
+    # driver and silently re-paid the distributed loop's per-round
+    # scheduler bill (q_semdedup 3.4 s -> 8-9 s, caught by the bench).
+    # The LIMIT probe on just the two columns IS the bounded sizing
+    # pass, and its rows are reused as the driver path's input; at
+    # known-billion-edge scale pass strategy="distributed" to skip it.
     if strategy != "distributed":
         head = pairs.select(a, b).limit(driver_max_pairs + 1).collect()
         if len(head) <= driver_max_pairs:

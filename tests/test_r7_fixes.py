@@ -173,19 +173,30 @@ def test_cc_driver_promotes_mixed_dtypes(spark):
     assert {tuple(r) for r in out.collect()} == {(1, 1), (2, 1), (3, 1)}
 
 
-def test_cc_auto_skips_probe_on_large_estimate(spark):
-    """When Catalyst's size estimate already exceeds what
-    driver_max_pairs rows could hold, auto must go distributed without
-    collecting (no driver-memory spike probe)."""
+def test_cc_auto_over_cap_goes_distributed(spark):
+    """auto with the edge count over driver_max_pairs: the bounded
+    LIMIT probe detects it (cap+1 two-column rows, immediately reused
+    or discarded) and the distributed loop runs.  Deliberately NOT
+    stats-gated: join-derived pair plans carry multiplied Catalyst
+    estimates that would misroute tiny graphs to the expensive loop
+    (measured on q_semdedup, see connected_components source note)."""
     rounds = []
     pairs = spark.range(0, 2000).select(
         F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
-    # force the driver cap to a value whose byte bound (~64 B/edge) is
-    # far below the projection's estimate -> distributed chosen
     out = dd.connected_components(pairs, driver_max_pairs=10,
                                   _rounds_out=rounds)
     assert rounds and rounds[0] > 0  # distributed loop ran (not 0)
     assert out.filter(F.col("comp") != 0).count() == 0
+    # and a join-derived plan with tiny true cardinality stays on the
+    # driver fast path (rounds == 0) despite its inflated estimate
+    a = spark.range(0, 50).select(F.col("id").alias("k"),
+                                  F.col("id").alias("id_a"))
+    b = spark.range(0, 50).select(F.col("id").alias("k"),
+                                  (F.col("id") + 1).alias("id_b"))
+    joined = a.join(b, "k").select("id_a", "id_b")
+    rounds2 = []
+    dd.connected_components(joined, _rounds_out=rounds2).collect()
+    assert rounds2 == [0]
 
 
 # ---------------------------------------------------------------------------
