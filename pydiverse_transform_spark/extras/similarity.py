@@ -28,7 +28,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "embedding_neardup_pairs", "semdedup_pairs", "semdedup",
            "semantic_contaminated_ids", "semantic_decontaminate",
            "kmeans_cell", "kmeans_seed_centroids", "kmeans_assign",
-           "assign_cells",
+           "assign_cells", "assign_cells_multi",
            "kmeans_update", "kmeans_fit", "kmeans_spread_seeds",
            "kmeans_inertia",
            "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
@@ -632,6 +632,60 @@ def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding",
     return _assign_cells_numpy(df, centroids, vec_col, out_col)
 
 
+def assign_cells_multi(df: DataFrame, centroids, n_probe: int = 2,
+                       vec_col: str = "embedding",
+                       out_col: str = "__cells") -> DataFrame:
+    """MULTI-probe cell assignment: attach the ``n_probe`` nearest
+    cells (ascending distance, ties to lower cid) as an array column.
+    Numpy broadcast-matrix kernel only — same scale shape as
+    :func:`assign_cells` method='numpy' (map-only, plan flat in k).
+
+    Why: single-cell blocking misses near-dup pairs that straddle a
+    cell boundary (the SemDeDup sweep measured 42 of 18k replica rows
+    escaping at n_probe=1, SEMDEDUP_SWEEP_r07.json); probing the 2
+    nearest cells makes each vector a candidate in both, closing the
+    boundary gap for ~n_probe x candidate volume."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, \
+        StructType
+
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    cids, mat = _centroid_matrix(centroids)
+    if n_probe > len(cids):
+        raise ValueError(f"n_probe={n_probe} exceeds k={len(cids)}")
+    bc = df.sparkSession.sparkContext.broadcast(
+        (cids, mat, 0.5 * (mat * mat).sum(axis=1), n_probe))
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col,
+                                       ArrayType(IntegerType()))])
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cids_, mat_, half, p = bc.value
+        for pdf in batches:
+            vs = pdf[vec_col]
+            out = [None] * len(vs)
+            valid = [i for i, v in enumerate(vs) if v is not None]
+            if valid:
+                x = np.asarray([np.asarray(vs.iloc[i], dtype=np.float64)
+                                for i in valid])
+                scores = -(x @ mat_.T - half)  # ascending d2
+                # argsort (stable) on the p-smallest: partition first,
+                # then order the partition — ties break to lower cid
+                part = np.argpartition(scores, p - 1, axis=1)[:, :p]
+                for j, i in enumerate(valid):
+                    cols = part[j]
+                    order = np.lexsort((cols, scores[j, cols]))
+                    out[i] = [int(cids_[c]) for c in cols[order]]
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
+
+
 def _centroids_as_df(spark, centroids: list[list[float]]) -> DataFrame:
     """(cid, centroid) DataFrame from a plain centroid list."""
     return spark.createDataFrame(
@@ -863,7 +917,8 @@ def semdedup_pairs(df: DataFrame, centroids,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id",
                    persist_celled: bool | None = None,
-                   assign_method: str = "auto") -> DataFrame:
+                   assign_method: str = "auto",
+                   n_probe: int = 1) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     semantic near-duplicates are pairs in the SAME quantizer cell with
@@ -896,11 +951,24 @@ def semdedup_pairs(df: DataFrame, centroids,
 
     if persist_celled is None:
         persist_celled = plan_size_bytes(df) <= SMALL_CORPUS_BYTES
-    celled = assign_cells(
-        fan_out(df).select(F.col(id_col), F.col(vec_col)),
-        centroids, vec_col=vec_col, out_col="__cell", id_col=id_col,
-        method=assign_method,
-    ).withColumn("__norm", norm(F.col(vec_col)))
+    src = fan_out(df).select(F.col(id_col), F.col(vec_col))
+    if n_probe > 1:
+        # multi-probe blocking: each vector is a candidate in its
+        # n_probe nearest cells, closing the cell-boundary miss
+        # (SEMDEDUP_SWEEP_r07.json); a pair sharing BOTH probed cells
+        # would match twice, so dedupe the pair keys before the cosine
+        celled = (
+            assign_cells_multi(src, centroids, n_probe=n_probe,
+                               vec_col=vec_col, out_col="__cells")
+            .select(F.col(id_col), F.col(vec_col),
+                    F.explode("__cells").alias("__cell"))
+            .withColumn("__norm", norm(F.col(vec_col)))
+        )
+    else:
+        celled = assign_cells(
+            src, centroids, vec_col=vec_col, out_col="__cell",
+            id_col=id_col, method=assign_method,
+        ).withColumn("__norm", norm(F.col(vec_col)))
     if persist_celled:
         celled = celled.persist()
     a = celled.select(
@@ -911,10 +979,14 @@ def semdedup_pairs(df: DataFrame, centroids,
         F.col("__cell"), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
     )
-    return (
+    cands = (
         a.join(b, on="__cell", how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
+    )
+    if n_probe > 1:
+        cands = cands.dropDuplicates(["id_a", "id_b"])
+    return (
+        cands.select(
             "id_a", "id_b",
             F.round(
                 F.try_divide(
@@ -932,7 +1004,8 @@ def semdedup(df: DataFrame, centroids,
              vec_col: str = "embedding",
              id_col: str = "vec_id",
              max_iter: int = 30,
-             assign_method: str = "auto") -> DataFrame:
+             assign_method: str = "auto",
+             n_probe: int = 1) -> DataFrame:
     """End-to-end SemDeDup: within-cell cosine pairs -> connected
     components -> keep only the canonical (minimum-id) row of every
     semantic-duplicate cluster.  The non-canonical id set is tiny
@@ -942,7 +1015,7 @@ def semdedup(df: DataFrame, centroids,
     from .dedup import connected_components
 
     pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col,
-                           assign_method=assign_method)
+                           assign_method=assign_method, n_probe=n_probe)
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iter=max_iter)
     losers = comp.filter(F.col("node") != F.col("comp")) \

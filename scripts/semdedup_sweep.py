@@ -57,9 +57,11 @@ def main():
 
     cents = sim.kmeans_fit(emb, k=K_CELLS, n_iter=5, dim=64)
     rows = []
-    for th in THRESHOLDS:
+    for th, n_probe in ([(t, 1) for t in THRESHOLDS]
+                        + [(0.95, 2)]):
         t0 = time.perf_counter()
-        kept = sim.semdedup(emb, cents, threshold=th).select(
+        kept = sim.semdedup(emb, cents, threshold=th,
+                            n_probe=n_probe).select(
             "vec_id", (F.col("vec_id") % VEC_ID_STRIDE).alias("b"))
         agg = kept.agg(
             F.count(F.lit(1)).alias("n"),
@@ -67,6 +69,7 @@ def main():
         el = round(time.perf_counter() - t0, 1)
         rows.append({
             "threshold": th,
+            "n_probe": n_probe,
             "kept_rows": int(agg["n"]),
             "kept_fraction": round(int(agg["n"]) / n_total, 4),
             "coverage": round(int(agg["cov"]) / n_base, 4),

@@ -118,6 +118,39 @@ def test_semdedup_accepts_dataframe_centroids(spark, sf_dir):
     assert kept_list == kept_df
 
 
+def test_assign_cells_multi_probe(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = sim.kmeans_spread_seeds(emb, 8)
+    single = dict(_cells(emb, cents, "numpy"))
+    multi = {
+        r["vec_id"]: list(r["__cells"])
+        for r in sim.assign_cells_multi(
+            emb.select("vec_id", "embedding"), cents, n_probe=3)
+        .collect()
+    }
+    assert set(multi) == set(single)
+    for vid, cells in multi.items():
+        assert len(cells) == 3 and len(set(cells)) == 3
+        assert cells[0] == single[vid]  # nearest first
+    with pytest.raises(ValueError, match="n_probe"):
+        sim.assign_cells_multi(emb, cents, n_probe=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        sim.assign_cells_multi(emb, cents, n_probe=9)
+
+
+def test_semdedup_pairs_multiprobe_superset_no_dupes(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = sim.kmeans_spread_seeds(emb, 8)
+    p1 = {(r["id_a"], r["id_b"])
+          for r in sim.semdedup_pairs(emb, cents, threshold=0.0)
+          .collect()}
+    rows2 = sim.semdedup_pairs(emb, cents, threshold=0.0,
+                               n_probe=2).collect()
+    p2 = {(r["id_a"], r["id_b"]) for r in rows2}
+    assert len(rows2) == len(p2), "multi-probe must not emit dup pairs"
+    assert p1 <= p2 and len(p2) > len(p1)  # boundary pairs recovered
+
+
 # ---------------------------------------------------------------------------
 # DSIR fit/apply split
 # ---------------------------------------------------------------------------
