@@ -748,7 +748,8 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
                vec_col: str = "embedding", id_col: str = "vec_id",
                dim: int | None = None,
                spherical: bool = False,
-               seeding: str = "spread") -> list[list[float]]:
+               seeding: str = "spread",
+               assign_method: str = "auto") -> list[list[float]]:
     """Train k centroids by Lloyd iteration (deterministic: hash-spread
     farthest-first seeding by default — see
     :func:`kmeans_spread_seeds`; ``seeding="smallest_id"`` restores the
@@ -762,6 +763,11 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
     each updated centroid, which is the right quantizer for cosine/IVF
     search (:func:`ivf_topk` assigns by argmax dot product); leave False
     for Euclidean clustering.  Empty cells keep their previous centroid.
+
+    The assignment pass dispatches through :func:`assign_cells`
+    (``assign_method``, default auto: codegen argmin at small k, the
+    flat-plan broadcast-matrix kernel above 256) — so training at
+    SemDeDup-scale k (10^4-10^5 cells) is viable, not just scoring.
     """
     dim = _require_dim(dim, vec_col)
     from .util import fan_out
@@ -776,11 +782,10 @@ def kmeans_fit(df: DataFrame, k: int, n_iter: int = 5,
     if spherical:
         centroids = [_norm(c) for c in centroids]
     for _ in range(n_iter):
-        assigned = base.select(
-            F.col(id_col),
-            kmeans_cell(F.col(vec_col), centroids).alias("cid"),
-            F.col(vec_col),
-        )
+        assigned = assign_cells(
+            base, centroids, vec_col=vec_col, out_col="cid",
+            id_col=id_col, method=assign_method,
+        ).select(F.col(id_col), F.col("cid"), F.col(vec_col))
         ex = assigned.select(
             "cid", F.posexplode(F.col(vec_col)).alias("pos", "v")
         )
@@ -1245,24 +1250,53 @@ def ivfpq_encode(df: DataFrame, centroids: list[list[float]],
                  codebooks: list[list[list[float]]],
                  vec_col: str = "embedding",
                  residual: bool = True,
-                 store_vectors: bool = True) -> DataFrame:
+                 store_vectors: bool = True,
+                 assign_method: str = "auto") -> DataFrame:
     """The row transform of the IVF-PQ index: attach the coarse ``cell``
     (argmin squared L2) and the ``pq_code`` (residual-encoded when
-    ``residual``).  A PURE PROJECTION — no shuffle, no state — so it
-    applies to a STREAMING DataFrame unchanged
-    (``streaming.ivfpq_append_stream`` builds on exactly this)."""
+    ``residual``).  NO shuffle, no state — so it applies to a STREAMING
+    DataFrame unchanged (``streaming.ivfpq_append_stream`` builds on
+    exactly this; both large-k paths below stay stream-legal:
+    ``mapInPandas`` runs on streams, and the residual lookup is a
+    stream-static BROADCAST join).
+
+    ``assign_method`` dispatches like :func:`assign_cells` — codegen
+    argmin with the centroid literal at small k; above 256 cells the
+    flat-plan broadcast-matrix kernel, with the per-cell centroid for
+    the residual fetched by broadcast join instead of a k x dim plan
+    literal (the r6 large-k ceiling, retired for indexes too)."""
     vec = F.col(vec_col)
-    cell = kmeans_cell(vec, centroids)
-    staged = df.withColumn("cell", cell)
-    if residual:
-        code_src = F.zip_with(
-            vec, F.element_at(_cent_lit(centroids), F.col("cell") + 1),
-            lambda x, y: x.cast("double") - y,
-        )
+    if assign_method == "auto":
+        assign_method = "literal" if len(centroids) <= 256 else "numpy"
+    if assign_method == "literal":
+        staged = df.withColumn("cell", kmeans_cell(vec, centroids))
+        if residual:
+            code_src = F.zip_with(
+                vec,
+                F.element_at(_cent_lit(centroids), F.col("cell") + 1),
+                lambda x, y: x.cast("double") - y,
+            )
+        else:
+            code_src = vec
     else:
-        code_src = vec
+        staged = assign_cells(df, centroids, vec_col=vec_col,
+                              out_col="cell", method="numpy")
+        if residual:
+            cdf = _centroids_as_df(df.sparkSession, centroids) \
+                .withColumnRenamed("cid", "cell")
+            staged = (
+                staged.join(F.broadcast(cdf), "cell")
+                .select(*df.columns, "cell", "centroid")
+            )
+            code_src = F.zip_with(
+                vec, F.col("centroid"),
+                lambda x, y: x.cast("double") - y,
+            )
+        else:
+            code_src = vec
     staged = staged.withColumn("__src", code_src)
-    coded = pq_encode(staged, codebooks, vec_col="__src").drop("__src")
+    coded = pq_encode(staged, codebooks, vec_col="__src") \
+        .drop("__src", "centroid")
     if not store_vectors:
         coded = coded.drop(vec_col)
     return coded

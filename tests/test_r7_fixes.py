@@ -151,6 +151,53 @@ def test_semdedup_pairs_multiprobe_superset_no_dupes(spark, sf_dir):
     assert p1 <= p2 and len(p2) > len(p1)  # boundary pairs recovered
 
 
+def test_kmeans_fit_assign_methods_agree(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = sim.kmeans_fit(emb, k=8, n_iter=3, dim=64,
+                       assign_method="literal")
+    b = sim.kmeans_fit(emb, k=8, n_iter=3, dim=64,
+                       assign_method="numpy")
+    assert len(a) == len(b) == 8
+    for ca, cb in zip(a, b):
+        assert ca == pytest.approx(cb, abs=1e-9)
+
+
+def test_ivfpq_encode_assign_methods_agree(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = sim.hyperplanes(64, 8, seed="ivfpq")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    for residual in (True, False):
+        lit = sim.ivfpq_encode(emb, cents, cbs, residual=residual,
+                               assign_method="literal") \
+            .select("vec_id", "cell", "pq_code").orderBy("vec_id") \
+            .collect()
+        npy = sim.ivfpq_encode(emb, cents, cbs, residual=residual,
+                               assign_method="numpy") \
+            .select("vec_id", "cell", "pq_code").orderBy("vec_id") \
+            .collect()
+        assert [tuple(r) for r in lit] == [tuple(r) for r in npy]
+
+
+def test_ivfpq_large_k_end_to_end(spark, sf_dir, tmp_path):
+    """k=300 coarse cells (> max_literal_k): the whole index lifecycle
+    — write (numpy assignment + broadcast residual), sidecar, query —
+    must work without a plan literal, and the top-1 of a member query
+    must be the member itself."""
+    emb = _emb(spark, sf_dir)
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    cents = rng.random((300, 64)).tolist()
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    path = str(tmp_path / "bigk")
+    sim.write_ivfpq(emb, path, cents, cbs, residual=True)
+    member = emb.orderBy("vec_id").first()
+    got = sim.ivfpq_topk_auto(
+        spark, path, [float(v) for v in member["embedding"]], k=3,
+        nprobe=2).collect()
+    assert got[0]["vec_id"] == member["vec_id"]
+
+
 # ---------------------------------------------------------------------------
 # DSIR fit/apply split
 # ---------------------------------------------------------------------------
