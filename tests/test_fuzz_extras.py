@@ -6,6 +6,7 @@ twins the driver oracles use, here exercised on nastier text than the
 fixture documents.  Runs under both ANSI modes (conftest ansi_mode).
 """
 
+import os
 import random
 
 import duckdb
@@ -203,6 +204,7 @@ def _make_text(rng):
     return sep.join(parts)
 
 
+SEED_BASE = int(os.environ.get("FUZZ_SEED_BASE", "0"))
 N_ROUNDS = 3
 N_TEXTS = 40
 
@@ -211,7 +213,7 @@ def test_fuzz_extras_text_ops(spark):
     failures = []
     n_checked = 0
     for rnd in range(N_ROUNDS):
-        rng = random.Random(1000 + rnd)
+        rng = random.Random(SEED_BASE + 1000 + rnd)
         texts = [_make_text(rng) for _ in range(N_TEXTS)]
         data = {"id": list(range(len(texts))), "t": texts}
         sdf = spark.createDataFrame(

@@ -28,6 +28,7 @@ pytestmark = pytest.mark.usefixtures("ansi_both")
 PFUZZ = {**FUZZ, "rid": list(range(len(FUZZ["ia"])))}
 
 N_PIPELINES = int(os.environ.get("FUZZ_N_PIPELINES", "40"))
+SEED_BASE = int(os.environ.get("FUZZ_SEED_BASE", "0"))
 MAX_STEPS = 4
 
 
@@ -290,7 +291,7 @@ def test_fuzz_pipelines(spark, pfuzz_setup):
     failures = []
     n_run = 0
     for seed in range(N_PIPELINES):
-        rng = random.Random(1000 + seed)
+        rng = random.Random(SEED_BASE + 1000 + seed)
         pg = PipelineGen(t0, rng)
         table, sql = pg.run(rng.randint(2, MAX_STEPS))
         try:
