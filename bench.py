@@ -71,15 +71,26 @@ def _vs_prev(timings: dict[str, float], total: float, sf_val=None):
             rounds.append((int(m.group(1)), p))
     if not rounds:
         return None
-    n, path = max(rounds)
-    try:
-        with open(path) as f:
-            prev = json.load(f)
-    except (OSError, json.JSONDecodeError):
+    # walk rounds newest-first and take the first with usable per-query
+    # timings — r7's driver record has parsed:null (the metric line
+    # overflowed the tail capture), so blindly taking max() would compare
+    # against an empty dict and silently report no drift.
+    prev = None
+    n = None
+    for n_cand, path in sorted(rounds, reverse=True):
+        try:
+            with open(path) as f:
+                cand = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        # driver files wrap the metric line under "parsed"
+        if "parsed" in cand and isinstance(cand["parsed"], dict):
+            cand = cand["parsed"]
+        if isinstance(cand, dict) and cand.get("queries"):
+            prev, n = cand, n_cand
+            break
+    if prev is None:
         return None
-    # driver files wrap the metric line under "parsed"
-    if "parsed" in prev and isinstance(prev["parsed"], dict):
-        prev = prev["parsed"]
     if sf_val is not None and prev.get("sf") not in (None, sf_val):
         return {"round": n, "skipped": f"prev sf {prev.get('sf')} != {sf_val}"}
     prev_q = prev.get("queries", {})
@@ -187,12 +198,19 @@ def main():
         sf_val = None
     total = round(sum(timings.values()), 3)
     spreads.sort()
+    # The headline metric line must stay SMALL: the driver tail-captures
+    # stdout and parses the last line as JSON, and r7's line (with
+    # sentinel/noise/vs_prev inlined) overflowed the capture, leaving the
+    # canonical record reconstructible-only (parsed:null).  Ship the bulky
+    # diagnostics on an EARLIER stdout line and in a sidecar file instead.
     payload = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+    }
+    diag = {
         "runs_per_query": 3,
         "sentinel": {"start": sentinel_start, "end": sentinel_end},
         "noise": {
@@ -204,13 +222,20 @@ def main():
     }
     vs_prev = _vs_prev(timings, total, sf_val)
     if vs_prev is not None:
-        payload["vs_prev"] = vs_prev
+        diag["vs_prev"] = vs_prev
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DIAG_latest.json"), "w") as f:
+            json.dump({"headline": payload, "diag": diag}, f, indent=1)
+    except OSError:
+        pass
     line = json.dumps(payload)
     # Stop the JVM *before* printing so no stray Spark log line (they can
     # end up on stdout) lands after the metric line — the driver parses
     # the last stdout line as JSON.
     spark.stop()
     sys.stdout.flush()
+    print("BENCH_DIAG " + json.dumps(diag))
     print(line)
     sys.stdout.flush()
 

@@ -559,10 +559,21 @@ def _assign_cells_join(df: DataFrame, centroids: DataFrame, vec_col: str,
     shape, generalized to carry every input column through): k centroid
     rows broadcast, squared-L2 in codegen, argmin via a map-side-
     combinable min(struct) re-grouped on ``id_col``.  Pays ONE shuffle
-    of the projection; distances never leave the JVM."""
+    of the projection; distances never leave the JVM.
+
+    Contract alignment with the numpy/literal strategies: rows with a
+    NULL ``vec_col`` bypass the join and keep a NULL ``out_col`` (a
+    null distance in every struct would otherwise make ``min`` resolve
+    purely by ``__cid`` and assign the lowest cell).  ``id_col`` MUST
+    be unique — the argmin is a groupBy on it, so duplicate ids would
+    collapse to one row; the other strategies are row-preserving."""
     cens = F.broadcast(centroids.select("cid", "centroid"))
     others = [c for c in df.columns if c != id_col]
-    scored = df.crossJoin(cens).select(
+    nulls = df.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col), *[F.col(c) for c in others],
+        F.lit(None).cast("int").alias(out_col),
+    )
+    scored = df.filter(F.col(vec_col).isNotNull()).crossJoin(cens).select(
         F.col(id_col),
         F.struct(
             _sq_l2(F.col(vec_col), F.col("centroid")).alias("__d2"),
@@ -570,7 +581,7 @@ def _assign_cells_join(df: DataFrame, centroids: DataFrame, vec_col: str,
             *[F.col(c) for c in others],
         ).alias("__s"),
     )
-    return (
+    assigned = (
         scored.groupBy(id_col)
         .agg(F.min("__s").alias("__s"))
         .select(
@@ -579,6 +590,7 @@ def _assign_cells_join(df: DataFrame, centroids: DataFrame, vec_col: str,
             F.col("__s.__cid").cast("int").alias(out_col),
         )
     )
+    return assigned.unionByName(nulls)
 
 
 def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding",
@@ -598,7 +610,8 @@ def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding",
       executor BROADCAST, one BLAS matmul per batch.  Map-only (zero
       shuffle), plan size flat in k: the large-k / 100-TB path.
     - ``join`` — broadcast min-by join (:func:`kmeans_assign` shape);
-      needs ``id_col``; one shuffle, distances in codegen.
+      needs a UNIQUE ``id_col`` (the argmin re-groups on it); one
+      shuffle, distances in codegen.
     - ``auto`` — literal when a plain list with k <= ``max_literal_k``,
       else numpy.
 
@@ -672,13 +685,16 @@ def assign_cells_multi(df: DataFrame, centroids, n_probe: int = 2,
                 x = np.asarray([np.asarray(vs.iloc[i], dtype=np.float64)
                                 for i in valid])
                 scores = -(x @ mat_.T - half)  # ascending d2
-                # argsort (stable) on the p-smallest: partition first,
-                # then order the partition — ties break to lower cid
-                part = np.argpartition(scores, p - 1, axis=1)[:, :p]
+                # STABLE argsort: columns are in ascending-cid order
+                # (sorted in _centroid_matrix), so equal distances
+                # resolve to the lower cid everywhere — including at
+                # the selection boundary, where argpartition would pick
+                # arbitrarily among straddling ties and make the probe
+                # set nondeterministic.  O(k log k)/row vs O(k), but
+                # vectorized C either way; determinism wins.
+                order = np.argsort(scores, axis=1, kind="stable")[:, :p]
                 for j, i in enumerate(valid):
-                    cols = part[j]
-                    order = np.lexsort((cols, scores[j, cols]))
-                    out[i] = [int(cids_[c]) for c in cols[order]]
+                    out[i] = [int(cids_[c]) for c in order[j]]
             pdf = pdf.copy()
             pdf[out_col] = out
             yield pdf
@@ -1284,8 +1300,12 @@ def ivfpq_encode(df: DataFrame, centroids: list[list[float]],
         if residual:
             cdf = _centroids_as_df(df.sparkSession, centroids) \
                 .withColumnRenamed("cid", "cell")
+            # LEFT join: a null embedding has a null cell, and an inner
+            # join would silently drop the row — whereas the literal path
+            # keeps it with a null pq_code.  Index contents must not
+            # depend on which assignment strategy k dispatched to.
             staged = (
-                staged.join(F.broadcast(cdf), "cell")
+                staged.join(F.broadcast(cdf), "cell", "left")
                 .select(*df.columns, "cell", "centroid")
             )
             code_src = F.zip_with(
@@ -1404,11 +1424,13 @@ def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
 
     ``pool="auto"`` (default) lands inside the MEASURED safe operating
     region (`ANN_CURVE_r06.json` / SCALE.md): exact re-rank with
-    ``pool = 8 * k * nprobe`` — i.e. 16·k at the default nprobe=2,
-    and COUPLED to nprobe because raising nprobe at a fixed pool was
-    measured to HURT recall (each extra probed cell contributes
-    ADC-plausible imposters that crowd true neighbors out of a
-    fixed-size pool).  Pass ``pool=None`` for explicit ADC-only
+    ``pool = 8 * k * max(nprobe, 2)`` — i.e. 16·k at the default
+    nprobe=2 AND at nprobe=1 (the floor of 2 keeps the single-probe
+    pool at the measured recall-1.0 sizing; 8·k alone was not
+    measured), and COUPLED to nprobe because raising nprobe at a fixed
+    pool was measured to HURT recall (each extra probed cell
+    contributes ADC-plausible imposters that crowd true neighbors out
+    of a fixed-size pool).  Pass ``pool=None`` for explicit ADC-only
     ranking, or an int to pin the pool.  Auto quietly degrades to
     ADC-only when the index was written with ``store_vectors=False``
     (no vectors to re-rank against)."""
@@ -1482,6 +1504,10 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
     1. **recover** — if a ``<index>.__swap`` journal is present, a
        previous run died mid-swap; finish or roll back based on which
        directories survived (all four states are handled, see below).
+       The journal records the index/staging/checkpoint paths of the
+       interrupted run: a rerun invoked with a DIFFERENT staging root
+       fails loudly instead of resetting a root whose rows were never
+       folded, and the roll-forward reset targets the journaled paths.
     2. **fold** — rewrite base + staging into ``<index>.__new``.  The
        EXPENSIVE phase; the live index is read-only input and stays
        fully queryable throughout.  A crash here leaves a stale
@@ -1515,6 +1541,41 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
     journal = index_path + ".__swap"
     recovered = None
     if fs.exists(P(journal)):
+        # The journal records which staging/checkpoint roots the
+        # interrupted run was folding.  A rerun invoked with DIFFERENT
+        # paths must not reset roots that were never folded into the
+        # index (that would be silent data loss) — verify and fail
+        # loudly on mismatch; the roll-forward reset below uses the
+        # journal's recorded paths, not this call's arguments.
+        import json as _json
+
+        try:
+            stream = fs.open(P(journal))
+            try:
+                data = bytes(jvm.org.apache.commons.io.IOUtils
+                             .toByteArray(stream))
+            finally:
+                stream.close()
+            jrec = _json.loads(data.decode()) if data else {}
+        except Exception:
+            # a crash mid-journal-write can leave partial JSON; the
+            # journal is written BEFORE the first rename, so an
+            # unreadable journal means the swap never started — treat
+            # it as recording this call's own paths
+            jrec = {}
+        j_staging = jrec.get("staging", staging_path)
+        j_ckpt = jrec.get("checkpoint", checkpoint_path)
+        if jrec.get("index", index_path) != index_path:
+            raise IOError(
+                f"swap journal {journal!r} records index "
+                f"{jrec.get('index')!r} but this run was invoked for "
+                f"{index_path!r}; refusing to recover")
+        if j_staging != staging_path:
+            raise IOError(
+                f"swap journal {journal!r} records staging root "
+                f"{j_staging!r} but this run was invoked with "
+                f"{staging_path!r}; rerun ivfpq_maintain with the "
+                "journaled staging root to finish recovery first")
         has_idx, has_new, has_old = (fs.exists(P(index_path)),
                                      fs.exists(P(new_p)),
                                      fs.exists(P(old_p)))
@@ -1540,10 +1601,11 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
         if roll_forward:
             # the swapped-in index already CONTAINS the staged rows —
             # finish the interrupted protocol's reset phase now, or the
-            # fold below would double-count them
-            fs.delete(P(staging_path), True)
-            if checkpoint_path is not None:
-                fs.delete(P(checkpoint_path), True)
+            # fold below would double-count them.  Reset the roots the
+            # JOURNAL recorded (== this call's, verified above).
+            fs.delete(P(j_staging), True)
+            if j_ckpt is not None:
+                fs.delete(P(j_ckpt), True)
     if fs.exists(P(new_p)):       # stale fold from a phase-2 crash
         fs.delete(P(new_p), True)
     if fs.exists(P(old_p)):
@@ -1557,7 +1619,8 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
         import json
 
         out.write(bytearray(json.dumps(
-            {"index": index_path, "staging": staging_path}).encode()))
+            {"index": index_path, "staging": staging_path,
+             "checkpoint": checkpoint_path}).encode()))
     finally:
         out.close()
     if not fs.rename(P(index_path), P(old_p)):

@@ -1,0 +1,185 @@
+"""Round-8 regression tests for the r7 ADVICE findings: ivfpq_encode
+null-embedding rows surviving BOTH assignment paths, ivfpq_maintain
+journal-verified recovery, assign_cells_multi boundary-tie determinism,
+and the join strategy's null-vector contract alignment."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras import similarity as sim
+
+TMP = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".tmp_test_r8")
+
+QVEC = [((i * 37) % 101 - 50) / 50.0 for i in range(64)]
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (medium): ivfpq_encode must not lose null-embedding rows on the
+# numpy residual path — index contents must not depend on k's dispatch
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_encode_null_embedding_kept_both_paths(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    cents = rng.random((4, 8)).tolist()
+    cbs = sim.pq_codebooks(8, m=2, k=4)
+    df = spark.createDataFrame(
+        [(1, [float(v) for v in rng.random(8)]),
+         (2, None),
+         (3, [float(v) for v in rng.random(8)])],
+        "vec_id int, embedding array<double>")
+    for residual in (True, False):
+        lit = sim.ivfpq_encode(df, cents, cbs, residual=residual,
+                               assign_method="literal") \
+            .select("vec_id", "cell", "pq_code").orderBy("vec_id") \
+            .collect()
+        npy = sim.ivfpq_encode(df, cents, cbs, residual=residual,
+                               assign_method="numpy") \
+            .select("vec_id", "cell", "pq_code").orderBy("vec_id") \
+            .collect()
+        assert len(lit) == len(npy) == 3, \
+            "null-embedding row dropped by one path"
+        assert [tuple(r) for r in lit] == [tuple(r) for r in npy]
+        null_row = [r for r in npy if r["vec_id"] == 2][0]
+        # contract (same as the literal path): null cell, and a code
+        # array whose per-subspace entries are all null
+        assert null_row["cell"] is None
+        assert all(c is None for c in null_row["pq_code"])
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (low): ivfpq_maintain recovery must honor the journal's recorded
+# staging root, not this call's arguments
+# ---------------------------------------------------------------------------
+
+def _mini_index(spark, base):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    cents = rng.random((4, 8)).tolist()
+    cbs = sim.pq_codebooks(8, m=2, k=4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in rng.random(8)]) for i in range(20)],
+        "vec_id int, embedding array<double>")
+    idx, stg = base + "_idx", base + "_stg"
+    for p in (idx, stg):
+        shutil.rmtree(p, ignore_errors=True)
+    sim.write_ivfpq(df.filter(F.col("vec_id") < 10), idx, cents, cbs,
+                    residual=False)
+    sim.ivfpq_encode(df.filter(F.col("vec_id") >= 10), cents, cbs,
+                     residual=False).write.partitionBy("cell").parquet(stg)
+    return idx, stg
+
+
+def test_ivfpq_maintain_journal_staging_mismatch_refuses(spark):
+    base = os.path.join(TMP, "jrnl_mismatch")
+    idx, stg = _mini_index(spark, base)
+    other_stg = base + "_other_stg"
+    shutil.rmtree(other_stg, ignore_errors=True)
+    os.makedirs(other_stg)
+    with open(os.path.join(other_stg, "part-0.parquet"), "wb") as f:
+        f.write(b"")
+    # simulate a mid-swap crash of a run that was folding `stg`
+    sim.ivfpq_fold_staging(spark, idx, stg, idx + ".__new")
+    import json as _j
+    with open(idx + ".__swap", "w") as f:
+        f.write(_j.dumps({"index": idx, "staging": stg,
+                          "checkpoint": None}))
+    os.rename(idx, idx + ".__old")
+    # a rerun pointed at a DIFFERENT staging root must refuse — its rows
+    # were never folded, and the old reset path would have deleted them
+    with pytest.raises(IOError, match="staging root"):
+        sim.ivfpq_maintain(spark, idx, other_stg)
+    assert os.path.exists(other_stg), "unfolded staging root deleted"
+    # the correct rerun (journaled staging) recovers and completes
+    stats = sim.ivfpq_maintain(spark, idx, stg)
+    assert stats["recovered"] == "rolled_forward_new"
+    assert spark.read.parquet(idx).count() == 20
+    assert not os.path.exists(stg)
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_ivfpq_maintain_journal_index_mismatch_refuses(spark):
+    base = os.path.join(TMP, "jrnl_idx_mismatch")
+    idx, stg = _mini_index(spark, base)
+    import json as _j
+    with open(idx + ".__swap", "w") as f:
+        f.write(_j.dumps({"index": idx + "_elsewhere", "staging": stg}))
+    with pytest.raises(IOError, match="records index"):
+        sim.ivfpq_maintain(spark, idx, stg)
+    os.remove(idx + ".__swap")
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_ivfpq_maintain_rollforward_resets_journaled_checkpoint(spark):
+    """The journal now records the checkpoint too: a roll-forward after
+    a crash between the renames resets the checkpoint of the
+    INTERRUPTED run even when the rerun passes none."""
+    base = os.path.join(TMP, "jrnl_ckpt")
+    idx, stg = _mini_index(spark, base)
+    ckpt = base + "_ckpt"
+    os.makedirs(ckpt, exist_ok=True)
+    with open(os.path.join(ckpt, "offsets"), "w") as f:
+        f.write("x")
+    sim.ivfpq_fold_staging(spark, idx, stg, idx + ".__new")
+    import json as _j
+    with open(idx + ".__swap", "w") as f:
+        f.write(_j.dumps({"index": idx, "staging": stg,
+                          "checkpoint": ckpt}))
+    os.rename(idx, idx + ".__old")
+    stats = sim.ivfpq_maintain(spark, idx, stg)  # note: no ckpt arg
+    assert stats["recovered"] == "rolled_forward_new"
+    assert not os.path.exists(ckpt), \
+        "journaled checkpoint must be reset on roll-forward"
+    assert spark.read.parquet(idx).count() == 20
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (low): assign_cells_multi boundary ties must be deterministic
+# (ties to the LOWEST cid, even when they straddle the n_probe cut)
+# ---------------------------------------------------------------------------
+
+def test_assign_cells_multi_boundary_ties_to_lowest_cid(spark):
+    # three IDENTICAL centroids + one far one: at n_probe=2 the tie
+    # straddles the selection boundary; the contract picks cids [0, 1]
+    cents = [[0.0, 0.0], [0.0, 0.0], [0.0, 0.0], [50.0, 50.0]]
+    df = spark.createDataFrame(
+        [(i, [float(i) / 10.0, 0.0]) for i in range(30)],
+        "vec_id int, embedding array<double>")
+    out = sim.assign_cells_multi(df, cents, n_probe=2).collect()
+    for r in out:
+        assert list(r["__cells"]) == [0, 1], \
+            f"nondeterministic boundary tie: {r['__cells']}"
+    # and a 3-probe over the same ties appends the next-lowest cid
+    out3 = sim.assign_cells_multi(df, cents, n_probe=3).collect()
+    for r in out3:
+        assert list(r["__cells"]) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE (low): the join strategy's null-vector contract must match
+# numpy/literal (null cell, row preserved)
+# ---------------------------------------------------------------------------
+
+def test_assign_cells_join_null_vector_matches_other_paths(spark):
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.2], "a"), (2, [9.0, 9.5], "b"), (3, None, "c")],
+        "vec_id int, embedding array<double>, tag string")
+    expected = [(1, "a", 0), (2, "b", 1), (3, "c", None)]
+    for method, kw in (("literal", {}), ("numpy", {}),
+                       ("join", {"id_col": "vec_id"})):
+        rows = sim.assign_cells(df, cents, method=method, **kw) \
+            .select("vec_id", "tag", "__cell").orderBy("vec_id").collect()
+        assert [tuple(r) for r in rows] == expected, method
