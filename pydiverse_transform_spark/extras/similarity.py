@@ -415,16 +415,24 @@ def kmeans_spread_seeds(df: DataFrame, k: int,
        the ``oversample * k`` rows with the smallest ``md5(id || salt)``
        — an id-hash is position- and time-independent, so candidates
        spread pseudo-uniformly over the corpus however it is sorted.
-    2. **Farthest-first reduce** (driver-side, O(L·k·dim) on L =
-       oversample·k candidate vectors — tiny): start from the
-       smallest-hash candidate, then greedily add the candidate with
-       the largest min-distance to the chosen set (ties to the earlier
-       candidate) — the classic 2-approximation k-center sweep, which
-       guarantees spread-out seeds instead of hoping the hash draw
-       avoids collisions.
+    2. **Farthest-first reduce** (driver-side, vectorized numpy):
+       start from the smallest-hash candidate, then greedily add the
+       candidate with the largest min-distance to the chosen set (ties
+       to the earlier candidate) — the classic 2-approximation k-center
+       sweep, which guarantees spread-out seeds instead of hoping the
+       hash draw avoids collisions.  Each step is ONE BLAS matvec
+       min-distance update over the L = oversample·k candidates
+       (r7's pure-Python ``sum(zip())`` loop was the k-scaling
+       bottleneck once assignment went flat-plan: ~10^10 interpreted
+       FLOPs at k=10^4; the vectorized sweep is seconds there —
+       ASSIGN_SWEEP_r08.json).  Total cost O(oversample·k²·dim) FLOPs
+       in BLAS — fine through k~10^4; at SemDeDup's ~10^5 cells
+       prefer :func:`kmeans_seed_centroids` or lower ``oversample``.
     """
     if oversample < 1:
         raise ValueError(f"oversample must be >= 1, got {oversample}")
+    import numpy as np
+
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     cand_rows = (
         df.select(F.col(id_col), F.col(vec_col), h.alias("__h"))
@@ -435,19 +443,24 @@ def kmeans_spread_seeds(df: DataFrame, k: int,
     if len(cand_rows) < k:
         raise ValueError(f"k={k} exceeds the number of input rows "
                          f"({len(cand_rows)})")
-    cands = [[float(v) for v in r[vec_col]] for r in cand_rows]
+    X = np.asarray([list(r[vec_col]) for r in cand_rows],
+                   dtype=np.float64)
+    norms = (X * X).sum(axis=1)
 
-    def d2(a: list[float], b: list[float]) -> float:
-        return sum((x - y) ** 2 for x, y in zip(a, b))
+    def dists_to(i: int):
+        # ||x-s||^2 = ||x||^2 - 2 x·s + ||s||^2, clamped: the expansion
+        # can go infinitesimally negative for near-identical vectors,
+        # and a -1e-16 vs 0.0 would perturb the tie contract
+        s = X[i]
+        return np.maximum(norms - 2.0 * (X @ s) + float(s @ s), 0.0)
 
-    seeds = [cands[0]]
-    mind = [d2(v, cands[0]) for v in cands]
+    chosen = [0]
+    mind = dists_to(0)
     for _ in range(k - 1):
-        far = max(range(len(cands)), key=lambda i: (mind[i], -i))
-        seeds.append(cands[far])
-        mind = [min(m, d2(v, cands[far]))
-                for m, v in zip(mind, cands)]
-    return seeds
+        far = int(np.argmax(mind))   # first max == earlier candidate
+        chosen.append(far)
+        np.minimum(mind, dists_to(far), out=mind)
+    return [[float(v) for v in X[i]] for i in chosen]
 
 
 def kmeans_inertia(df: DataFrame, centroids: list[list[float]],
@@ -536,14 +549,32 @@ def _assign_cells_numpy(df: DataFrame, centroids, vec_col: str,
         import pandas as pd
 
         cids_, mat_, half = bc.value
+        k = mat_.shape[0]
+        # Bound the transient scores matrix (rows x k float64) to
+        # ~128 MB per worker: at SemDeDup-scale k (~110k cells) a full
+        # 10k-row Arrow batch would otherwise materialize an 8.8 GB
+        # scores block per worker.  Chunk rows, keep the matmul shape
+        # BLAS-friendly.
+        chunk = max(1, (16 << 20) // max(k, 1))
         for pdf in batches:
             vs = pdf[vec_col]
             out = pd.array([None] * len(vs), dtype="Int32")
             valid = [i for i, v in enumerate(vs) if v is not None]
             if valid:
-                x = np.asarray([np.asarray(vs.iloc[i], dtype=np.float64)
-                                for i in valid])
-                lab = cids_[np.argmax(x @ mat_.T - half, axis=1)]
+                if len(valid) == len(vs):
+                    # no-null fast path: one vectorized stack, no
+                    # per-row Python list building
+                    x = np.stack(vs.to_numpy()).astype(
+                        np.float64, copy=False)
+                else:
+                    x = np.asarray(
+                        [np.asarray(vs.iloc[i], dtype=np.float64)
+                         for i in valid])
+                lab = np.empty(len(valid), dtype=np.int64)
+                for s in range(0, x.shape[0], chunk):
+                    xe = x[s:s + chunk]
+                    lab[s:s + len(xe)] = cids_[
+                        np.argmax(xe @ mat_.T - half, axis=1)]
                 for j, i in enumerate(valid):
                     out[i] = int(lab[j])
             pdf = pdf.copy()
@@ -647,7 +678,8 @@ def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding",
 
 def assign_cells_multi(df: DataFrame, centroids, n_probe: int = 2,
                        vec_col: str = "embedding",
-                       out_col: str = "__cells") -> DataFrame:
+                       out_col: str = "__cells",
+                       probe_margin: float | None = None) -> DataFrame:
     """MULTI-probe cell assignment: attach the ``n_probe`` nearest
     cells (ascending distance, ties to lower cid) as an array column.
     Numpy broadcast-matrix kernel only — same scale shape as
@@ -657,17 +689,31 @@ def assign_cells_multi(df: DataFrame, centroids, n_probe: int = 2,
     cell boundary (the SemDeDup sweep measured 42 of 18k replica rows
     escaping at n_probe=1, SEMDEDUP_SWEEP_r07.json); probing the 2
     nearest cells makes each vector a candidate in both, closing the
-    boundary gap for ~n_probe x candidate volume."""
+    boundary gap for ~n_probe x candidate volume.
+
+    ``probe_margin`` (Euclidean distance units) prunes that cost: a
+    secondary cell is kept only while ``dist(x, cell) <=
+    dist(x, nearest) + probe_margin``, so only vectors actually near a
+    cell boundary pay the extra candidacy (output arrays are variable
+    length 1..n_probe).  Coverage guarantee: for any pair with
+    ``||x - y|| <= margin/2``, x probes y's home cell or vice versa
+    (triangle inequality: ``d(x, c1y) <= d(y, c1y) + ||x-y|| <=
+    d(y, c1x) + ||x-y|| <= d(x, c1x) + 2||x-y||``), so a margin of
+    ``2 * max_pair_distance`` misses nothing n_probe-unbounded probing
+    would have caught within n_probe cells."""
     from pyspark.sql.types import ArrayType, IntegerType, StructField, \
         StructType
 
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    if probe_margin is not None and probe_margin < 0:
+        raise ValueError(f"probe_margin must be >= 0, got {probe_margin}")
     cids, mat = _centroid_matrix(centroids)
     if n_probe > len(cids):
         raise ValueError(f"n_probe={n_probe} exceeds k={len(cids)}")
     bc = df.sparkSession.sparkContext.broadcast(
-        (cids, mat, 0.5 * (mat * mat).sum(axis=1), n_probe))
+        (cids, mat, 0.5 * (mat * mat).sum(axis=1), n_probe,
+         probe_margin))
     schema = StructType(list(df.schema.fields)
                         + [StructField(out_col,
                                        ArrayType(IntegerType()))])
@@ -676,25 +722,53 @@ def assign_cells_multi(df: DataFrame, centroids, n_probe: int = 2,
         import numpy as np
         import pandas as pd
 
-        cids_, mat_, half, p = bc.value
+        cids_, mat_, half, p, margin = bc.value
+        k = mat_.shape[0]
+        chunk = max(1, (16 << 20) // max(k, 1))  # scores <= ~128 MB
         for pdf in batches:
             vs = pdf[vec_col]
             out = [None] * len(vs)
             valid = [i for i, v in enumerate(vs) if v is not None]
             if valid:
-                x = np.asarray([np.asarray(vs.iloc[i], dtype=np.float64)
-                                for i in valid])
-                scores = -(x @ mat_.T - half)  # ascending d2
-                # STABLE argsort: columns are in ascending-cid order
-                # (sorted in _centroid_matrix), so equal distances
-                # resolve to the lower cid everywhere — including at
-                # the selection boundary, where argpartition would pick
-                # arbitrarily among straddling ties and make the probe
-                # set nondeterministic.  O(k log k)/row vs O(k), but
-                # vectorized C either way; determinism wins.
-                order = np.argsort(scores, axis=1, kind="stable")[:, :p]
+                if len(valid) == len(vs):
+                    x = np.stack(vs.to_numpy()).astype(
+                        np.float64, copy=False)
+                else:
+                    x = np.asarray(
+                        [np.asarray(vs.iloc[i], dtype=np.float64)
+                         for i in valid])
+                order = np.empty((x.shape[0], p), dtype=np.int64)
+                keep_n = np.full(x.shape[0], p, dtype=np.int64)
+                for s in range(0, x.shape[0], chunk):
+                    xe = x[s:s + chunk]
+                    scores = -(xe @ mat_.T - half)  # ascending d2/2
+                    # STABLE argsort: columns are in ascending-cid
+                    # order (sorted in _centroid_matrix), so equal
+                    # distances resolve to the lower cid everywhere —
+                    # including at the selection boundary, where
+                    # argpartition would pick arbitrarily among
+                    # straddling ties and make the probe set
+                    # nondeterministic.  O(k log k)/row vs O(k), but
+                    # vectorized C either way; determinism wins.
+                    o = np.argsort(scores, axis=1, kind="stable")[:, :p]
+                    order[s:s + len(xe)] = o
+                    if margin is not None and p > 1:
+                        # true distances of the selected cells:
+                        # d^2 = 2*score + ||x||^2 (score = ||c||^2/2
+                        # - x.c), clamped against FP-negative zeros
+                        xn2 = (xe * xe).sum(axis=1)[:, None]
+                        dsel = np.sqrt(np.maximum(
+                            2.0 * np.take_along_axis(scores, o, axis=1)
+                            + xn2, 0.0))
+                        within = dsel <= dsel[:, :1] + margin
+                        # the nearest cell is always kept (guards the
+                        # all-NaN-distance row, where <= is false
+                        # everywhere and the prefix would be empty)
+                        keep_n[s:s + len(xe)] = np.maximum(
+                            within.sum(axis=1), 1)
                 for j, i in enumerate(valid):
-                    out[i] = [int(cids_[c]) for c in order[j]]
+                    out[i] = [int(cids_[c])
+                              for c in order[j, :keep_n[j]]]
             pdf = pdf.copy()
             pdf[out_col] = out
             yield pdf
@@ -939,7 +1013,9 @@ def semdedup_pairs(df: DataFrame, centroids,
                    id_col: str = "vec_id",
                    persist_celled: bool | None = None,
                    assign_method: str = "auto",
-                   n_probe: int = 1) -> DataFrame:
+                   n_probe: int = 1,
+                   probe_margin: float | str | None = "auto"
+                   ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     semantic near-duplicates are pairs in the SAME quantizer cell with
@@ -967,7 +1043,19 @@ def semdedup_pairs(df: DataFrame, centroids,
     (None) persists only when the input's size estimate is small (the
     same adaptive-materialization rule as ``minhash_dedup_pairs`` — at
     corpus scale the projection is the whole vector table and must NOT
-    be pinned)."""
+    be pinned).
+
+    ``probe_margin`` (used only when ``n_probe > 1``) prunes
+    multi-probe's candidate cost to the vectors actually near a cell
+    boundary.  ``"auto"`` derives ``2*sqrt(2*(1-threshold))`` — for
+    UNIT-NORM embeddings (the SemDeDup paper normalizes; train with
+    ``kmeans_fit(spherical=True)``) that is exactly ``2 * max
+    ||x - y||`` over pairs with cosine >= threshold, so auto-pruned
+    probing keeps every pair plain n_probe probing would have found
+    (see :func:`assign_cells_multi` for the triangle-inequality
+    argument).  Pass an explicit float for non-normalized corpora
+    (2x the largest pair distance you must not miss), or ``None`` to
+    probe all ``n_probe`` cells unconditionally."""
     from .util import SMALL_CORPUS_BYTES, fan_out, plan_size_bytes
 
     if persist_celled is None:
@@ -978,9 +1066,12 @@ def semdedup_pairs(df: DataFrame, centroids,
         # n_probe nearest cells, closing the cell-boundary miss
         # (SEMDEDUP_SWEEP_r07.json); a pair sharing BOTH probed cells
         # would match twice, so dedupe the pair keys before the cosine
+        if probe_margin == "auto":
+            probe_margin = 2.0 * (2.0 * (1.0 - threshold)) ** 0.5
         celled = (
             assign_cells_multi(src, centroids, n_probe=n_probe,
-                               vec_col=vec_col, out_col="__cells")
+                               vec_col=vec_col, out_col="__cells",
+                               probe_margin=probe_margin)
             .select(F.col(id_col), F.col(vec_col),
                     F.explode("__cells").alias("__cell"))
             .withColumn("__norm", norm(F.col(vec_col)))
@@ -1026,7 +1117,8 @@ def semdedup(df: DataFrame, centroids,
              id_col: str = "vec_id",
              max_iter: int = 30,
              assign_method: str = "auto",
-             n_probe: int = 1) -> DataFrame:
+             n_probe: int = 1,
+             probe_margin: float | str | None = "auto") -> DataFrame:
     """End-to-end SemDeDup: within-cell cosine pairs -> connected
     components -> keep only the canonical (minimum-id) row of every
     semantic-duplicate cluster.  The non-canonical id set is tiny
@@ -1036,7 +1128,8 @@ def semdedup(df: DataFrame, centroids,
     from .dedup import connected_components
 
     pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col,
-                           assign_method=assign_method, n_probe=n_probe)
+                           assign_method=assign_method, n_probe=n_probe,
+                           probe_margin=probe_margin)
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iter=max_iter)
     losers = comp.filter(F.col("node") != F.col("comp")) \

@@ -1,4 +1,5 @@
-"""Cell-assignment cost sweep over k (r7 verdict #2 evidence).
+"""Cell-assignment cost sweep over k (r7 verdict #2 / r8 verdict #1
+evidence).
 
 Measures wall-clock and plan size for assign_cells' strategies at
 k in {64, 1024, 8192} on the sf embeddings table, materialized with the
@@ -9,7 +10,13 @@ k*dim and its interpreted fold cost explodes — i.e. why literal is
 capped at max_literal_k and SemDeDup's "raise k until a cell fits a
 task" rule is now viable to the paper's ~110k cells.
 
-Usage: python scripts/assign_sweep.py [out.json]
+With a LARGE_CORPUS dir (second positional arg), additionally runs the
+k=110k operating-point proof on it (r8): numpy assignment at
+k in {8192, 110592} (recording the broadcast model size), the
+vectorized kmeans_spread_seeds wall-time at k=10^4, and one SemDeDup
+pass at the k-proportional-to-n sizing rule (~100 rows/cell).
+
+Usage: python scripts/assign_sweep.py [out.json] [large_corpus_dir]
 """
 
 import json
@@ -68,13 +75,78 @@ def main():
             }
         results.append(row)
         print(json.dumps(row))
-    spark.stop()
+
     out = {"sf_dir": SF_DIR, "cpus": int(CPUS), "sweep": results}
+
+    corpus = sys.argv[2] if len(sys.argv) > 2 else None
+    if corpus:
+        out["large_corpus"] = _large_corpus_proof(spark, sim, np, run,
+                                                  corpus)
+        print(json.dumps(out["large_corpus"]))
+    spark.stop()
     path = sys.argv[1] if len(sys.argv) > 1 else None
     if path:
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
     print(json.dumps(out))
+
+
+def _large_corpus_proof(spark, sim, np, run, corpus):
+    """The k=110k operating point, end-to-end on a ~1M-vector corpus:
+    (a) numpy assignment stays ~flat in us/row from k=8192 to k=110592
+    while the broadcast model grows to k*dim*8 B, (b) the vectorized
+    farthest-first seeding at k=10^4 completes in seconds, (c) a full
+    SemDeDup pass at the k ∝ n sizing rule (~100 rows/cell) runs."""
+    import time
+
+    emb = spark.read.parquet(f"{corpus}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    n_rows = emb.count()
+    dim = len(emb.first()["embedding"])
+    rng = np.random.default_rng(7)
+    res = {"corpus": corpus, "n_rows": n_rows, "dim": dim, "assign": []}
+
+    for k in (8192, 110_592):
+        cents = rng.random((k, dim)).tolist()
+        df = sim.assign_cells(emb, cents, method="numpy")
+        sec = run(df)
+        res["assign"].append({
+            "k": k,
+            "sec": sec,
+            "us_per_row": round(sec / n_rows * 1e6, 3),
+            "broadcast_mb": round(k * dim * 8 / (1 << 20), 1),
+            "plan_chars": len(df._jdf.queryExecution()
+                              .optimizedPlan().toString()),
+        })
+        print(json.dumps(res["assign"][-1]))
+
+    k_seed = 10_000
+    t0 = time.perf_counter()
+    seeds = sim.kmeans_spread_seeds(emb, k_seed)
+    res["spread_seeds"] = {
+        "k": k_seed,
+        "oversample": 8,
+        "sec": round(time.perf_counter() - t0, 2),
+        "n_seeds": len(seeds),
+    }
+    print(json.dumps(res["spread_seeds"]))
+
+    # SemDeDup at the sizing rule: k = n / 100 (SCALE.md) — cells stay
+    # ~100 rows, within-cell pair work stays constant as n grows
+    k_sd = max(64, n_rows // 100)
+    t0 = time.perf_counter()
+    kept = sim.semdedup(emb, seeds[:k_sd] if k_sd <= len(seeds)
+                        else rng.random((k_sd, dim)).tolist(),
+                        threshold=0.2).count()
+    res["semdedup_k_prop_n"] = {
+        "k": k_sd,
+        "threshold": 0.2,
+        "sec": round(time.perf_counter() - t0, 2),
+        "kept": kept,
+        "removed": n_rows - kept,
+    }
+    print(json.dumps(res["semdedup_k_prop_n"]))
+    return res
 
 
 if __name__ == "__main__":
