@@ -549,7 +549,7 @@ def _assign_cells_numpy(df: DataFrame, centroids, vec_col: str,
         import pandas as pd
 
         cids_, mat_, half = bc.value
-        k = mat_.shape[0]
+        k, dim = mat_.shape
         # Bound the transient scores matrix (rows x k float64) to
         # ~128 MB per worker: at SemDeDup-scale k (~110k cells) a full
         # 10k-row Arrow batch would otherwise materialize an 8.8 GB
@@ -559,7 +559,11 @@ def _assign_cells_numpy(df: DataFrame, centroids, vec_col: str,
         for pdf in batches:
             vs = pdf[vec_col]
             out = pd.array([None] * len(vs), dtype="Int32")
-            valid = [i for i, v in enumerate(vs) if v is not None]
+            # wrong-length vectors (incl. empty) get a null cell, the
+            # same contract as the literal path, whose zip_with pads
+            # with nulls and null-propagates
+            valid = [i for i, v in enumerate(vs)
+                     if v is not None and len(v) == dim]
             if valid:
                 if len(valid) == len(vs):
                     # no-null fast path: one vectorized stack, no
@@ -595,9 +599,12 @@ def _assign_cells_join(df: DataFrame, centroids: DataFrame, vec_col: str,
     Contract alignment with the numpy/literal strategies: rows with a
     NULL ``vec_col`` bypass the join and keep a NULL ``out_col`` (a
     null distance in every struct would otherwise make ``min`` resolve
-    purely by ``__cid`` and assign the lowest cell).  ``id_col`` MUST
-    be unique — the argmin is a groupBy on it, so duplicate ids would
-    collapse to one row; the other strategies are row-preserving."""
+    purely by ``__cid`` and assign the lowest cell), and rows whose
+    winning distance is NULL (dimension-mismatched vectors, null
+    components) also get a NULL cell — same null-propagation as the
+    literal path.  ``id_col`` MUST be unique — the argmin is a groupBy
+    on it, so duplicate ids would collapse to one row; the other
+    strategies are row-preserving."""
     cens = F.broadcast(centroids.select("cid", "centroid"))
     others = [c for c in df.columns if c != id_col]
     nulls = df.filter(F.col(vec_col).isNull()).select(
@@ -618,7 +625,8 @@ def _assign_cells_join(df: DataFrame, centroids: DataFrame, vec_col: str,
         .select(
             F.col(id_col),
             *[F.col(f"__s.{c}").alias(c) for c in others],
-            F.col("__s.__cid").cast("int").alias(out_col),
+            F.when(F.col("__s.__d2").isNotNull(),
+                   F.col("__s.__cid")).cast("int").alias(out_col),
         )
     )
     return assigned.unionByName(nulls)
@@ -646,7 +654,31 @@ def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding",
     - ``auto`` — literal when a plain list with k <= ``max_literal_k``,
       else numpy.
 
-    Tie contract everywhere: equal distance -> LOWEST cid."""
+    Tie contract everywhere: equal distance -> LOWEST cid.
+
+    Edge-input contract (fuzzed across strategies in
+    ``tests/test_fuzz_assign.py``):
+
+    - NULL vector, or vector whose length differs from the centroid
+      dim (incl. empty) -> NULL cell, all strategies.
+    - Any NaN component -> the LOWEST cid, all strategies (every
+      distance is NaN; Catalyst's ``array_position(.., array_min)``
+      resolves the all-NaN tie to the first element, BLAS argmax
+      returns the first NaN, and Spark's min-struct treats NaN as
+      equal to NaN so the cid tiebreak fires — three different
+      mechanisms, one answer).
+    - NULL components (a non-null array containing nulls): NULL cell
+      on literal/join (null-propagating distance); the numpy path
+      CANNOT distinguish them — Arrow converts null elements to NaN —
+      so it follows the NaN contract (lowest cid).
+    - ±Inf components and magnitudes beyond ~1e154: STRATEGY-
+      DEPENDENT.  literal/join compute ||x-c||², which overflows to
+      +Inf for every centroid and collapses to the lowest cid; numpy
+      computes x·c - ||c||²/2, which stays finite (or keeps ±Inf's
+      sign) and resolves by direction.  Do not feed unscaled
+      astronomical magnitudes to a k-means quantizer and expect
+      strategy-identical cells; the guaranteed-agreement domain is
+      finite vectors with |v| < ~1e150."""
     if method not in ("auto", "literal", "numpy", "join"):
         raise ValueError(f"method must be auto|literal|numpy|join, "
                          f"got {method!r}")
@@ -723,12 +755,13 @@ def assign_cells_multi(df: DataFrame, centroids, n_probe: int = 2,
         import pandas as pd
 
         cids_, mat_, half, p, margin = bc.value
-        k = mat_.shape[0]
+        k, dim = mat_.shape
         chunk = max(1, (16 << 20) // max(k, 1))  # scores <= ~128 MB
         for pdf in batches:
             vs = pdf[vec_col]
             out = [None] * len(vs)
-            valid = [i for i, v in enumerate(vs) if v is not None]
+            valid = [i for i, v in enumerate(vs)
+                     if v is not None and len(v) == dim]
             if valid:
                 if len(valid) == len(vs):
                     x = np.stack(vs.to_numpy()).astype(
