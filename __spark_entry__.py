@@ -423,20 +423,29 @@ GROUP BY c_count
 ORDER BY custdist DESC, c_count DESC
 """)
 def q13_customer_distribution(spark, sf_dir):
-    """TPC-H Q13: left join with a non-equi residual predicate in the ON
-    clause, count(col) null-skipping, then a re-aggregation of the
-    aggregate."""
+    """TPC-H Q13, pre-aggregated shape (r8 verdict #7): orders collapse
+    to per-customer counts BEFORE the join, so the join input shrinks
+    from |orders| rows to |custkeys-with-orders| and the customer side
+    shuffles against an already-aggregated build side — measured ~0.8x
+    of the join-then-aggregate shape at sf0.1/sf1, and the shuffle
+    volume ratio only improves with orders-per-customer at 100 TB.
+    Equivalent to the classic left join + count(col): a customer with
+    no qualifying orders gets a null count from the left join, mapped
+    to 0 by coalesce — exactly count()'s empty-group value.  The oracle
+    keeps TPC-H's original join-then-aggregate SQL, pinning the
+    equivalence."""
     cu = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    o_cnt = (
+        o
+        >> pdt.filter(o.o_orderpriority != pdt.lit("1-URGENT"))
+        >> pdt.group_by(o.o_custkey)
+        >> pdt.summarize(n=o.o_orderkey.count())
+    )
     per_cust = (
         cu
-        >> pdt.left_join(
-            o,
-            on=[cu.c_custkey == o.o_custkey,
-                o.o_orderpriority != pdt.lit("1-URGENT")],
-        )
-        >> pdt.group_by(cu.c_custkey)
-        >> pdt.summarize(c_count=o.o_orderkey.count())
+        >> pdt.left_join(o_cnt, on=cu.c_custkey == o_cnt.o_custkey)
+        >> pdt.mutate(c_count=pdt.coalesce(o_cnt.n, pdt.lit(0)))
     )
     return (
         per_cust
@@ -5512,6 +5521,97 @@ def q_compacted_scan(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
+    )
+
+
+@_q(r"""
+WITH RECURSIVE vars AS (
+  SELECT pos - 1 AS pos, coalesce(var_samp(v), 0.0) AS var
+  FROM (SELECT unnest(embedding::DOUBLE[]) AS v,
+               generate_subscripts(embedding::DOUBLE[], 1) AS pos
+        FROM embeddings)
+  GROUP BY pos
+), ordered AS (
+  SELECT pos, var, row_number() OVER (ORDER BY var DESC, pos) AS rn
+  FROM vars
+), step(rn, counts, sums, asg) AS (
+  SELECT 0::BIGINT,
+         list_transform(range(8), g -> 0::BIGINT),
+         list_transform(range(8), g -> 0.0::DOUBLE),
+         CAST([] AS STRUCT(pos BIGINT, g BIGINT)[])
+  UNION ALL
+  SELECT o.rn,
+         list_transform(range(1, 9), i ->
+           s.counts[i] + CASE WHEN i = list_position(
+             list_transform(range(1, 9), j ->
+               CASE WHEN s.counts[j] < 8 THEN s.sums[j] END),
+             list_min(list_transform(range(1, 9), j ->
+               CASE WHEN s.counts[j] < 8 THEN s.sums[j] END)))
+           THEN 1 ELSE 0 END),
+         list_transform(range(1, 9), i ->
+           s.sums[i] + CASE WHEN i = list_position(
+             list_transform(range(1, 9), j ->
+               CASE WHEN s.counts[j] < 8 THEN s.sums[j] END),
+             list_min(list_transform(range(1, 9), j ->
+               CASE WHEN s.counts[j] < 8 THEN s.sums[j] END)))
+           THEN o.var ELSE 0.0 END),
+         list_append(s.asg, {pos: o.pos, g: list_position(
+             list_transform(range(1, 9), j ->
+               CASE WHEN s.counts[j] < 8 THEN s.sums[j] END),
+             list_min(list_transform(range(1, 9), j ->
+               CASE WHEN s.counts[j] < 8 THEN s.sums[j] END))) - 1})
+  FROM step s JOIN ordered o ON o.rn = s.rn + 1
+), pairs AS (
+  SELECT u.pos AS src_dim, u.g AS subspace
+  FROM (SELECT unnest(asg) AS u FROM step WHERE rn = 64)
+)
+SELECT CAST(subspace * 8 + row_number() OVER (
+         PARTITION BY subspace ORDER BY src_dim) - 1 AS BIGINT) AS p,
+       CAST(src_dim AS BIGINT) AS src_dim,
+       CAST(subspace AS BIGINT) AS subspace
+FROM pairs ORDER BY p
+""")
+def q_opq_permutation(spark, sf_dir):
+    """OPQ-lite energy-balancing permutation (extras/similarity.py
+    opq_permutation): per-dimension variance via one posexplode
+    aggregation, then the greedy LPT balanced assignment of dimensions
+    to the m=8 PQ subspaces.  The oracle REPLAYS the whole algorithm in
+    DuckDB — variance in SQL, the sequential greedy as a 64-step
+    recursive CTE whose state is the per-subspace (count, sum) lists,
+    with the same (sum, subspace) argmin tie contract — so the
+    permutation itself is hash-verified, not just its shape.  Was
+    pytest-only through r7 (r8 verdict #6)."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    perm = similarity.opq_permutation(emb, m=8, dim=64)
+    rows = [(p, int(d), p // 8) for p, d in enumerate(perm)]
+    return spark.createDataFrame(rows, "p long, src_dim long, subspace long")
+
+
+@_q("""
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation ORDER BY n_nationkey
+""")
+def q_catalog_roundtrip(spark, sf_dir):
+    """Session-catalog round-trip (operators/verbs.py save_as_table +
+    sources read_table): the nation table is saved as a managed table
+    and read back through the catalog; content must be byte-identical
+    to the parquet source.  Was pytest-only through r7 (r8 verdict #6).
+    Table name is sf-suffixed so concurrent driver/builder runs at
+    different scale factors don't clobber each other."""
+    import pydiverse_transform_spark as pdt
+
+    name = "nation_cat_" + os.path.basename(sf_dir.rstrip("/")) \
+        .replace(".", "_")
+    t = _t(spark, sf_dir, "nation")
+    t >> pdt.save_as_table(name, mode="overwrite")
+    back = pdt.read_table(spark, name)
+    return (
+        back
+        >> pdt.select(back.n_nationkey, back.n_name, back.n_regionkey)
+        >> pdt.arrange(back.n_nationkey)
+        >> pdt.export(pdt.Spark)
     )
 
 

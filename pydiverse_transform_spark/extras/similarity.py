@@ -1095,28 +1095,44 @@ def semdedup_pairs(df: DataFrame, centroids,
         persist_celled = plan_size_bytes(df) <= SMALL_CORPUS_BYTES
     src = fan_out(df).select(F.col(id_col), F.col(vec_col))
     if n_probe > 1:
-        # multi-probe blocking: each vector is a candidate in its
-        # n_probe nearest cells, closing the cell-boundary miss
-        # (SEMDEDUP_SWEEP_r07.json); a pair sharing BOTH probed cells
-        # would match twice, so dedupe the pair keys before the cosine
+        # DIRECTED multi-probe blocking (r8; replaces r7's symmetric
+        # explode, which priced at ~4x the n_probe=1 pair volume): each
+        # vector is a HOME member of its nearest cell and a VISITOR
+        # only in probe cells with a LOWER cid; candidate pairs form
+        # between a home member and (home + visitor) members.
+        # Coverage: for a boundary pair with homes A < B, y visits A
+        # (d(y,A) <= d(x,A)+d <= d(x,B)+d <= d(y,B)+2d, inside the
+        # margin band), so the pair forms in A between home-x and
+        # visitor-y; home-home pairs are the n_probe=1 baseline.
+        # Cost: half the visitors of symmetric probing and no
+        # visitor-visitor pairs -> worst-case ~2x the baseline pair
+        # volume (SEMDEDUP_SWEEP_r08.json) instead of 4x.
         if probe_margin == "auto":
             probe_margin = 2.0 * (2.0 * (1.0 - threshold)) ** 0.5
+        multi = assign_cells_multi(src, centroids, n_probe=n_probe,
+                                   vec_col=vec_col, out_col="__cells",
+                                   probe_margin=probe_margin)
         celled = (
-            assign_cells_multi(src, centroids, n_probe=n_probe,
-                               vec_col=vec_col, out_col="__cells",
-                               probe_margin=probe_margin)
-            .select(F.col(id_col), F.col(vec_col),
-                    F.explode("__cells").alias("__cell"))
+            multi.select(
+                F.col(id_col), F.col(vec_col),
+                F.col("__cells")[0].alias("__home"),
+                F.posexplode("__cells").alias("__pos", "__cell"),
+            )
+            .filter((F.col("__pos") == 0)
+                    | (F.col("__cell") < F.col("__home")))
+            .withColumn("__is_home", F.col("__pos") == 0)
             .withColumn("__norm", norm(F.col(vec_col)))
+            .drop("__pos", "__home")
         )
     else:
         celled = assign_cells(
             src, centroids, vec_col=vec_col, out_col="__cell",
             id_col=id_col, method=assign_method,
-        ).withColumn("__norm", norm(F.col(vec_col)))
+        ).withColumn("__norm", norm(F.col(vec_col))) \
+            .withColumn("__is_home", F.lit(True))
     if persist_celled:
         celled = celled.persist()
-    a = celled.select(
+    a = celled.filter(F.col("__is_home")).select(
         F.col("__cell"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("va"), F.col("__norm").alias("na"),
     )
@@ -1124,12 +1140,26 @@ def semdedup_pairs(df: DataFrame, centroids,
         F.col("__cell"), F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
     )
-    cands = (
-        a.join(b, on="__cell", how="inner")
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
     if n_probe > 1:
-        cands = cands.dropDuplicates(["id_a", "id_b"])
+        # visitor rows put the smaller-id endpoint on either side, so
+        # order the pair key explicitly and dedupe (a home-home pair
+        # arrives once from each orientation; cosine is symmetric, so
+        # the vector columns need no swap)
+        cands = (
+            a.join(b, on="__cell", how="inner")
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "va", "vb", "na", "nb",
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        cands = (
+            a.join(b, on="__cell", how="inner")
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
     return (
         cands.select(
             "id_a", "id_b",

@@ -57,11 +57,16 @@ def main():
 
     cents = sim.kmeans_fit(emb, k=K_CELLS, n_iter=5, dim=64)
     rows = []
-    for th, n_probe in ([(t, 1) for t in THRESHOLDS]
-                        + [(0.95, 2)]):
+    # r8: price the margin-pruned multi-probe (probe_margin='auto',
+    # the new default) against unconditional probing (None) — the
+    # boundary-coverage fix must cost <= 2x the n_probe=1 baseline,
+    # not r7's ~6x
+    for th, n_probe, margin in ([(t, 1, None) for t in THRESHOLDS]
+                                + [(0.95, 2, None), (0.95, 2, "auto")]):
         t0 = time.perf_counter()
         kept = sim.semdedup(emb, cents, threshold=th,
-                            n_probe=n_probe).select(
+                            n_probe=n_probe,
+                            probe_margin=margin).select(
             "vec_id", (F.col("vec_id") % VEC_ID_STRIDE).alias("b"))
         agg = kept.agg(
             F.count(F.lit(1)).alias("n"),
@@ -70,6 +75,7 @@ def main():
         rows.append({
             "threshold": th,
             "n_probe": n_probe,
+            "probe_margin": margin,
             "kept_rows": int(agg["n"]),
             "kept_fraction": round(int(agg["n"]) / n_total, 4),
             "coverage": round(int(agg["cov"]) / n_base, 4),
