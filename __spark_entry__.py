@@ -3018,10 +3018,17 @@ def q_semdedup(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # 64 cells: candidate pairs shrink ~quadratically with cell count
-    # (the SCALE.md sizing rule) — measured 4.8 s -> ~1.5 s at sf0.1
+    # (the SCALE.md sizing rule) — measured 4.8 s -> ~1.5 s at sf0.1.
+    # assign_method='numpy' (r8): even at k=64 the broadcast-matrix
+    # kernel beats the literal fold (110 vs 456 us/row,
+    # ASSIGN_SWEEP_r08.json) and its 183-char plan sidesteps the
+    # per-call analysis + whole-stage-codegen of a 159 KB literal
+    # expression — the creeping q_semdedup bench row (r6 3.4 s -> r7
+    # 4.1 s -> r8 5.1 s) tracked exactly that fresh-plan literal cost.
     cents = similarity.hyperplanes(64, 64, seed="semdedup")
     return (
-        similarity.semdedup(emb, cents, threshold=0.4)
+        similarity.semdedup(emb, cents, threshold=0.4,
+                            assign_method="numpy")
         .select("vec_id").orderBy("vec_id")
     )
 

@@ -1124,23 +1124,16 @@ def semdedup_pairs(df: DataFrame, centroids,
             .withColumn("__norm", norm(F.col(vec_col)))
             .drop("__pos", "__home")
         )
-    else:
-        celled = assign_cells(
-            src, centroids, vec_col=vec_col, out_col="__cell",
-            id_col=id_col, method=assign_method,
-        ).withColumn("__norm", norm(F.col(vec_col))) \
-            .withColumn("__is_home", F.lit(True))
-    if persist_celled:
-        celled = celled.persist()
-    a = celled.filter(F.col("__is_home")).select(
-        F.col("__cell"), F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"), F.col("__norm").alias("na"),
-    )
-    b = celled.select(
-        F.col("__cell"), F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
-    )
-    if n_probe > 1:
+        if persist_celled:
+            celled = celled.persist()
+        a = celled.filter(F.col("__is_home")).select(
+            F.col("__cell"), F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"), F.col("__norm").alias("na"),
+        )
+        b = celled.select(
+            F.col("__cell"), F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
+        )
         # visitor rows put the smaller-id endpoint on either side, so
         # order the pair key explicitly and dedupe (a home-home pair
         # arrives once from each orientation; cosine is symmetric, so
@@ -1156,6 +1149,22 @@ def semdedup_pairs(df: DataFrame, centroids,
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
+        # single-probe path kept EXACTLY r7's shape — no flag column,
+        # no extra filter (measured ~20% on the q_semdedup bench row)
+        celled = assign_cells(
+            src, centroids, vec_col=vec_col, out_col="__cell",
+            id_col=id_col, method=assign_method,
+        ).withColumn("__norm", norm(F.col(vec_col)))
+        if persist_celled:
+            celled = celled.persist()
+        a = celled.select(
+            F.col("__cell"), F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"), F.col("__norm").alias("na"),
+        )
+        b = celled.select(
+            F.col("__cell"), F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
+        )
         cands = (
             a.join(b, on="__cell", how="inner")
             .filter(F.col("id_a") < F.col("id_b"))
