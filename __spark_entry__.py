@@ -5597,6 +5597,42 @@ def q_opq_permutation(spark, sf_dir):
 
 
 @_q("""
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+FROM supplier ORDER BY s_suppkey
+""")
+def q_csv_roundtrip(spark, sf_dir):
+    """Typed CSV round-trip (sources write_csv/read_csv): supplier is
+    written as headered CSV and read back with an EXPLICIT schema (the
+    production posture — inferSchema is a second full scan and a
+    type-drift hazard at 100 TB); numeric/string columns must round-trip
+    exactly.  Was pytest-only through r7 (r8 verdict #6)."""
+    import shutil
+
+    import pydiverse_transform_spark as pdt
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_stream",
+        "csv_rt_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    t = _t(spark, sf_dir, "supplier")
+    t >> pdt.write_csv(path, mode="overwrite")
+    back = pdt.read_csv(
+        spark, path,
+        schema=("s_suppkey bigint, s_name string, s_nationkey int, "
+                "s_acctbal double"),
+    )
+    return (
+        back
+        >> pdt.mutate(s_acctbal=back.s_acctbal.round(2))
+        >> pdt.select(back.s_suppkey, back.s_name, back.s_nationkey,
+                      C.s_acctbal)
+        >> pdt.arrange(back.s_suppkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
 SELECT n_nationkey, n_name, n_regionkey
 FROM nation ORDER BY n_nationkey
 """)

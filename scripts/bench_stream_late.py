@@ -33,7 +33,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 N_FILES = 10
 LATE_FRACTION = 0.10
-LATE_SHIFT_HOURS = 4
+# the events table spans ~30 days -> each replay chunk spans ~3 days;
+# a "late" row must land BEHIND the watermark already advanced by the
+# previous chunks, so the shift has to clear several chunk spans plus
+# the watermark horizon (a 4 h shift inside a 72 h chunk is merely
+# out-of-order, not late — measured: 0 drops)
+LATE_SHIFT_HOURS = 240
 WATERMARK = "2 hours"
 FIRST_LATE_FILE = 3  # batches 0-2 replay clean (warm the watermark)
 
@@ -64,13 +69,17 @@ def main():
 
     stage = tempfile.mkdtemp(prefix="stream_late_")
     src = os.path.join(stage, "src")
+    ref = os.path.join(stage, "ontime_ref")
     os.makedirs(src, exist_ok=True)
+    os.makedirs(ref, exist_ok=True)
 
     # stage time-ordered chunks; in chunks >= FIRST_LATE_FILE shift a
-    # deterministic 10% of rows 4 h into the past (event_id % 10 == 7),
-    # which puts them behind the watermark already set by the earlier
-    # chunks — real pipelines see exactly this shape (stragglers from a
-    # delayed upstream partition arriving amid current traffic)
+    # deterministic 10% of rows LATE_SHIFT_HOURS into the past
+    # (event_id % 10 == 7), putting them far behind the watermark set
+    # by the earlier chunks — real pipelines see exactly this shape
+    # (stragglers from a delayed upstream partition arriving amid
+    # current traffic).  The unshifted complement is staged to a
+    # side-by-side batch-reference dir for the equality check.
     batch = spark.read.parquet(f"{src_dir}/events.parquet")
     schema = batch.schema
     pdf = batch.orderBy("ts").toPandas()
@@ -82,8 +91,10 @@ def main():
 
     for i in range(N_FILES):
         part = pdf.iloc[i * chunk:(i + 1) * chunk].copy()
+        ontime = part
         if i >= FIRST_LATE_FILE:
             late_mask = (part["event_id"] % 10) == 7
+            ontime = part[~late_mask]
             part.loc[late_mask, "ts"] = (
                 part.loc[late_mask, "ts"]
                 - pd.Timedelta(hours=LATE_SHIFT_HOURS))
@@ -93,6 +104,10 @@ def main():
                        coerce_timestamps="us", version="2.6",
                        allow_truncated_timestamps=True)
         os.utime(path, (now + i, now + i))
+        pq.write_table(pa.Table.from_pandas(ontime),
+                       os.path.join(ref, f"chunk{i:03d}.parquet"),
+                       coerce_timestamps="us", version="2.6",
+                       allow_truncated_timestamps=True)
 
     def drain(stream_df, name, mode="append"):
         t0 = time.time()
@@ -106,6 +121,10 @@ def main():
         totals = [p["stateOperators"][0]["numRowsTotal"] for p in prog]
         dropped = sum(p["stateOperators"][0]
                       .get("numRowsDroppedByWatermark", 0) for p in prog)
+        if prog and "numRowsDroppedByWatermark" not in \
+                prog[0]["stateOperators"][0]:
+            print("WARN stateOperators keys:",
+                  sorted(prog[0]["stateOperators"][0].keys()))
         return {
             "wall_sec": round(wall, 2),
             "rows_per_sec": int(n_rows / wall),
@@ -145,12 +164,7 @@ def main():
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(1200)
     streamed = spark.read.parquet(sink)
-    ontime = (
-        spark.read.parquet(src)
-        .filter((F.col("event_id") % 10 != 7)
-                | (F.col("ts") < F.lit(pdf["ts"].iloc[FIRST_LATE_FILE
-                                                      * chunk])))
-    )
+    ontime = spark.read.parquet(ref)
     # NOTE: append mode only emits CLOSED windows (watermark passed);
     # the final windows of the replay never close, so compare on the
     # window range the stream emitted
