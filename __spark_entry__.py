@@ -3033,6 +3033,85 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def _semdedup_multiprobe_sql(threshold: float, n_cells: int = 16) -> str:
+    """DuckDB twin of similarity.semdedup with DIRECTED 2-probe
+    blocking (r8): every vector is a home member of its argmin cell and
+    a visitor in its second-nearest cell only when that cell's cid is
+    LOWER than home's; candidate pairs join a home member to any
+    member.  The sorted (distance, cid) struct list reproduces the
+    ties-to-lowest-cid probe order of assign_cells_multi's stable
+    argsort."""
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    cents = hyperplanes(64, n_cells, seed="semdedup")
+
+    def vec(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    dists = ", ".join(
+        f"(-2.0 * list_dot_product(e, {vec(cen)}) + "
+        f"{sum(c * c for c in cen)!r})"
+        for cen in cents
+    )
+    cos = ("list_dot_product(a.e, b.e) / "
+           "(sqrt(list_dot_product(a.e, a.e)) * "
+           "sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+WITH RECURSIVE celled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_sort(list_transform([{dists}],
+                                  (d, i) -> {{'d': d, 'c': i - 1}})) AS sc
+  FROM embeddings
+), members AS (
+  SELECT vec_id, e, sc[1].c AS cell, TRUE AS is_home FROM celled
+  UNION ALL
+  SELECT vec_id, e, sc[2].c AS cell, FALSE
+  FROM celled WHERE sc[2].c < sc[1].c
+), pairs AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+         greatest(a.vec_id, b.vec_id) AS id_b
+  FROM members a JOIN members b ON a.cell = b.cell
+  WHERE a.is_home AND a.vec_id != b.vec_id
+    AND round({cos}, 6) >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != comp)
+ORDER BY vec_id
+"""
+
+
+@_q(_semdedup_multiprobe_sql(0.4, n_cells=64))
+def q_semdedup_multiprobe(spark, sf_dir):
+    """SemDeDup with directed multi-probe blocking (r8; extras/
+    similarity.py semdedup n_probe=2, probe_margin=None so the oracle
+    needs no margin arithmetic): boundary-straddling near-dup pairs
+    that single-cell blocking misses are recovered by each vector
+    visiting its lower-cid second cell; the oracle replays home/visitor
+    membership, the directed home x member join, pair-key dedup, and
+    the same connected components.  Driver-hashes the r7 pytest-only
+    multi-probe component (r8 verdict #6 family)."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 64, seed="semdedup")
+    return (
+        similarity.semdedup(emb, cents, threshold=0.4, n_probe=2,
+                            probe_margin=None)
+        .select("vec_id").orderBy("vec_id")
+    )
+
+
 def _semantic_decon_sql(threshold: float, n_cells: int = 16,
                         bench_max_id: int = 20) -> str:
     """DuckDB twin of similarity.semantic_decontaminate: same fixed
