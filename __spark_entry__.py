@@ -5722,10 +5722,20 @@ def q_catalog_roundtrip(spark, sf_dir):
     to the parquet source.  Was pytest-only through r7 (r8 verdict #6).
     Table name is sf-suffixed so concurrent driver/builder runs at
     different scale factors don't clobber each other."""
+    import shutil
+
     import pydiverse_transform_spark as pdt
 
     name = "nation_cat_" + os.path.basename(sf_dir.rstrip("/")) \
         .replace(".", "_")
+    # drop the catalog entry AND any stale warehouse dir — a fresh
+    # session's empty in-memory catalog can collide with a previous
+    # session's leftover managed-table location (overwrite cannot
+    # replace a location the catalog does not know about)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    loc = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(f"{loc.removeprefix('file:')}/{name}",
+                  ignore_errors=True)
     t = _t(spark, sf_dir, "nation")
     t >> pdt.save_as_table(name, mode="overwrite")
     back = pdt.read_table(spark, name)
