@@ -3112,6 +3112,92 @@ def q_semdedup_multiprobe(spark, sf_dir):
     )
 
 
+def _semdedup_margin_sql(threshold: float, margin: float,
+                         n_cells: int = 16) -> str:
+    """DuckDB twin of directed 2-probe SemDeDup with the probe_margin
+    gate (r8): a visitor row exists only when the second cell is both
+    lower-cid AND within ``margin`` Euclidean distance of the home-cell
+    distance.  True distance recovered as sqrt(max(d_expr + |e|^2, 0))
+    since the stored comparator is -2 e.c + |c|^2 = d^2 - |e|^2 —
+    the same clamped expansion the numpy kernel uses.  The parameters
+    are chosen result-SENSITIVE on this corpus (kept differs from both
+    the unpruned and single-probe answers), so the hash pins the gate
+    arithmetic itself."""
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    cents = hyperplanes(64, n_cells, seed="semdedup")
+
+    def vec(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    dists = ", ".join(
+        f"(-2.0 * list_dot_product(e, {vec(cen)}) + "
+        f"{sum(c * c for c in cen)!r})"
+        for cen in cents
+    )
+    cos = ("list_dot_product(a.e, b.e) / "
+           "(sqrt(list_dot_product(a.e, a.e)) * "
+           "sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+WITH RECURSIVE celled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_dot_product(embedding::DOUBLE[],
+                          embedding::DOUBLE[]) AS ee,
+         list_sort(list_transform([{dists}],
+                                  (d, i) -> {{'d': d, 'c': i - 1}})) AS sc
+  FROM embeddings
+), members AS (
+  SELECT vec_id, e, sc[1].c AS cell, TRUE AS is_home FROM celled
+  UNION ALL
+  SELECT vec_id, e, sc[2].c AS cell, FALSE
+  FROM celled
+  WHERE sc[2].c < sc[1].c
+    AND sqrt(greatest(sc[2].d + ee, 0.0))
+        <= sqrt(greatest(sc[1].d + ee, 0.0)) + {margin}
+), pairs AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+         greatest(a.vec_id, b.vec_id) AS id_b
+  FROM members a JOIN members b ON a.cell = b.cell
+  WHERE a.is_home AND a.vec_id != b.vec_id
+    AND round({cos}, 6) >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != comp)
+ORDER BY vec_id
+"""
+
+
+@_q(_semdedup_margin_sql(0.3, 0.25, n_cells=64))
+def q_semdedup_probe_margin(spark, sf_dir):
+    """Margin-pruned directed multi-probe SemDeDup (r8): only vectors
+    within 0.25 Euclidean of their cell boundary become visitors.  At
+    threshold 0.3 on this corpus the kept-set differs from BOTH the
+    unpruned multi-probe answer and the single-probe answer, so the
+    hash verifies the margin gate's distance arithmetic (clamped
+    norm-expansion, sqrt, additive margin), not just the blocking
+    topology."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 64, seed="semdedup")
+    return (
+        similarity.semdedup(emb, cents, threshold=0.3, n_probe=2,
+                            probe_margin=0.25)
+        .select("vec_id").orderBy("vec_id")
+    )
+
+
 def _semantic_decon_sql(threshold: float, n_cells: int = 16,
                         bench_max_id: int = 20) -> str:
     """DuckDB twin of similarity.semantic_decontaminate: same fixed
