@@ -77,3 +77,56 @@ def test_semdedup_auto_margin_matches_unpruned_on_corpus(spark, sf_dir):
     ).select(F.sum(F.size("__cells")).alias("s")).first()["s"]
     n_full = emb.count() * 2
     assert n_pruned < n_full
+
+
+def test_directed_probe_coverage_theorem(spark):
+    """The triangle-inequality guarantee behind directed probing, as a
+    property: with n_probe = k (the cap never binds) and probe_margin =
+    2 * max pair distance, directed multi-probe blocking recovers EVERY
+    pair with cosine >= threshold that brute force finds — for any
+    corpus/centroid geometry (here: several deterministic adversarial
+    layouts, incl. clusters split by cell boundaries)."""
+    import itertools
+    import math
+    import random
+
+    rng = random.Random(1138)
+    layouts = []
+    # clustered: tight blobs whose centers straddle centroid boundaries
+    for trial in range(3):
+        cents = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(5)]
+        rows = []
+        vid = 0
+        for _ in range(6):
+            cx = [rng.uniform(-1, 1) for _ in range(4)]
+            for _ in range(4):
+                rows.append((vid, [c + rng.uniform(-0.05, 0.05)
+                                   for c in cx]))
+                vid += 1
+        layouts.append((rows, cents))
+    for rows, cents in layouts:
+        df = spark.createDataFrame(rows,
+                                   "vec_id int, embedding array<double>")
+        th = 0.95
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb) if na and nb else 0.0
+
+        vecs = dict(rows)
+        truth = {(i, j)
+                 for (i, _), (j, _) in itertools.combinations(rows, 2)
+                 if round(cos(vecs[i], vecs[j]), 6) >= th}
+        if not truth:
+            continue
+        dmax = max(
+            math.sqrt(sum((x - y) ** 2
+                          for x, y in zip(vecs[i], vecs[j])))
+            for i, j in truth)
+        got = {(r["id_a"], r["id_b"])
+               for r in sim.semdedup_pairs(
+                   df, cents, threshold=th, n_probe=len(cents),
+                   probe_margin=2.0 * dmax + 1e-9).collect()}
+        assert truth <= got, (sorted(truth - got), dmax)
