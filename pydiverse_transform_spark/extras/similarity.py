@@ -958,15 +958,40 @@ def pq_codebooks(dim: int, m: int = 8, k: int = 16, seed: str = "pq"
 
 def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "embedding",
-              code_col: str = "pq_code") -> DataFrame:
+              code_col: str = "pq_code",
+              method: str = "auto") -> DataFrame:
     """Attach the PQ code (array<int>, one sub-centroid id per
-    subspace): per subspace, argmin squared-L2 between the vector slice
-    and the literal sub-centroids — the same linear array-argmin shape
-    as :func:`kmeans_cell`, map-only codegen, no shuffle."""
+    subspace).  Two physical strategies, dispatched like
+    :func:`assign_cells` (encoding is the BULK pass over the corpus,
+    so the same interpreted-fold ceiling applies in the k_codes
+    dimension that r7/r8 retired in the coarse-cell dimension):
+
+    - ``literal`` — per subspace, argmin squared-L2 between the vector
+      slice and the literal sub-centroids (the :func:`kmeans_cell`
+      shape, map-only codegen).  Per-row cost and plan size grow with
+      m x k_codes x dsub; right at the shipped 8x16 default, wrong at
+      FAISS-typical k_codes=256 with wide m.
+    - ``numpy`` — Arrow-batched kernel: codebooks ride one executor
+      broadcast as an (m, k, dsub) array, each subspace's argmin is a
+      BLAS matmul per chunk.  Plan flat in m x k_codes.
+    - ``auto`` — literal when k_codes <= 256 (the assign_cells
+      ``max_literal_k`` threshold), else numpy.
+
+    Contract (both paths, fuzz-pinned in tests/test_pq.py): ties to
+    the LOWEST code id; a null vector or one whose length differs from
+    m x dsub yields a code array of m nulls."""
     from .util import bind
 
     m = len(codebooks)
+    k_codes = len(codebooks[0])
     dsub = len(codebooks[0][0])
+    if method not in ("auto", "literal", "numpy"):
+        raise ValueError(f"method must be auto|literal|numpy, "
+                         f"got {method!r}")
+    if method == "auto":
+        method = "literal" if k_codes <= 256 else "numpy"
+    if method == "numpy":
+        return _pq_encode_numpy(df, codebooks, vec_col, code_col)
     vec = F.col(vec_col)
     # bind the m sub-vector slices once — a slice captured inside
     # kmeans_cell's per-centroid transform would re-slice k times
@@ -976,7 +1001,73 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
     code = bind(slices, lambda s: F.array(*[
         kmeans_cell(s[f"s{j}"], codebooks[j]) for j in range(m)
     ]))
+    # wrong-LENGTH vectors would otherwise encode their full leading
+    # subspaces and null the rest — gate to the all-null contract the
+    # numpy path implements (a null vector already null-propagates to
+    # m nulls through the slices)
+    nulls = F.array(*[F.lit(None).cast("int") for _ in range(m)])
+    code = F.when(F.size(vec) == m * dsub, code).otherwise(nulls)
     return df.withColumn(code_col, code)
+
+
+def _pq_encode_numpy(df: DataFrame, codebooks, vec_col: str,
+                     code_col: str) -> DataFrame:
+    """Large-codebook PQ encoding: one broadcast (m, k, dsub) model,
+    per-subspace argmin as a BLAS matmul over row chunks (scores
+    bounded to ~128 MB per worker, same discipline as
+    :func:`_assign_cells_numpy`)."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, \
+        StructType
+    import numpy as np
+
+    cb = np.asarray(codebooks, dtype=np.float64)      # (m, k, dsub)
+    m, k, dsub = cb.shape
+    half = 0.5 * (cb * cb).sum(axis=2)                # (m, k)
+    bc = df.sparkSession.sparkContext.broadcast((cb, half))
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(code_col,
+                                       ArrayType(IntegerType()))])
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cb_, half_ = bc.value
+        m_, k_, dsub_ = cb_.shape
+        dim = m_ * dsub_
+        chunk = max(1, (16 << 20) // max(k_, 1))
+        for pdf in batches:
+            vs = pdf[vec_col]
+            out = [None] * len(vs)
+            valid = [i for i, v in enumerate(vs)
+                     if v is not None and len(v) == dim]
+            if valid:
+                if len(valid) == len(vs):
+                    x = np.stack(vs.to_numpy()).astype(
+                        np.float64, copy=False)
+                else:
+                    x = np.asarray(
+                        [np.asarray(vs.iloc[i], dtype=np.float64)
+                         for i in valid])
+                codes = np.empty((x.shape[0], m_), dtype=np.int64)
+                for s in range(0, x.shape[0], chunk):
+                    xe = x[s:s + chunk]
+                    for j in range(m_):
+                        xs = xe[:, j * dsub_:(j + 1) * dsub_]
+                        codes[s:s + len(xe), j] = np.argmax(
+                            xs @ cb_[j].T - half_[j], axis=1)
+                for r, i in enumerate(valid):
+                    out[i] = [int(c) for c in codes[r]]
+            # literal-path contract: invalid rows get m nulls, not a
+            # null array
+            for i in range(len(vs)):
+                if out[i] is None:
+                    out[i] = [None] * m_
+            pdf = pdf.copy()
+            pdf[code_col] = out
+            yield pdf
+
+    return df.mapInPandas(kernel, schema)
 
 
 def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,

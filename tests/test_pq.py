@@ -299,3 +299,62 @@ def test_ivfpq_pool_guard_on_vectorless_index(spark, sf_dir, tmp_path):
     # ADC-only querying still works
     assert len(sim.ivfpq_topk_auto(spark, path, QVEC, k=5,
                                    pool=None).collect()) == 5
+
+
+# ---------------------------------------------------------------------------
+# r8: pq_encode strategy dispatch (literal vs numpy — the k_codes-dimension
+# twin of assign_cells' scale path)
+# ---------------------------------------------------------------------------
+
+def test_pq_encode_methods_agree(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    lit = sim.pq_encode(emb, cbs, method="literal") \
+        .select("vec_id", "pq_code").orderBy("vec_id").collect()
+    npy = sim.pq_encode(emb, cbs, method="numpy") \
+        .select("vec_id", "pq_code").orderBy("vec_id").collect()
+    assert [tuple(r["pq_code"]) for r in lit] \
+        == [tuple(r["pq_code"]) for r in npy]
+    with pytest.raises(ValueError, match="method"):
+        sim.pq_encode(emb, cbs, method="bogus")
+
+
+def test_pq_encode_auto_dispatches_large_codebooks(spark, sf_dir):
+    """k_codes=512 > 256: auto must take the numpy path, whose plan
+    does not carry the codebook literals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    big = [rng.random((512, 8)).tolist() for _ in range(8)]
+    small = [rng.random((16, 8)).tolist() for _ in range(8)]
+    p_big = sim.pq_encode(emb, big) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    p_small_npy = sim.pq_encode(emb, small, method="numpy") \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert abs(len(p_big) - len(p_small_npy)) < 300  # flat in m*k_codes
+    # and agreement holds at the large size too
+    lit = sim.pq_encode(emb, big, method="literal") \
+        .select("vec_id", "pq_code").orderBy("vec_id").collect()
+    npy = sim.pq_encode(emb, big, method="numpy") \
+        .select("vec_id", "pq_code").orderBy("vec_id").collect()
+    assert [tuple(r["pq_code"]) for r in lit] \
+        == [tuple(r["pq_code"]) for r in npy]
+
+
+def test_pq_encode_edge_inputs_all_null_contract(spark):
+    cbs = sim.pq_codebooks(4, m=2, k=4)
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4]),   # valid
+         (2, None),                    # null vector
+         (3, [0.1, 0.2]),              # wrong length (one subspace)
+         (4, [])],                     # empty
+        "vec_id int, embedding array<double>")
+    for method in ("literal", "numpy"):
+        rows = sim.pq_encode(df, cbs, method=method) \
+            .select("vec_id", "pq_code").orderBy("vec_id").collect()
+        codes = {r["vec_id"]: list(r["pq_code"]) for r in rows}
+        assert all(c is not None for c in codes[1]), method
+        for vid in (2, 3, 4):
+            assert codes[vid] == [None, None], (method, vid)
