@@ -1073,7 +1073,8 @@ def _pq_encode_numpy(df: DataFrame, codebooks, vec_col: str,
 def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
            vec_col: str = "embedding", id_col: str = "vec_id",
            dim: int | None = None,
-           seeding: str = "spread") -> list[list[list[float]]]:
+           seeding: str = "spread",
+           encode_method: str = "auto") -> list[list[list[float]]]:
     """Train PQ codebooks by per-subspace Lloyd iteration, all m
     subspaces in ONE pass per iteration: the assignment inlines every
     subspace's argmin into one projection, `inline` stacks
@@ -1085,7 +1086,14 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
     slices of :func:`kmeans_spread_seeds` vectors by default
     (deterministic; ``seeding="smallest_id"`` restores the r5 k
     smallest-id slices); empty cells keep their previous
-    sub-centroid."""
+    sub-centroid.
+
+    At ``k > 256`` (or ``encode_method="numpy"``) the per-iteration
+    assignment routes through :func:`pq_encode`'s broadcast-matrix
+    kernel instead of the literal argmin inline — the same large-k
+    dispatch as the encoder itself, keeping training viable at
+    FAISS-typical k_codes=256+ (r8; mirrors the r7 routing of
+    ``kmeans_fit`` through the flat-plan assignment)."""
     dim = _require_dim(dim, vec_col)
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
@@ -1098,18 +1106,31 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
         [vec[j * dsub:(j + 1) * dsub] for vec in seed_vecs]
         for j in range(m)
     ]
+    if encode_method == "auto":
+        encode_method = "literal" if k <= 256 else "numpy"
     for _ in range(n_iter):
-        entries = []
-        for j in range(m):
-            sl = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-            entries.append(F.struct(
-                F.lit(j).alias("sub"),
-                kmeans_cell(sl, books[j]).alias("cid"),
-                sl.alias("s"),
-            ))
-        ex = base.select(F.inline(F.array(*entries)))
+        if encode_method == "numpy":
+            ex = _pq_encode_numpy(base, books, vec_col, "__code").select(
+                F.col(vec_col).alias("__v"),
+                F.posexplode("__code").alias("sub", "cid"),
+            ).select(
+                "sub", "cid",
+                F.slice(F.col("__v"), F.col("sub") * dsub + 1,
+                        F.lit(dsub)).alias("s"),
+            )
+        else:
+            entries = []
+            for j in range(m):
+                sl = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+                entries.append(F.struct(
+                    F.lit(j).alias("sub"),
+                    kmeans_cell(sl, books[j]).alias("cid"),
+                    sl.alias("s"),
+                ))
+            ex = base.select(F.inline(F.array(*entries)))
         rows = (
-            ex.select("sub", "cid", F.posexplode(F.col("s")).alias("pos", "v"))
+            ex.filter(F.col("cid").isNotNull())
+            .select("sub", "cid", F.posexplode(F.col("s")).alias("pos", "v"))
             .groupBy("sub", "cid", "pos")
             .agg(F.sum(F.col("v").cast("double")).alias("t"),
                  F.count(F.lit(1)).alias("n"))
