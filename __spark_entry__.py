@@ -5115,6 +5115,91 @@ def q_remove_repeated_segments(spark, sf_dir):
 
 
 @_q("""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'),
+             '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), numbered AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, CAST(len(ws) - 8 AS BIGINT))) AS pos
+  FROM words WHERE len(ws) >= 8
+), occ AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(
+             ws[CAST(pos + 1 AS BIGINT):CAST(pos + 8 AS BIGINT)], ' ')) AS h
+  FROM numbered
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM occ
+), bad AS (
+  SELECT doc_id, pos AS s, pos + 8 AS e FROM ranked WHERE cnt >= 2 AND rn > 1
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0
+         END AS nw
+  FROM bad
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT doc_id, s, e,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flagged
+), merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, g
+), covered AS (
+  SELECT doc_id,
+         unnest(generate_series(CAST(s AS BIGINT), CAST(e - 1 AS BIGINT))) AS idx
+  FROM merged
+), tokpos AS (
+  SELECT doc_id,
+         unnest(ws) AS tok,
+         unnest(generate_series(0, CAST(len(ws) - 1 AS BIGINT))) AS idx
+  FROM words WHERE len(ws) > 0
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tokpos t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         count(*) AS n_after
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens_before,
+       CAST(coalesce(r.n_after, 0) AS BIGINT) AS n_tokens_after
+FROM words w LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY w.doc_id
+""")
+def q_substring_dedup(spark, sf_dir):
+    """Cross-document substring dedup (extras/dedup.py substring_dedup):
+    the ExactSubstr operation of Lee et al. 2022 as a Spark pipeline —
+    hash every sliding 8-token window, find hashes occurring >= 2 times
+    corpus-wide, cut every non-canonical occurrence (canonical = min
+    (doc_id, pos)) after merging overlapping removal intervals per doc
+    (gaps-and-islands), and rebuild survivors map-side with a codegen
+    `exists` over the merged-interval array.  The oracle replays the
+    whole pipeline in SQL: same tokenization, same md5 window hashes,
+    same canonical rule (row_number over (doc_id, pos)), same interval
+    merge, anti-join token cut and ordered string_agg rebuild — so the
+    value hash pins window hashing, canonicalization, interval algebra
+    and reassembly all at once."""
+    from pydiverse_transform_spark.extras.dedup import substring_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        substring_dedup(docs, "text", "doc_id", window=8)
+        .select("doc_id", "clean_text", "n_tokens_before",
+                "n_tokens_after")
+        .orderBy("doc_id")
+    )
+
+
+@_q("""
 WITH ev AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
 ), flagged AS (

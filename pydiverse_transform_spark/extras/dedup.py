@@ -23,6 +23,7 @@ __all__ = [
     "char_shingled", "connected_components",
     "connected_components_star", "neardup_dedup",
     "contaminated_ids", "decontaminate",
+    "span_occurrences", "duplicate_spans", "substring_dedup",
 ]
 
 
@@ -717,3 +718,180 @@ def decontaminate(df: DataFrame, probe: DataFrame,
     bad = contaminated_ids(df, probe, text_col, id_col, k=k,
                            probe_text_col=probe_text_col)
     return df.join(bad, on=id_col, how="left_anti")
+
+
+# =============================================================================
+# Substring-level (span) dedup — the ExactSubstr operation of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better" (ACL 2022),
+# re-expressed for Spark.  The paper builds a corpus-wide suffix array to
+# find every duplicated >=50-token span; a suffix array over 100 TB is not a
+# Spark-shaped structure, so this uses the standard distributed
+# approximation: hash every WINDOW-token sliding window, find window hashes
+# that occur more than once, and cut every non-canonical occurrence out of
+# its document while keeping the (min doc_id, min pos) canonical copy.
+# A duplicated span of length L >= WINDOW produces L - WINDOW + 1 duplicated
+# windows whose removal intervals merge back into the full span, so span
+# recovery is exact for stride=1 (the default).
+#
+# Scale notes (100 TB target):
+# - the occurrence table is the dominant shuffle: n_tokens/stride rows of
+#   (id, pos, 16-byte md5 prefix) — one groupBy(hash) aggregate with
+#   map-side partial counts;
+# - the duplicated-hash table is tiny relative to the corpus (only hashes
+#   with count >= 2 survive), so AQE converts the occ-join back to a
+#   broadcast join at runtime;
+# - interval merging runs only over non-canonical duplicate occurrences
+#   (a per-document window function on the *bad* rows, not the corpus);
+# - document rebuild is map-side: the merged intervals ride along as one
+#   array column and every token is kept/dropped by a codegen `exists`
+#   over that array — no per-token shuffle, no Python.
+# - stride > 1 divides the occurrence-table cost by stride but only
+#   detects copies whose window alignment matches mod stride (whole-doc or
+#   prefix-aligned copies); use it as a cost knob for coarse passes only.
+# =============================================================================
+
+
+def _span_tokens(text: Column) -> Column:
+    """Whitespace tokens; null/empty text -> empty array (never null)."""
+    from .text import tokens as _tokens
+
+    return F.coalesce(_tokens(text), F.array().cast("array<string>"))
+
+
+def span_occurrences(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", *, window: int = 8,
+                     stride: int = 1) -> DataFrame:
+    """One row per sliding ``window``-token window of every document:
+    (id_col, pos, h) where ``pos`` is the 0-based token offset and ``h``
+    the md5 of the space-joined window.  Documents shorter than
+    ``window`` tokens produce no rows."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = _span_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"),
+        F.array_size(toks).alias("__n"),
+    )
+    return (
+        base.filter(F.col("__n") >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(0), F.col("__n") - window, F.lit(stride))
+            ).alias("pos"),
+            F.col("__toks"),
+        )
+        .select(
+            id_col, "pos",
+            F.md5(
+                F.concat_ws(" ", F.slice("__toks", F.col("pos") + 1, window))
+            ).alias("h"),
+        )
+    )
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, window: int = 8,
+                    stride: int = 1) -> DataFrame:
+    """Window hashes occurring more than once corpus-wide (within-doc
+    repeats count), with occurrence count and the canonical occurrence
+    (lexicographic min of (id, pos)): (h, n_occurrences, canon_id,
+    canon_pos)."""
+    occ = span_occurrences(df, text_col, id_col,
+                           window=window, stride=stride)
+    return (
+        occ.groupBy("h")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__c"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+        .select(
+            "h", "n_occurrences",
+            F.col(f"__c.{id_col}").alias("canon_id"),
+            F.col("__c.pos").alias("canon_pos"),
+        )
+    )
+
+
+def substring_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, window: int = 8,
+                    stride: int = 1,
+                    clean_col: str = "clean_text") -> DataFrame:
+    """Cross-document substring dedup: every non-canonical occurrence of
+    a duplicated ``window``-token window is cut out of its document; the
+    canonical (min (id, pos)) occurrence is kept.  Adds ``clean_col``
+    (survivor tokens re-joined with single spaces — whitespace is
+    normalized, same contract as
+    :func:`~pydiverse_transform_spark.extras.text.remove_repeated_segments`),
+    ``n_tokens_before`` and ``n_tokens_after`` to the input columns.
+
+    Guarantee (stride=1): every duplicated span of length >= ``window``
+    loses all but its canonical copy, and the removal intervals of the
+    span's overlapping windows merge into one exact cut.  A canonical
+    occurrence can still lose tokens to a *different* overlapping
+    duplicated window's cut — window-level canonicalization is
+    per-hash, not per-maximal-span (the suffix-array construction the
+    paper uses is what buys that, at a cost that does not distribute).
+    """
+    occ = span_occurrences(df, text_col, id_col,
+                           window=window, stride=stride)
+    dup = duplicate_spans(df, text_col, id_col,
+                          window=window, stride=stride)
+    bad = (
+        occ.join(dup.select("h", "canon_id", "canon_pos"), "h")
+        .filter(
+            ~((F.col(id_col) == F.col("canon_id"))
+              & (F.col("pos") == F.col("canon_pos")))
+        )
+        .select(id_col, F.col("pos").alias("s"),
+                (F.col("pos") + window).alias("e"))
+    )
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    merged = (
+        bad.withColumn(
+            "__new",
+            F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1)
+            .otherwise(0),
+        )
+        .withColumn("__g", F.sum("__new").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy(id_col, "__g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("s", "e")).alias("__ivs"))
+    )
+
+    toks = _span_tokens(F.col(text_col))
+    base = df.withColumn("__toks", toks)
+    joined = base.join(merged, id_col, "left")
+    kept = F.when(F.col("__ivs").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            F.transform(
+                "__toks",
+                lambda t, i: F.when(
+                    ~F.exists(
+                        "__ivs",
+                        lambda iv: (iv["s"] <= i) & (i < iv["e"]),
+                    ),
+                    t,
+                ),
+            ),
+            lambda t: t.isNotNull(),
+        )
+    )
+    return (
+        joined.withColumn("n_tokens_before",
+                          F.array_size("__toks").cast("long"))
+        .withColumn("__kept", kept)
+        .withColumn(clean_col, F.concat_ws(" ", F.col("__kept")))
+        .withColumn("n_tokens_after",
+                    F.array_size("__kept").cast("long"))
+        .drop("__toks", "__kept", "__ivs")
+    )

@@ -1,0 +1,136 @@
+"""Substring-level (ExactSubstr-style) dedup: crafted-case exactness,
+canonical-copy preservation, within-doc span collapse, interval-merge
+correctness, stride semantics, null/short-doc edges, and plan shape
+(the rebuild stage must be join+map only — no per-token shuffle).
+
+Reference op modeled on Lee et al. 2022 (ExactSubstr); no counterpart in
+/root/reference (beyond-reference LLM-pipeline surface).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras.dedup import (
+    duplicate_spans,
+    span_occurrences,
+    substring_dedup,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog end one"),
+        (2, "prefix words here the quick brown fox jumps over the lazy dog"
+            " and more"),
+        (3, "totally unrelated text about sparks and engines burning"
+            " bright tonight"),
+        (4, "short doc"),
+        (5, None),
+        (6, "aa bb cc aa bb cc aa bb cc aa bb cc"),
+        (7, "   leading   and \t trailing   whitespace   normalizes   "),
+        (8, "p1 p2 p3 p4 p5 p1 p2 p3 p4 p5 p1 p2 p3 p4 p5"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _clean(df, **kw):
+    out = substring_dedup(df, "text", "doc_id", **kw).orderBy("doc_id")
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_cross_doc_span_removed_canonical_kept(docs):
+    got = _clean(docs, window=5)
+    # doc 1 owns the canonical copy of the shared 9-token span: untouched
+    assert got[1]["clean_text"] == \
+        "the quick brown fox jumps over the lazy dog end one"
+    # doc 2 loses exactly that span; its unique prefix/suffix survive
+    assert got[2]["clean_text"] == "prefix words here and more"
+    assert got[2]["n_tokens_before"] == 14
+    assert got[2]["n_tokens_after"] == 5
+    # untouched doc comes back whitespace-normalized but token-identical
+    assert got[3]["clean_text"].split() == \
+        "totally unrelated text about sparks and engines burning" \
+        " bright tonight".split()
+
+
+def test_within_doc_repetition_collapses_to_one_period(docs):
+    # 'aa bb cc' * 4: overlapping duplicated 5-windows merge into one
+    # removal interval [3, 12) and exactly one period survives
+    got = _clean(docs, window=5)
+    assert got[6]["clean_text"] == "aa bb cc"
+    assert got[6]["n_tokens_before"] == 12
+    assert got[6]["n_tokens_after"] == 3
+
+
+def test_short_null_and_whitespace_docs(docs):
+    got = _clean(docs, window=5)
+    assert got[4]["clean_text"] == "short doc"      # < window: no rows cut
+    assert got[5]["clean_text"] == ""               # NULL text -> ''
+    assert got[5]["n_tokens_before"] == 0
+    assert got[5]["n_tokens_after"] == 0
+    assert got[7]["clean_text"] == \
+        "leading and trailing whitespace normalizes"
+
+
+def test_duplicate_spans_counts_and_canonical(docs):
+    dup = {r["h"]: r.asDict()
+           for r in duplicate_spans(docs, window=5).collect()}
+    # the shared doc1/doc2 span of 9 tokens yields 9-5+1 = 5 dup windows,
+    # all canonical in doc 1 (min doc_id)
+    cross = [d for d in dup.values() if d["canon_id"] == 1]
+    assert len(cross) == 5
+    assert all(d["n_occurrences"] == 2 for d in cross)
+    # doc 6's within-doc repeats: canonical position is the minimum pos
+    within = [d for d in dup.values() if d["canon_id"] == 6]
+    assert within and min(d["canon_pos"] for d in within) == 0
+
+
+def test_no_duplicated_windows_remain_except_canonical(docs, spark):
+    # after dedup, re-detect at the same window: every surviving
+    # duplicated window must be explainable by reassembly joins (cut
+    # edges gluing disjoint text), not by an intact non-canonical copy —
+    # on this corpus there are none at all
+    cleaned = substring_dedup(docs, "text", "doc_id", window=5) \
+        .select("doc_id", F.col("clean_text").alias("text"))
+    assert duplicate_spans(cleaned, window=5).count() == 0
+
+
+def test_stride_skips_unaligned_copies(docs):
+    # stride=5 only hashes windows at pos 0,5,...: doc 2's copy starts at
+    # pos 3 (unaligned with doc 1's pos 0 windows mod 5) so the copy is
+    # NOT detected — the documented stride caveat, pinned
+    occ = span_occurrences(docs, window=5, stride=5)
+    assert occ.filter("pos % 5 != 0").count() == 0
+    got = _clean(docs, window=5, stride=5)
+    assert got[2]["n_tokens_after"] == got[2]["n_tokens_before"]
+    # ...while doc 8's period-5 repetition IS stride-aligned (identical
+    # windows at pos 0/5/10) and collapses to the canonical period
+    assert got[8]["clean_text"] == "p1 p2 p3 p4 p5"
+
+
+def test_idempotent_on_clean_corpus(docs):
+    once = substring_dedup(docs, "text", "doc_id", window=5) \
+        .select("doc_id", F.col("clean_text").alias("text"))
+    twice = _clean(once, window=5)
+    for did, row in _clean(once, window=5).items():
+        assert twice[did]["clean_text"] == row["clean_text"]
+
+
+def test_validation_errors(docs):
+    with pytest.raises(ValueError):
+        span_occurrences(docs, window=0)
+    with pytest.raises(ValueError):
+        span_occurrences(docs, stride=0)
+
+
+def test_rebuild_stage_is_map_side(docs):
+    """The final reassembly must not shuffle per token: the only
+    Exchanges in the plan are the occurrence groupBy, the dup join, the
+    per-doc interval window/groupBys and the doc-level join back — all
+    keyed on doc id or hash, never on (doc, token_idx)."""
+    out = substring_dedup(docs, "text", "doc_id", window=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan.lower()
+    # token reassembly is concat_ws over a filtered transform, map-side
+    assert "concat_ws" in plan.lower()
