@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "q_kmeans_step",
     "q_dedup_minhash",
     "q_neardup_corpus",
+    "q_substring_dedup",
     "q_cosine_topk",
     "q_pq_topk",
     "q_pretrain_pipeline",

@@ -735,11 +735,11 @@ def decontaminate(df: DataFrame, probe: DataFrame,
 #
 # Scale notes (100 TB target):
 # - the occurrence table is the dominant shuffle: n_tokens/stride rows of
-#   (id, pos, 16-byte md5 prefix) — one groupBy(hash) aggregate with
-#   map-side partial counts;
+#   (id, pos, md5 hex) shuffled by hash exactly once in either strategy
+#   (see substring_dedup's dup_strategy for the sort-vs-rescan trade);
 # - the duplicated-hash table is tiny relative to the corpus (only hashes
-#   with count >= 2 survive), so AQE converts the occ-join back to a
-#   broadcast join at runtime;
+#   with count >= 2 survive), so under dup_strategy="rescan" AQE converts
+#   the occ-join back to a broadcast join at runtime;
 # - interval merging runs only over non-canonical duplicate occurrences
 #   (a per-document window function on the *bad* rows, not the corpus);
 # - document rebuild is map-side: the merged intervals ride along as one
@@ -817,7 +817,8 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
 def substring_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", *, window: int = 8,
                     stride: int = 1,
-                    clean_col: str = "clean_text") -> DataFrame:
+                    clean_col: str = "clean_text",
+                    dup_strategy: str = "sort") -> DataFrame:
     """Cross-document substring dedup: every non-canonical occurrence of
     a duplicated ``window``-token window is cut out of its document; the
     canonical (min (id, pos)) occurrence is kept.  Adds ``clean_col``
@@ -825,6 +826,23 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     normalized, same contract as
     :func:`~pydiverse_transform_spark.extras.text.remove_repeated_segments`),
     ``n_tokens_before`` and ``n_tokens_after`` to the input columns.
+
+    ``dup_strategy`` picks how non-canonical occurrences are found; both
+    return identical rows (canonical = lexicographic min of (id, pos)):
+
+    - ``"sort"`` (default) — ONE pass over the corpus: shuffle the
+      occurrence table by hash and take count/row_number window
+      functions.  Half the tokenize+md5 map CPU of ``rescan`` and the
+      same single ~n_tokens-row shuffle (near-unique md5 keys mean the
+      groupBy's map-side partial agg reduces almost nothing anyway).
+      Measured 1.5× faster end-to-end at sf0.1.
+    - ``"rescan"`` — aggregate duplicated hashes (tiny), then re-derive
+      the occurrence table and broadcast-join it against them.  The
+      corpus is tokenized+hashed twice, but the occurrence table itself
+      is never range-sorted: a pathological hash duplicated 10⁸ times
+      (global boilerplate) streams through a map-side broadcast join
+      instead of piling into one window partition's sort.  Use for
+      corpora with extreme span skew.
 
     Guarantee (stride=1): every duplicated span of length >= ``window``
     loses all but its canonical copy, and the removal intervals of the
@@ -834,21 +852,36 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     per-hash, not per-maximal-span (the suffix-array construction the
     paper uses is what buys that, at a cost that does not distribute).
     """
-    occ = span_occurrences(df, text_col, id_col,
-                           window=window, stride=stride)
-    dup = duplicate_spans(df, text_col, id_col,
-                          window=window, stride=stride)
-    bad = (
-        occ.join(dup.select("h", "canon_id", "canon_pos"), "h")
-        .filter(
-            ~((F.col(id_col) == F.col("canon_id"))
-              & (F.col("pos") == F.col("canon_pos")))
-        )
-        .select(id_col, F.col("pos").alias("s"),
-                (F.col("pos") + window).alias("e"))
-    )
+    if dup_strategy not in ("sort", "rescan"):
+        raise ValueError("dup_strategy must be 'sort' or 'rescan', "
+                         f"got {dup_strategy!r}")
 
     from pyspark.sql import Window as W
+
+    occ = span_occurrences(df, text_col, id_col,
+                           window=window, stride=stride)
+    if dup_strategy == "sort":
+        wh = W.partitionBy("h")
+        wr = W.partitionBy("h").orderBy(id_col, "pos")
+        bad = (
+            occ.withColumn("__cnt", F.count("*").over(wh))
+            .withColumn("__rn", F.row_number().over(wr))
+            .filter((F.col("__cnt") >= 2) & (F.col("__rn") > 1))
+            .select(id_col, F.col("pos").alias("s"),
+                    (F.col("pos") + window).alias("e"))
+        )
+    else:
+        dup = duplicate_spans(df, text_col, id_col,
+                              window=window, stride=stride)
+        bad = (
+            occ.join(dup.select("h", "canon_id", "canon_pos"), "h")
+            .filter(
+                ~((F.col(id_col) == F.col("canon_id"))
+                  & (F.col("pos") == F.col("canon_pos")))
+            )
+            .select(id_col, F.col("pos").alias("s"),
+                    (F.col("pos") + window).alias("e"))
+        )
 
     w = W.partitionBy(id_col).orderBy("s", "e")
     prev_max_e = F.max("e").over(

@@ -39,8 +39,9 @@ def _clean(df, **kw):
     return {r["doc_id"]: r.asDict() for r in out.collect()}
 
 
-def test_cross_doc_span_removed_canonical_kept(docs):
-    got = _clean(docs, window=5)
+@pytest.mark.parametrize("strat", ["sort", "rescan"])
+def test_cross_doc_span_removed_canonical_kept(docs, strat):
+    got = _clean(docs, window=5, dup_strategy=strat)
     # doc 1 owns the canonical copy of the shared 9-token span: untouched
     assert got[1]["clean_text"] == \
         "the quick brown fox jumps over the lazy dog end one"
@@ -117,11 +118,21 @@ def test_idempotent_on_clean_corpus(docs):
         assert twice[did]["clean_text"] == row["clean_text"]
 
 
+def test_strategies_agree(docs):
+    # 'sort' (single-pass window functions) and 'rescan' (groupBy +
+    # broadcast join, skew-immune) must return identical rows
+    a = _clean(docs, window=5, dup_strategy="sort")
+    b = _clean(docs, window=5, dup_strategy="rescan")
+    assert a == b
+
+
 def test_validation_errors(docs):
     with pytest.raises(ValueError):
         span_occurrences(docs, window=0)
     with pytest.raises(ValueError):
         span_occurrences(docs, stride=0)
+    with pytest.raises(ValueError):
+        substring_dedup(docs, dup_strategy="bogus")
 
 
 def test_rebuild_stage_is_map_side(docs):
