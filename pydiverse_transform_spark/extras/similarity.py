@@ -254,6 +254,28 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
+def _query_probe_cells(query_vec, centroids, nprobe: int,
+                       metric: str = "l2") -> list[int]:
+    """Driver-side selection of the query's ``nprobe`` closest cells,
+    vectorized: one numpy matvec over the (k, dim) centroid matrix
+    instead of a pure-Python O(k·dim) loop — at the k~10⁵ coarse
+    quantizers the assignment stack supports, the Python loop costs
+    seconds PER QUERY while the matvec is milliseconds.  Ties break to
+    the lower cell id (lexsort over (key, cid)), matching ivf_cell /
+    kmeans_cell / the numpy assignment kernel."""
+    import numpy as np
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    if metric == "dot":
+        key = -(cm @ q)            # argmax dot == argmin -dot
+    else:
+        d = cm - q
+        key = np.einsum("ij,ij->i", d, d)
+    order = np.lexsort((np.arange(len(cm)), key))
+    return [int(c) for c in order[:nprobe]]
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_cells: int = 8, nprobe: int = 2,
@@ -273,12 +295,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         centroids = ivf_centroids(dim, n_cells)
     else:
         n_cells = len(centroids)
-    scores = [
-        (sum(a * float(b) for a, b in zip(cen, query_vec)), c)
-        for c, cen in enumerate(centroids)
-    ]
     # ties to the lower cell id, like ivf_cell
-    probe = [c for _, c in sorted(scores, key=lambda t: (-t[0], t[1]))][:nprobe]
+    probe = _query_probe_cells(query_vec, centroids, nprobe, metric="dot")
     q = _qlit(query_vec)
     from .util import fan_out
 
@@ -1666,8 +1684,22 @@ def write_ivfpq_meta(spark, path: str, centroids: list[list[float]],
         out.close()
 
 
-def read_ivfpq_meta(spark, path: str) -> dict:
-    """Load the :func:`write_ivfpq_meta` sidecar of an index."""
+# parsed-sidecar cache keyed by (path -> file mtime): at the k~10⁵
+# coarse quantizers the stack supports, re-parsing ~7M centroid floats
+# from JSON and re-building the numpy matrix costs >1 s PER QUERY —
+# 20x the matvec the matrix exists for.  The mtime key makes index
+# swaps (ivfpq_maintain's atomic rename) invalidate naturally.
+_IVFPQ_META_CACHE: dict = {}
+
+
+def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
+    """Load the :func:`write_ivfpq_meta` sidecar of an index.
+
+    The returned dict additionally carries ``_centroids_np``, the
+    centroid matrix pre-converted to a (k, dim) float64 ndarray for
+    query-time probe selection.  Parsed sidecars are cached per path
+    and invalidated by file modification time (treat the result as
+    read-only; pass ``use_cache=False`` to force a re-read)."""
     import json
 
     jvm = spark.sparkContext._jvm
@@ -1679,6 +1711,11 @@ def read_ivfpq_meta(spark, path: str) -> dict:
             f"no {IVFPQ_META_FILE} under {path!r} — the index was "
             "written without metadata (write_ivfpq(write_meta=False)); "
             "pass centroids/codebooks explicitly to ivfpq_topk")
+    mtime = fs.getFileStatus(hpath).getModificationTime()
+    if use_cache:
+        hit = _IVFPQ_META_CACHE.get(path)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
     stream = fs.open(hpath)
     try:
         data = bytes(
@@ -1689,6 +1726,11 @@ def read_ivfpq_meta(spark, path: str) -> dict:
     if meta.get("format") != "ivfpq/1":
         raise ValueError(f"unknown index metadata format: "
                          f"{meta.get('format')!r}")
+    import numpy as np
+
+    meta["_centroids_np"] = np.asarray(meta["centroids"],
+                                       dtype=np.float64)
+    _IVFPQ_META_CACHE[path] = (mtime, meta)
     return meta
 
 
@@ -1717,7 +1759,8 @@ def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
             else None
     return ivfpq_topk(
         spark, path, query_vec,
-        centroids=meta["centroids"], codebooks=meta["codebooks"],
+        centroids=meta.get("_centroids_np", meta["centroids"]),
+        codebooks=meta["codebooks"],
         k=k, nprobe=nprobe, residual=meta["residual"], pool=pool,
         vec_col=meta["vec_col"], id_col=meta["id_col"],
         extra_paths=extra_paths,
@@ -1937,11 +1980,7 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
     With weak (data-independent) codebooks, raise ``pool`` TOGETHER
     with ``nprobe``: extra probed cells add ADC-plausible imposters
     that crowd true neighbors out of a fixed-size pool."""
-    d2 = [
-        (sum((float(q) - c) ** 2 for q, c in zip(query_vec, cen)), ci)
-        for ci, cen in enumerate(centroids)
-    ]
-    probe = [ci for _, ci in sorted(d2)][:nprobe]
+    probe = _query_probe_cells(query_vec, centroids, nprobe, metric="l2")
     # extra_paths: streaming-staged appends (ivfpq_append_stream) — each
     # root carries the same cell=NN layout; a staged root's
     # _spark_metadata log governs only its own files, so reading the

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 QUERIES = ["q_dedup_minhash", "q_neardup_corpus", "q_sessionize_scalable",
-           "q_remove_repeated_segments"]
+           "q_remove_repeated_segments", "q_substring_dedup"]
 
 
 def _pretrain_pipeline(docs):

@@ -183,3 +183,58 @@ def test_assign_cells_join_null_vector_matches_other_paths(spark):
         rows = sim.assign_cells(df, cents, method=method, **kw) \
             .select("vec_id", "tag", "__cell").orderBy("vec_id").collect()
         assert [tuple(r) for r in rows] == expected, method
+
+
+# ---------------------------------------------------------------------------
+# r8: query-time probe selection is vectorized — must agree with the
+# brute-force definition and keep ties-to-lowest-cid
+# ---------------------------------------------------------------------------
+
+def test_query_probe_cells_matches_bruteforce_and_ties():
+    cents = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.6, 0.6]]
+    q = [1.0, 0.1]
+    # l2: brute-force distances, stable order
+    d2 = [(sum((float(a) - b) ** 2 for a, b in zip(q, c)), i)
+          for i, c in enumerate(cents)]
+    expect_l2 = [i for _, i in sorted(d2)][:3]
+    assert sim._query_probe_cells(q, cents, 3, metric="l2") == expect_l2
+    # centroids 0 and 2 are identical -> the tie goes to cid 0 first
+    assert sim._query_probe_cells(q, cents, 2, metric="l2")[:2] == [0, 2]
+    # dot: argmax ordering, same tie contract
+    sc = [(sum(a * float(b) for a, b in zip(c, q)), i)
+          for i, c in enumerate(cents)]
+    expect_dot = [i for _, i in sorted(sc, key=lambda t: (-t[0], t[1]))][:3]
+    assert sim._query_probe_cells(q, cents, 3, metric="dot") == expect_dot
+
+
+# ---------------------------------------------------------------------------
+# r8: the parsed-sidecar cache must serve repeat reads and invalidate
+# when the sidecar is rewritten (mtime key)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_meta_cache_hit_and_invalidation(spark, tmp_path):
+    import time as _time
+
+    import numpy as np
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    cents = sim.hyperplanes(64, 4, seed="cache")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    path = str(tmp_path / "cidx")
+    sim.write_ivfpq(emb, path, cents, cbs, residual=True)
+    m1 = sim.read_ivfpq_meta(spark, path)
+    assert isinstance(m1["_centroids_np"], np.ndarray)
+    assert m1["_centroids_np"].shape == (4, 64)
+    # second read returns the SAME cached object (no re-parse)
+    assert sim.read_ivfpq_meta(spark, path) is m1
+    # rewrite the sidecar with a different model -> cache must miss
+    _time.sleep(0.05)  # local-fs mtime granularity
+    cents2 = sim.hyperplanes(64, 6, seed="cache2")
+    cbs2 = sim.pq_codebooks(64, m=4, k=8, seed="pq2")
+    sim.write_ivfpq_meta(spark, path, cents2, cbs2,
+                         residual=False, store_vectors=True)
+    m2 = sim.read_ivfpq_meta(spark, path)
+    assert m2 is not m1
+    assert m2["n_cells"] == 6 and m2["residual"] is False
+    # use_cache=False always re-reads
+    assert sim.read_ivfpq_meta(spark, path, use_cache=False) is not m2
