@@ -145,3 +145,61 @@ def test_rebuild_stage_is_map_side(docs):
     assert "posexplode" not in plan.lower()
     # token reassembly is concat_ws over a filtered transform, map-side
     assert "concat_ws" in plan.lower()
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: seeded adversarial corpora vs a pure-Python
+# reference model (tiny alphabets force dense hash collisions; nulls,
+# empties and whitespace runs ride along)
+# ---------------------------------------------------------------------------
+
+def _ref_substring_dedup(rows, window):
+    """Literal transcription of the documented contract: windows over
+    str.split() tokens, duplicated window -> every non-(min id, min pos)
+    occurrence's token range removed."""
+    toks = {i: (t.split() if t else []) for i, t in rows}
+    by = {}
+    for i, ts in sorted(toks.items()):
+        for p in range(0, len(ts) - window + 1):
+            by.setdefault(tuple(ts[p:p + window]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    for occs in by.values():
+        if len(occs) >= 2:
+            canon = min(occs)
+            for (i, p) in occs:
+                if (i, p) != canon:
+                    covered[i].update(range(p, p + window))
+    return {
+        i: (" ".join(t for j, t in enumerate(ts) if j not in covered[i]),
+            len(ts), len(ts) - len(covered[i] & set(range(len(ts)))))
+        for i, ts in toks.items()
+    }
+
+
+def test_fuzz_vs_reference_model(spark):
+    import random
+
+    rng = random.Random("substr-fuzz")
+    specials = [None, "", "   ", "a a a a a a a a", "a  b\t a  b"]
+    for trial in range(14):
+        window = rng.choice([2, 3])
+        strat = ("sort", "rescan")[trial % 2]
+        alpha = ["a", "b", "c"][: rng.randint(1, 3)]
+        rows = []
+        for i in range(rng.randint(1, 12)):
+            if rng.random() < 0.2:
+                rows.append((i, rng.choice(specials)))
+            else:
+                n = rng.randint(0, 10)
+                rows.append(
+                    (i, " ".join(rng.choice(alpha) for _ in range(n))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens_before"],
+                          r["n_tokens_after"])
+            for r in substring_dedup(
+                df, window=window, dup_strategy=strat).collect()
+        }
+        want = _ref_substring_dedup(rows, window)
+        assert got == want, (
+            f"trial {trial} window={window} strat={strat} rows={rows}")
