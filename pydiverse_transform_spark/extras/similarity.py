@@ -415,11 +415,33 @@ def kmeans_seed_centroids(df: DataFrame, k: int,
     )
 
 
+def _farthest_first(np, X, norms, n: int) -> list[int]:
+    """Greedy k-center sweep over the rows of X, starting at row 0
+    (the pool is hash-ordered, so row 0 = smallest hash).  Ties go to
+    the earlier row (np.argmax returns the first maximum).  Squared
+    distances are clamped at 0: the ||x||²-2x·s+||s||² expansion can go
+    infinitesimally negative for near-identical vectors, and a -1e-16
+    vs 0.0 would perturb the tie contract."""
+    def dists_to(i):
+        s = X[i]
+        return np.maximum(norms - 2.0 * (X @ s) + float(s @ s), 0.0)
+
+    chosen = [0]
+    mind = dists_to(0)
+    for _ in range(n - 1):
+        far = int(np.argmax(mind))
+        chosen.append(far)
+        np.minimum(mind, dists_to(far), out=mind)
+    return chosen
+
+
 def kmeans_spread_seeds(df: DataFrame, k: int,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         oversample: int = 8,
-                        salt: str = "kmeans-seeds") -> list[list[float]]:
+                        salt: str = "kmeans-seeds",
+                        hierarchical: bool | str = "auto",
+                        coarse_k: int | None = None) -> list[list[float]]:
     """Deterministic k-means‖-style seeding: hash-spread candidate
     oversample → farthest-first reduce.
 
@@ -444,11 +466,28 @@ def kmeans_spread_seeds(df: DataFrame, k: int,
        bottleneck once assignment went flat-plan: ~10^10 interpreted
        FLOPs at k=10^4; the vectorized sweep is seconds there —
        ASSIGN_SWEEP_r08.json).  Total cost O(oversample·k²·dim) FLOPs
-       in BLAS — fine through k~10^4; at SemDeDup's ~10^5 cells
-       prefer :func:`kmeans_seed_centroids` or lower ``oversample``.
+       in BLAS — fine through k~10^4.
+    3. **Hierarchical reduce** (``hierarchical``, default ``"auto"`` =
+       on for k >= 4096): the flat sweep is O(k·L) matvecs, ~20 min at
+       SemDeDup's ~110k cells.  Instead: farthest-first √k coarse
+       seeds over the pool, assign every pool vector to its nearest
+       coarse seed (ties to the lower coarse index, one chunked BLAS
+       matmul), give each coarse cell a seed quota proportional to its
+       pool share (largest-fraction rounding, ties to the lower cell,
+       capped at the cell's pool size), then run the flat sweep INSIDE
+       each cell.  Cost drops to O(√k·L) matvecs; the result is still a
+       pure function of the rows (no RNG), but is a different — equally
+       spread-targeting — deterministic sequence than the flat sweep,
+       so switching modes on an existing pipeline changes centroids.
+       ``coarse_k`` overrides the √k default.  Driver memory is the
+       pool itself: L·dim·8 B (~450 MB at k=110k, dim 64, oversample 8
+       — lower ``oversample`` first at larger k·dim).
     """
     if oversample < 1:
         raise ValueError(f"oversample must be >= 1, got {oversample}")
+    if hierarchical not in (True, False, "auto"):
+        raise ValueError("hierarchical must be True, False or 'auto', "
+                         f"got {hierarchical!r}")
     import numpy as np
 
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
@@ -464,21 +503,47 @@ def kmeans_spread_seeds(df: DataFrame, k: int,
     X = np.asarray([list(r[vec_col]) for r in cand_rows],
                    dtype=np.float64)
     norms = (X * X).sum(axis=1)
+    if hierarchical == "auto":
+        hierarchical = k >= 4096
 
-    def dists_to(i: int):
-        # ||x-s||^2 = ||x||^2 - 2 x·s + ||s||^2, clamped: the expansion
-        # can go infinitesimally negative for near-identical vectors,
-        # and a -1e-16 vs 0.0 would perturb the tie contract
-        s = X[i]
-        return np.maximum(norms - 2.0 * (X @ s) + float(s @ s), 0.0)
+    if not hierarchical or k < 4:
+        chosen = _farthest_first(np, X, norms, k)
+        return [[float(v) for v in X[i]] for i in chosen]
 
-    chosen = [0]
-    mind = dists_to(0)
-    for _ in range(k - 1):
-        far = int(np.argmax(mind))   # first max == earlier candidate
-        chosen.append(far)
-        np.minimum(mind, dists_to(far), out=mind)
-    return [[float(v) for v in X[i]] for i in chosen]
+    ck = min(coarse_k or int(np.ceil(np.sqrt(k))), k, len(X))
+    coarse = X[_farthest_first(np, X, norms, ck)]
+    # nearest coarse seed per pool vector: argmax x·c - ||c||²/2 with
+    # first-max-wins ties (same contract as the assignment kernel);
+    # chunk rows to bound the transient scores block
+    half = 0.5 * (coarse * coarse).sum(axis=1)
+    lab = np.empty(len(X), dtype=np.int64)
+    chunk = max(1, (64 << 20) // max(ck, 1))
+    for s0 in range(0, len(X), chunk):
+        xe = X[s0:s0 + chunk]
+        lab[s0:s0 + len(xe)] = np.argmax(xe @ coarse.T - half, axis=1)
+    counts = np.bincount(lab, minlength=ck)
+    raw = k * counts / float(len(X))
+    quota = np.minimum(np.floor(raw).astype(np.int64), counts)
+    # distribute the remainder by largest fractional part (ties to the
+    # lower cell), skipping cells whose pool is exhausted; total pool
+    # size >= k guarantees termination
+    order = np.lexsort((np.arange(ck), -(raw - np.floor(raw))))
+    i = 0
+    while quota.sum() < k:
+        c = order[i % ck]
+        if quota[c] < counts[c]:
+            quota[c] += 1
+        i += 1
+    out: list[list[float]] = []
+    for c in range(ck):
+        if quota[c] == 0:
+            continue
+        members = np.nonzero(lab == c)[0]       # ascending pool order
+        Xi = X[members]
+        loc = _farthest_first(np, Xi, (Xi * Xi).sum(axis=1),
+                              int(quota[c]))
+        out.extend([float(v) for v in Xi[j]] for j in loc)
+    return out
 
 
 def kmeans_inertia(df: DataFrame, centroids: list[list[float]],

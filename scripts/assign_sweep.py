@@ -122,14 +122,32 @@ def _large_corpus_proof(spark, sim, np, run, corpus):
 
     k_seed = 10_000
     t0 = time.perf_counter()
-    seeds = sim.kmeans_spread_seeds(emb, k_seed)
+    seeds_flat = sim.kmeans_spread_seeds(emb, k_seed,
+                                         hierarchical=False)
+    flat_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    seeds = sim.kmeans_spread_seeds(emb, k_seed)   # auto -> hierarchical
     res["spread_seeds"] = {
         "k": k_seed,
         "oversample": 8,
-        "sec": round(time.perf_counter() - t0, 2),
+        "flat_sec": flat_sec,
+        "hier_sec": round(time.perf_counter() - t0, 2),
         "n_seeds": len(seeds),
+        "n_flat_seeds": len(seeds_flat),
     }
     print(json.dumps(res["spread_seeds"]))
+
+    # the paper-scale operating point the flat sweep cannot reach
+    # (O(k*L) matvecs ~ 20 min at k=110k): hierarchical only
+    t0 = time.perf_counter()
+    seeds_big = sim.kmeans_spread_seeds(emb, 110_592)
+    res["spread_seeds_110k"] = {
+        "k": 110_592,
+        "oversample": 8,
+        "hier_sec": round(time.perf_counter() - t0, 2),
+        "n_seeds": len(seeds_big),
+    }
+    print(json.dumps(res["spread_seeds_110k"]))
 
     # SemDeDup at the sizing rule: k = n / 100 (SCALE.md) — cells stay
     # ~100 rows, within-cell pair work stays constant as n grows

@@ -238,3 +238,59 @@ def test_ivfpq_meta_cache_hit_and_invalidation(spark, tmp_path):
     assert m2["n_cells"] == 6 and m2["residual"] is False
     # use_cache=False always re-reads
     assert sim.read_ivfpq_meta(spark, path, use_cache=False) is not m2
+
+
+# ---------------------------------------------------------------------------
+# r8: hierarchical spread seeding (the k>=4096 scale path) — exact
+# count, determinism, corpus membership, quota capping, flat-path
+# equivalence below the auto threshold
+# ---------------------------------------------------------------------------
+
+def _seed_df(spark, n=400, dim=6, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rows = [(i, rng.normal(size=dim).tolist()) for i in range(n)]
+    return rows, spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+
+def test_spread_seeds_hierarchical_contract(spark):
+    rows, df = _seed_df(spark)
+    flat = sim.kmeans_spread_seeds(df, 15, hierarchical=False)
+    auto = sim.kmeans_spread_seeds(df, 15)          # k < 4096 -> flat
+    assert flat == auto
+    hier = sim.kmeans_spread_seeds(df, 15, hierarchical=True)
+    assert hier == sim.kmeans_spread_seeds(df, 15, hierarchical=True)
+    assert len(hier) == 15
+    pool = {tuple(r[1]) for r in rows}
+    assert all(tuple(s) in pool for s in hier)
+    assert len({tuple(s) for s in hier}) == 15      # all distinct here
+
+
+def test_spread_seeds_hierarchical_quota_capping(spark):
+    # a coarse cell whose pool is smaller than its proportional quota
+    # must be capped and the remainder redistributed: 3 tight clusters
+    # of very different sizes, k close to the pool size
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    vid = 0
+    for center, n in ((0.0, 30), (100.0, 3), (200.0, 3)):
+        for _ in range(n):
+            rows.append((vid, (center + rng.normal(scale=.01,
+                                                   size=4)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.kmeans_spread_seeds(df, 30, oversample=2,
+                                  hierarchical=True, coarse_k=3)
+    assert len(out) == 30
+
+
+def test_spread_seeds_hierarchical_validation(spark):
+    _, df = _seed_df(spark, n=50)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="hierarchical"):
+        sim.kmeans_spread_seeds(df, 5, hierarchical="sometimes")
