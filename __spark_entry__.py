@@ -5200,6 +5200,61 @@ def q_substring_dedup(spark, sf_dir):
 
 
 @_q("""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'),
+             '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), numbered AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, CAST(len(ws) - 6 AS BIGINT))) AS pos
+  FROM words WHERE len(ws) >= 6
+), occ AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(
+             ws[CAST(pos + 1 AS BIGINT):CAST(pos + 6 AS BIGINT)], ' ')) AS h
+  FROM numbered
+), ranked AS (
+  SELECT h, doc_id, pos,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM occ
+)
+SELECT h, CAST(cnt AS BIGINT) AS n_occurrences,
+       CAST(doc_id AS BIGINT) AS canon_id,
+       CAST(pos AS BIGINT) AS canon_pos
+FROM ranked WHERE rn = 1 AND cnt >= 2
+ORDER BY n_occurrences DESC, h LIMIT 20
+""")
+def q_duplicate_spans(spark, sf_dir):
+    """Corpus duplication profile (extras/dedup.py duplicate_spans —
+    the detection stage of substring_dedup's "rescan" strategy, whose
+    groupBy + min(struct) canonicalization the driver's substring-dedup
+    row bypasses via the default "sort" strategy): the 20
+    most-duplicated 6-token windows with occurrence counts and the
+    canonical (min doc_id, min pos) occurrence.  Fully ordered (ties on
+    n_occurrences break by hash); the oracle re-derives the canonical
+    rule with row_number over (doc_id, pos)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        duplicate_spans(docs, "text", "doc_id", window=6)
+        .select(
+            "h",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("canon_id").cast("long").alias("canon_id"),
+            F.col("canon_pos").cast("long").alias("canon_pos"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "h")
+        .limit(20)
+    )
+
+
+@_q("""
 WITH ev AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
 ), flagged AS (
