@@ -5255,6 +5255,100 @@ def q_duplicate_spans(spark, sf_dir):
 
 
 @_q("""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+             regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g'),
+             '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), numbered AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(0, CAST(len(ws) - 8 AS BIGINT))) AS pos
+  FROM words WHERE len(ws) >= 8
+), occ AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(
+             ws[CAST(pos + 1 AS BIGINT):CAST(pos + 8 AS BIGINT)], ' ')) AS h
+  FROM numbered
+), counted AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS cnt FROM occ
+), bad AS (
+  SELECT doc_id, pos AS s, pos + 8 AS e FROM counted WHERE cnt >= 2
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0
+         END AS nw
+  FROM bad
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT doc_id, s, e,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flagged
+), merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, g
+), covered AS (
+  SELECT doc_id,
+         unnest(generate_series(CAST(s AS BIGINT), CAST(e - 1 AS BIGINT))) AS idx
+  FROM merged
+), tokpos AS (
+  SELECT doc_id,
+         unnest(ws) AS tok,
+         unnest(generate_series(0, CAST(len(ws) - 1 AS BIGINT))) AS idx
+  FROM words WHERE len(ws) > 0
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok
+  FROM tokpos t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.idx = c.idx
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+         count(*) AS n_after
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens_before,
+       CAST(coalesce(r.n_after, 0) AS BIGINT) AS n_tokens_after
+FROM words w LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY w.doc_id
+""")
+def q_stream_span_cut(spark, sf_dir):
+    """Streaming span removal (streaming/__init__.py span_cut_stream):
+    duplicated 8-token window hashes learned batch-side over the corpus
+    (duplicate_spans) are applied to the SAME corpus replayed as a
+    stream — stateless mapInPandas with a broadcast hash set, so every
+    occurrence of a duplicated window is cut (no canonical election:
+    that is the documented streaming contract, distinct from batch
+    substring_dedup).  The oracle replays it in SQL: identical CTE
+    chain to q_substring_dedup's minus the rn > 1 canonical filter."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = duplicate_spans(docs, "text", "doc_id", window=8)
+    staged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream",
+        os.path.basename(sf_dir.rstrip("/")) + "_spancut",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(staged)
+    schema = spark.read.parquet(staged).schema
+    stream = spark.readStream.schema(schema).parquet(staged)
+    out = st.run_to_memory(
+        st.span_cut_stream(stream, dup, "text", window=8)
+        .select("doc_id", "clean_text", "n_tokens_before",
+                "n_tokens_after"),
+        f"q_stream_span_cut_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    return out.orderBy("doc_id")
+
+
+@_q("""
 WITH ev AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
 ), flagged AS (

@@ -521,3 +521,58 @@ def test_ivfpq_append_stream_extends_index(spark, sf_dir):
     after_fold = sim.ivfpq_topk_auto(spark, folded, qvec, k=10,
                                      nprobe=8, pool=100).collect()
     assert [tuple(r) for r in after_fold] == [tuple(r) for r in rebuilt]
+
+
+def test_span_cut_stream_applies_reference_spans(spark, sf_dir):
+    """span_cut_stream is a stateless map: every occurrence of a
+    reference duplicated-span hash is cut from in-flight docs (no
+    canonical election — the reference corpus holds the canonical), and
+    docs sharing nothing with the reference pass through
+    token-identically.  Streamed result must equal the same operator's
+    batch run on the same input."""
+    from pydiverse_transform_spark.extras.dedup import duplicate_spans
+
+    ref = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),
+         (101, "alpha beta gamma delta epsilon zeta"),  # dup -> spans
+         (102, "one two three four five six")],
+        "doc_id long, text string")
+    dup = duplicate_spans(ref, window=4)
+    assert dup.count() == 3  # 6-token dup span -> 3 sliding 4-windows
+
+    incoming = [
+        (1, "intro words alpha beta gamma delta epsilon zeta outro"),
+        (2, "no shared content here at all today"),
+        (3, None),
+        (4, "alpha beta gamma delta"),   # exact 4-window -> fully cut
+    ]
+    src = os.path.join(TMP, "span_cut_src")
+    shutil.rmtree(src, ignore_errors=True)
+    batch = spark.createDataFrame(incoming, "doc_id long, text string")
+    batch.write.mode("overwrite").parquet(src)
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = st.run_to_memory(
+            st.span_cut_stream(stream, dup, window=4)
+            .select("doc_id", "clean_text", "n_tokens_before",
+                    "n_tokens_after"),
+            "span_cut_stream_test", output_mode="append")
+        got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+    assert got[1]["clean_text"] == "intro words outro"
+    assert got[1]["n_tokens_before"] == 9
+    assert got[1]["n_tokens_after"] == 3
+    assert got[2]["clean_text"] == "no shared content here at all today"
+    assert got[3]["clean_text"] == "" and got[3]["n_tokens_before"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_tokens_after"] == 0
+
+    # batch run of the same operator on the same input is identical
+    batch_got = {r["doc_id"]: r.asDict()
+                 for r in st.span_cut_stream(batch, dup, window=4)
+                 .select("doc_id", "clean_text", "n_tokens_before",
+                         "n_tokens_after").collect()}
+    assert batch_got == got
