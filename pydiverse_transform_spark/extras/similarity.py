@@ -1754,6 +1754,10 @@ def write_ivfpq_meta(spark, path: str, centroids: list[list[float]],
 # from JSON and re-building the numpy matrix costs >1 s PER QUERY —
 # 20x the matvec the matrix exists for.  The mtime key makes index
 # swaps (ivfpq_maintain's atomic rename) invalidate naturally.
+# BOUNDED (LRU): one k=110k entry is ~56 MB of matrix plus a larger
+# Python centroid list — an unbounded dict leaks driver memory under
+# rolling maintenance that cycles through many index paths.
+_IVFPQ_META_CACHE_MAX = 8
 _IVFPQ_META_CACHE: dict = {}
 
 
@@ -1780,6 +1784,8 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
     if use_cache:
         hit = _IVFPQ_META_CACHE.get(path)
         if hit is not None and hit[0] == mtime:
+            # refresh LRU recency
+            _IVFPQ_META_CACHE[path] = _IVFPQ_META_CACHE.pop(path)
             return hit[1]
     stream = fs.open(hpath)
     try:
@@ -1795,7 +1801,10 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
 
     meta["_centroids_np"] = np.asarray(meta["centroids"],
                                        dtype=np.float64)
+    _IVFPQ_META_CACHE.pop(path, None)
     _IVFPQ_META_CACHE[path] = (mtime, meta)
+    while len(_IVFPQ_META_CACHE) > _IVFPQ_META_CACHE_MAX:
+        _IVFPQ_META_CACHE.pop(next(iter(_IVFPQ_META_CACHE)))
     return meta
 
 

@@ -333,14 +333,22 @@ def span_cut_stream(docs: DataFrame, dup_hashes: DataFrame,
 
     def kernel(batches):
         import hashlib
+        import re
 
         import pandas as pd
 
+        # mirror extras.text.tokens EXACTLY: Java's \s is ASCII-only
+        # ([ \t\n\x0B\f\r]) while Python's str.split()/re \s are
+        # Unicode-aware — a NBSP-containing doc must hash the same
+        # windows here as in the batch op that learned dup_hashes
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         hs = bc.value
         for pdf in batches:
             clean, nb, na = [], [], []
             for t in pdf[text_col]:
-                toks = t.split() if isinstance(t, str) else []
+                stripped = (ws.sub(" ", t).strip(" ")
+                            if isinstance(t, str) else "")
+                toks = stripped.split(" ") if stripped else []
                 n = len(toks)
                 covered: set = set()
                 for p in range(0, n - window + 1):

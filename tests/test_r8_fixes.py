@@ -240,6 +240,34 @@ def test_ivfpq_meta_cache_hit_and_invalidation(spark, tmp_path):
     assert sim.read_ivfpq_meta(spark, path, use_cache=False) is not m2
 
 
+def test_ivfpq_meta_cache_is_bounded_lru(spark, tmp_path, monkeypatch):
+    """The sidecar cache must not grow without bound (one k=110k entry
+    is hundreds of MB of driver memory under rolling maintenance), and
+    a cache hit must refresh recency."""
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    monkeypatch.setattr(sim, "_IVFPQ_META_CACHE_MAX", 2)
+    monkeypatch.setattr(sim, "_IVFPQ_META_CACHE", {})
+    paths = []
+    metas = []
+    for i in range(3):
+        cents = sim.hyperplanes(64, 4, seed=f"lru{i}")
+        p = str(tmp_path / f"idx{i}")
+        sim.write_ivfpq(emb, p, cents, cbs, residual=False)
+        paths.append(p)
+        if i == 1:
+            metas.append(sim.read_ivfpq_meta(spark, paths[0]))
+            metas.append(sim.read_ivfpq_meta(spark, paths[1]))
+            # hit path 0 again -> it becomes most recent
+            assert sim.read_ivfpq_meta(spark, paths[0]) is metas[0]
+    m2 = sim.read_ivfpq_meta(spark, paths[2])
+    assert len(sim._IVFPQ_META_CACHE) == 2
+    # path 1 (least-recently used) was evicted; 0 and 2 survive
+    assert set(sim._IVFPQ_META_CACHE) == {paths[0], paths[2]}
+    assert sim.read_ivfpq_meta(spark, paths[0]) is metas[0]
+    assert sim.read_ivfpq_meta(spark, paths[2]) is m2
+
+
 # ---------------------------------------------------------------------------
 # r8: hierarchical spread seeding (the k>=4096 scale path) — exact
 # count, determinism, corpus membership, quota capping, flat-path

@@ -576,3 +576,37 @@ def test_span_cut_stream_applies_reference_spans(spark, sf_dir):
                  .select("doc_id", "clean_text", "n_tokens_before",
                          "n_tokens_after").collect()}
     assert batch_got == got
+
+
+def test_span_cut_stream_tokenizes_like_batch_tokens(spark):
+    """The kernel's Python tokenizer must mirror extras.text.tokens
+    EXACTLY (Java regex \\s = ASCII [ \\t\\n\\x0B\\f\\r]): a NBSP
+    (U+00A0) is NOT a separator there, so 'gamma\\xa0delta' is one
+    token and a reference span learned over the same text still
+    matches.  Python's str.split() would split it and silently miss
+    every span in such a doc."""
+    from pydiverse_transform_spark.extras.dedup import duplicate_spans
+    from pydiverse_transform_spark.extras.text import tokens
+
+    text = "alpha beta gamma\xa0delta epsilon zeta eta theta"
+    ref = spark.createDataFrame(
+        [(100, text), (101, text)], "doc_id long, text string")
+    # ground truth: Spark-side token count of the NBSP text
+    n_spark = ref.select(F.array_size(tokens(F.col("text")))
+                         .alias("n")).head()["n"]
+    assert n_spark == 7  # NBSP glues gamma+delta into one token
+    dup = duplicate_spans(ref, window=4)
+
+    incoming = spark.createDataFrame(
+        [(1, "x " + text + " y"),           # NBSP span present -> cut
+         (2, "gamma delta epsilon zeta")],  # space-split twin: no match
+        "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in st.span_cut_stream(incoming, dup, window=4)
+           .select("doc_id", "clean_text", "n_tokens_before",
+                   "n_tokens_after").collect()}
+    assert got[1]["n_tokens_before"] == 9
+    assert got[1]["clean_text"] == "x y"
+    # the space-separated variant hashes different windows: untouched
+    assert got[2]["clean_text"] == "gamma delta epsilon zeta"
+    assert got[2]["n_tokens_after"] == 4
