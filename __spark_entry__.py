@@ -2718,6 +2718,120 @@ def q_dedup_minhash(spark, sf_dir):
                                      n_hashes=16, bands=4, threshold=0.2)
 
 
+def _minhash_sides_sql() -> str:
+    """CTEs replaying the persisted-index banding for a corpus
+    (doc_id % 4 <> 0) and a probe increment (doc_id % 4 = 0): per side
+    (doc_id, sig BIGINT[16], band, h) — the exact rows
+    write_minhash_index persists and minhash_index_lookup derives."""
+    sig = ", ".join(_minhash_sql("bh", 16))
+    bands = ", ".join(
+        f"{{'band': {b}, "
+        f"'h': md5(array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '|'))}}"
+        for b in range(4)
+    )
+    return f"""
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+c_bh AS (
+  SELECT doc_id,
+         list_transform({_shingle_sql('text')},
+                        s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS bh
+  FROM corpus
+), c_sig AS (SELECT doc_id, [{sig}] AS sig FROM c_bh),
+c_b AS (
+  SELECT doc_id, sig, bb.band AS band, bb.h AS h
+  FROM c_sig, UNNEST([{bands}]) AS t(bb)
+), p_bh AS (
+  SELECT doc_id,
+         list_transform({_shingle_sql('text')},
+                        s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS bh
+  FROM probe
+), p_sig AS (SELECT doc_id, [{sig}] AS sig FROM p_bh),
+p_b AS (
+  SELECT doc_id, sig, bb.band AS band, bb.h AS h
+  FROM p_sig, UNNEST([{bands}]) AS t(bb)
+)"""
+
+
+_MINHASH_EST_SQL = ("round(len(list_filter(range(1, 17), "
+                    "i -> p.sig[i] = c.sig[i])) / 16.0, 6)")
+
+
+def _minhash_index_tmp(sf_dir: str, tag: str) -> str:
+    import shutil
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_stream",
+        f"mhidx_{tag}_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+@_q(f"""
+WITH {_minhash_sides_sql()}
+SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS index_id,
+       {_MINHASH_EST_SQL} AS est_jaccard
+FROM p_b p JOIN c_b c ON p.band = c.band AND p.h = c.h
+WHERE {_MINHASH_EST_SQL} >= 0.2
+ORDER BY probe_id, index_id
+""")
+def q_minhash_index_lookup(spark, sf_dir):
+    """Persisted MinHash-LSH index lifecycle (extras/dedup.py
+    write_minhash_index + minhash_index_lookup): the corpus 3/4 of
+    documents is indexed as band-partitioned parquet with a parameter
+    sidecar; the remaining 1/4 probes it as a daily increment.  The
+    oracle replays the identical banding + signature-agreement
+    estimator in SQL, pinning the persisted rows, the sidecar-driven
+    probe hashing and the estimator arithmetic.  The probe side
+    broadcasts — the index is scanned in place, never shuffled
+    (tests/test_minhash_index.py pins the plan shape)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _minhash_index_tmp(sf_dir, "lkp")
+    dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), base)
+    return dedup.minhash_index_lookup(
+        spark, base, docs.filter(F.col("doc_id") % 4 == 0),
+        threshold=0.2,
+    ).orderBy("probe_id", "index_id")
+
+
+@_q(f"""
+WITH {_minhash_sides_sql()},
+hits AS (
+  SELECT DISTINCT p.doc_id
+  FROM p_b p JOIN c_b c ON p.band = c.band AND p.h = c.h
+  WHERE {_MINHASH_EST_SQL} >= 0.45
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY doc_id
+""")
+def q_neardup_filter_new(spark, sf_dir):
+    """The daily-ingest primitive (extras/dedup.py neardup_filter_new):
+    arriving docs with an estimated near-dup already in the persisted
+    index are dropped; survivors are ADMITTED (their bucket rows
+    appended) — the returned frame is rebuilt from a checkpointed id
+    snapshot so the append cannot re-evaluate it to empty (the
+    refreshByPath hazard documented on the function)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _minhash_index_tmp(sf_dir, "new")
+    dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), base)
+    surv = dedup.neardup_filter_new(
+        spark, base, docs.filter(F.col("doc_id") % 4 == 0),
+        threshold=0.45, admit=True,
+    )
+    return surv.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 @_q("""
 WITH sh_t AS (SELECT doc_id, {SH} AS sh FROM documents),
 pairs AS (

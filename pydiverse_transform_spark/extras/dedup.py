@@ -24,6 +24,8 @@ __all__ = [
     "connected_components_star", "neardup_dedup",
     "contaminated_ids", "decontaminate",
     "span_occurrences", "duplicate_spans", "substring_dedup",
+    "write_minhash_index", "read_minhash_meta", "minhash_index_append",
+    "minhash_index_lookup", "neardup_filter_new",
 ]
 
 
@@ -928,3 +930,208 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
                     F.array_size("__kept").cast("long"))
         .drop("__toks", "__kept", "__ivs")
     )
+
+
+# =============================================================================
+# Persisted MinHash-LSH index — incremental near-dup for a GROWING corpus.
+#
+# The batch ops above recompute LSH corpus-wide per run; at 100 TB a daily
+# increment must instead probe (and extend) a PERSISTED bucket table:
+#
+# - the index is plain parquet partitioned by ``band`` with rows
+#   (id, band, h, sig): model-free and row-independent, so incremental
+#   maintenance is a pure parquet APPEND — no refit, no journaled swap
+#   (contrast extras/similarity.py's IVF-PQ index, whose coarse/PQ model
+#   makes folds necessary);
+# - a ``.__minhash_meta.json`` sidecar freezes the hashing parameters
+#   (k, n_hashes, bands, char/word), so probes always band EXACTLY like
+#   the rows already in the index — mixing parameters silently produces
+#   disjoint buckets, which the sidecar makes impossible;
+# - lookups join probe buckets against the index on (band, h): the probe
+#   side is the increment (small), so it broadcasts and THE INDEX IS
+#   NEVER SHUFFLED — lookup cost is one index scan however the corpus
+#   grew.  Large probes fall back to a plain shuffle equi-join
+#   (``probe_strategy``);
+# - similarity at lookup time is the ESTIMATED Jaccard (fraction of
+#   agreeing signature positions — the standard MinHash estimator),
+#   computed from the stored signatures alone: the corpus TEXT is never
+#   read again.  E[estimate] = true Jaccard with sd <= 1/(2*sqrt(n_hashes));
+#   for exact-Jaccard verification join the survivors back to the corpus
+#   and use ``jaccard()``.
+# =============================================================================
+
+MINHASH_META_FILE = ".__minhash_meta.json"
+
+
+def _minhash_buckets_sig(df: DataFrame, text_col: str, id_col: str,
+                         k: int, n_hashes: int, bands: int,
+                         char: bool) -> DataFrame:
+    """(id, band, h, sig) rows: `_band_buckets` plus the full signature
+    carried on every row (16 longs × bands per doc — the estimator's
+    input, so lookups never re-read text)."""
+    rows = n_hashes // bands
+    sh = (char_shingled(df, text_col, id_col, k) if char
+          else shingled(df, text_col, id_col, k))
+    sig_df = sh.select(
+        F.col(id_col),
+        minhash_signature_array(
+            shingle_base_hash(F.col("__sh")), n_hashes).alias("sig"),
+    )
+    withb = sig_df.select(
+        F.col(id_col), F.col("sig"),
+        *[
+            F.md5(F.array_join(
+                F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
+                            lambda m: m.cast("string")),
+                "|",
+            )).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    return withb.select(
+        id_col, "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"),
+             F.col("bb.h").alias("h"), "sig")
+
+
+def write_minhash_index(df: DataFrame, path: str, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, n_hashes: int = 16, bands: int = 4,
+                        char: bool = False) -> None:
+    """Build a persisted LSH index over ``df`` at ``path``: bucket rows
+    partitioned by ``band`` + the parameter sidecar.  One map pass over
+    the corpus, one partitioned write — no shuffle (the band explode is
+    map-side and the writer splits partition dirs per task)."""
+    from .util import fs_write_json
+
+    if n_hashes % bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by "
+                         f"bands={bands}")
+    _minhash_buckets_sig(df, text_col, id_col, k, n_hashes, bands,
+                         char).write.mode("overwrite") \
+        .partitionBy("band").parquet(path)
+    fs_write_json(df.sparkSession, path + "/" + MINHASH_META_FILE, {
+        "format": "minhashlsh/1", "k": k, "n_hashes": n_hashes,
+        "bands": bands, "char": char, "id_col": id_col,
+        "text_col": text_col,
+    })
+
+
+def read_minhash_meta(spark, path: str) -> dict:
+    """Load the parameter sidecar of a :func:`write_minhash_index`
+    index."""
+    from .util import fs_read_json
+
+    try:
+        meta = fs_read_json(spark, path + "/" + MINHASH_META_FILE)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no {MINHASH_META_FILE} under {path!r} — not a "
+            "write_minhash_index root")
+    if meta.get("format") != "minhashlsh/1":
+        raise ValueError(f"unknown minhash index format: "
+                         f"{meta.get('format')!r}")
+    return meta
+
+
+def minhash_index_append(spark, path: str, new_docs: DataFrame) -> None:
+    """Fold an increment into the index: hash ``new_docs`` with the
+    SIDECAR's parameters and parquet-append its bucket rows.  Rows are
+    model-free, so this is exact — an appended index equals one built
+    from the unioned corpus (pinned by test_minhash_index).  Appending
+    the same ids twice duplicates their rows (LSH candidates dedupe at
+    lookup, but estimates then pair a doc with itself — dedupe ids
+    upstream).  Compact the partition dirs with
+    ``sources.sinks.compact_parquet`` when daily appends accumulate
+    small files."""
+    meta = read_minhash_meta(spark, path)
+    _minhash_buckets_sig(
+        new_docs, meta["text_col"], meta["id_col"], meta["k"],
+        meta["n_hashes"], meta["bands"], meta["char"],
+    ).write.mode("append").partitionBy("band").parquet(path)
+
+
+def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
+                         threshold: float = 0.0,
+                         probe_strategy: str = "auto") -> DataFrame:
+    """Near-dup pairs between ``probe`` docs and the indexed corpus:
+    (probe_id, index_id, est_jaccard), est_jaccard = fraction of
+    agreeing signature positions, filtered to ``>= threshold`` (0.0
+    returns every LSH candidate).  A doc id present on both sides pairs
+    with itself at estimate 1.0 — filter ``probe_id != index_id`` when
+    probing with already-ingested rows.
+
+    ``probe_strategy``: ``"broadcast"`` ships the probe's bucket rows
+    to every executor so the index side is scanned in place and NEVER
+    shuffled (the intended daily-increment shape); ``"shuffle"`` is a
+    plain equi-join for probe sets too big to broadcast; ``"auto"``
+    picks by the probe plan's size estimate."""
+    from .util import SMALL_CORPUS_BYTES, plan_size_bytes
+
+    if probe_strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown probe_strategy {probe_strategy!r}")
+    meta = read_minhash_meta(spark, path)
+    if probe_strategy == "auto":
+        probe_strategy = ("broadcast"
+                          if plan_size_bytes(probe) <= SMALL_CORPUS_BYTES
+                          else "shuffle")
+    idx = spark.read.parquet(path)
+    pb = _minhash_buckets_sig(
+        probe, meta["text_col"], meta["id_col"], meta["k"],
+        meta["n_hashes"], meta["bands"], meta["char"],
+    ).select(F.col(meta["id_col"]).alias("probe_id"), "band", "h",
+             F.col("sig").alias("__psig"))
+    if probe_strategy == "broadcast":
+        pb = F.broadcast(pb)
+    n = meta["n_hashes"]
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("__psig"), F.col("sig"),
+                       lambda a, b: (a == b).cast("int")),
+            F.lit(0), lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(n))
+    )
+    return (
+        idx.join(pb, on=["band", "h"], how="inner")
+        .select("probe_id", F.col(meta["id_col"]).alias("index_id"),
+                "__psig", "sig")
+        .dropDuplicates(["probe_id", "index_id"])
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("probe_id", "index_id", "est_jaccard")
+    )
+
+
+def neardup_filter_new(spark, path: str, new_docs: DataFrame, *,
+                       threshold: float = 0.7, admit: bool = False,
+                       probe_strategy: str = "auto") -> DataFrame:
+    """The daily-ingest primitive: drop arriving docs whose estimated
+    Jaccard against ANY indexed doc reaches ``threshold``; return the
+    survivors (all input columns).  ``admit=True`` additionally appends
+    the SURVIVORS' bucket rows to the index (dedup-then-admit), so the
+    next increment also dedupes against today's.
+
+    admit snapshots the survivor ID SET (one column, eager
+    localCheckpoint) BEFORE appending and rebuilds the returned frame
+    from it: the anti-join's own plan reads the index path, and Spark's
+    append refreshes that path's cache entries — a frame still
+    referencing the index would silently re-evaluate against the
+    just-admitted rows and come back EMPTY (every survivor is now its
+    own index near-dup).  The snapshot is ids only, so the pinned
+    memory is negligible at any corpus scale."""
+    meta = read_minhash_meta(spark, path)
+    id_col = meta["id_col"]
+    hits = minhash_index_lookup(
+        spark, path, new_docs, threshold=threshold,
+        probe_strategy=probe_strategy,
+    ).select(F.col("probe_id").alias(id_col)).distinct()
+    out = new_docs.join(hits, on=id_col, how="left_anti")
+    if admit:
+        ids = out.select(id_col).localCheckpoint()
+        out = new_docs.join(ids, on=id_col, how="left_semi")
+        minhash_index_append(spark, path, out)
+    return out

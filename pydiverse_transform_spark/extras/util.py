@@ -108,3 +108,37 @@ def bind(col: Column, body) -> Column:
                     lambda s: body(s["v"])),
         1,
     )
+
+
+def fs_write_json(spark, path: str, obj: dict) -> None:
+    """Write ``obj`` as JSON to ``path`` through Hadoop's FileSystem —
+    same-filesystem as the dataset it describes (local, HDFS, S3A…),
+    unlike a driver-local ``open()``.  Overwrites."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(json.dumps(obj).encode()))
+    finally:
+        out.close()
+
+
+def fs_read_json(spark, path: str) -> dict:
+    """Read a JSON file written by :func:`fs_write_json`.  Raises
+    FileNotFoundError when absent."""
+    import json
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    stream = fs.open(hpath)
+    try:
+        data = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+    return json.loads(data.decode())

@@ -1,0 +1,173 @@
+"""Persisted MinHash-LSH index (extras/dedup.py write_minhash_index /
+minhash_index_append / minhash_index_lookup / neardup_filter_new): the
+incremental near-dup lifecycle for a growing corpus.
+
+Contracts pinned here:
+- append exactness: an appended index answers lookups identically to an
+  index rebuilt from the unioned corpus (LSH rows are model-free);
+- the sidecar freezes hashing parameters — probes band exactly like the
+  indexed rows, including the char-shingle lane;
+- est_jaccard is the signature-agreement estimator (multiples of
+  1/n_hashes), self-pairs estimate 1.0;
+- broadcast lookups never shuffle the index side;
+- neardup_filter_new admits survivors exactly once (dedup-then-admit).
+"""
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _lookup_rows(df):
+    return sorted((r["probe_id"], r["index_id"], r["est_jaccard"])
+                  for r in df.collect())
+
+
+def test_roundtrip_sidecar_and_self_lookup(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path, k=3, n_hashes=16, bands=4)
+    meta = dedup.read_minhash_meta(spark, path)
+    assert meta["format"] == "minhashlsh/1"
+    assert (meta["k"], meta["n_hashes"], meta["bands"]) == (3, 16, 4)
+    # probing with the indexed docs themselves: every doc pairs with
+    # itself at estimate exactly 1.0
+    hits = dedup.minhash_index_lookup(spark, path, docs, threshold=0.0)
+    self_pairs = hits.filter(F.col("probe_id") == F.col("index_id"))
+    assert self_pairs.count() == docs.count()
+    assert self_pairs.filter(F.col("est_jaccard") != 1.0).count() == 0
+    # estimates are multiples of 1/16
+    bad = hits.filter(
+        (F.col("est_jaccard") * 16) % 1 != 0).count()
+    assert bad == 0
+
+
+def test_append_equals_rebuild(spark, tmp_path):
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter(F.col("doc_id") % 3 == 0)
+    probe = docs.filter(F.col("doc_id") % 7 == 0)
+    p_app = str(tmp_path / "appended")
+    p_full = str(tmp_path / "rebuilt")
+    dedup.write_minhash_index(base, p_app)
+    dedup.minhash_index_append(spark, p_app, inc)
+    dedup.write_minhash_index(docs, p_full)
+    got = _lookup_rows(dedup.minhash_index_lookup(
+        spark, p_app, probe, threshold=0.2))
+    want = _lookup_rows(dedup.minhash_index_lookup(
+        spark, p_full, probe, threshold=0.2))
+    assert got == want and len(got) > 0
+
+
+def test_lookup_matches_batch_estimator(spark, tmp_path):
+    """Index lookup at threshold 0 over a self-probe must produce the
+    same candidate pairs as the batch LSH (same banding), and the
+    estimator must be the signature-agreement fraction recomputed
+    independently."""
+    docs = _docs(spark).limit(200)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path)
+    hits = dedup.minhash_index_lookup(spark, path, docs, threshold=0.0)
+    got_pairs = {(a, b) for a, b, _ in _lookup_rows(hits) if a < b}
+    batch = dedup.lsh_candidate_pairs(docs, "text", "doc_id",
+                                      k=3, n_hashes=16, bands=4)
+    want_pairs = {(r["id_a"], r["id_b"]) for r in batch.collect()}
+    assert got_pairs == want_pairs
+    # independent estimator recompute for every pair
+    sh = dedup.shingled(docs, "text", "doc_id", 3)
+    sigs = {r["doc_id"]: list(r["sig"]) for r in sh.select(
+        "doc_id",
+        dedup.minhash_signature_array(
+            dedup.shingle_base_hash(F.col("__sh")), 16).alias("sig"),
+    ).collect()}
+    for a, b, est in _lookup_rows(hits):
+        agree = sum(x == y for x, y in zip(sigs[a], sigs[b]))
+        assert est == pytest.approx(round(agree / 16.0, 6))
+
+
+def test_char_lane_and_param_freeze(spark, tmp_path):
+    """char=True indexes band on character shingles; the sidecar makes
+    the probe side follow automatically."""
+    docs = _docs(spark).limit(100)
+    path = str(tmp_path / "cidx")
+    dedup.write_minhash_index(docs, path, k=5, char=True,
+                              n_hashes=16, bands=8)
+    meta = dedup.read_minhash_meta(spark, path)
+    assert meta["char"] is True and meta["bands"] == 8
+    hits = dedup.minhash_index_lookup(spark, path, docs)
+    assert hits.filter(
+        (F.col("probe_id") == F.col("index_id"))
+        & (F.col("est_jaccard") == 1.0)).count() == 100
+
+
+def test_errors(spark, tmp_path):
+    docs = _docs(spark).limit(5)
+    with pytest.raises(ValueError, match="not divisible"):
+        dedup.write_minhash_index(docs, str(tmp_path / "x"),
+                                  n_hashes=16, bands=5)
+    docs.write.parquet(str(tmp_path / "plain"))
+    with pytest.raises(FileNotFoundError, match="not a"):
+        dedup.read_minhash_meta(spark, str(tmp_path / "plain"))
+    with pytest.raises(ValueError, match="probe_strategy"):
+        dedup.write_minhash_index(docs, str(tmp_path / "y"))
+        dedup.minhash_index_lookup(spark, str(tmp_path / "y"), docs,
+                                   probe_strategy="bogus")
+
+
+def test_broadcast_lookup_never_shuffles_index(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path)
+    probe = docs.limit(10)
+    plan = dedup.minhash_index_lookup(
+        spark, path, probe, probe_strategy="broadcast",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # shuffle strategy is available for huge probes and agrees
+    a = _lookup_rows(dedup.minhash_index_lookup(
+        spark, path, probe, probe_strategy="shuffle"))
+    b = _lookup_rows(dedup.minhash_index_lookup(
+        spark, path, probe, probe_strategy="broadcast"))
+    assert a == b
+
+
+def test_neardup_filter_new_admit_cycle(spark, tmp_path):
+    docs = _docs(spark)
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    # increment: half re-ingested texts under new ids (near-dups of the
+    # index), half genuinely new (reversed text shingles nothing like
+    # the corpus — the sf0.001 corpus is replica groups, so unmodified
+    # odd docs would ALL near-dup an indexed even doc)
+    dup_inc = (docs.filter(F.col("doc_id") % 4 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    new_inc = (docs.filter(F.col("doc_id") % 2 == 1)
+               .withColumn("text", F.reverse(F.col("text")))
+               .withColumn("doc_id", F.col("doc_id") + 5_000_000))
+    inc = dup_inc.unionByName(new_inc)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(base, path)
+    surv = dedup.neardup_filter_new(spark, path, inc, threshold=0.9,
+                                    admit=True)
+    surv_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    # every re-ingested text was dropped; the genuinely-new docs kept
+    # (allow near-dup collisions among the odd docs themselves: none
+    # of the dup_inc ids may survive)
+    assert not any(i >= 10_000_000 for i in surv_ids)
+    assert len(surv_ids) > 0
+    # admit=True made the survivors part of the index: re-probing the
+    # same texts under fresh ids now drops ALL of them
+    reprobe = surv.withColumn("doc_id", F.col("doc_id") + 20_000_000)
+    again = dedup.neardup_filter_new(spark, path, reprobe,
+                                     threshold=0.9)
+    assert again.count() == 0
