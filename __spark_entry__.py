@@ -5462,6 +5462,55 @@ def q_stream_span_cut(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+@_q(f"""
+WITH {_minhash_sides_sql()},
+hits AS (
+  SELECT DISTINCT p.doc_id
+  FROM p_b p JOIN c_b c ON p.band = c.band AND p.h = c.h
+  WHERE {_MINHASH_EST_SQL} >= 0.45
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id % 4 = 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY doc_id
+""")
+def q_stream_neardup_ingest(spark, sf_dir):
+    """Micro-batch ingest dedup against the persisted MinHash-LSH index
+    (streaming/__init__.py neardup_ingest_stream, snapshot mode): the
+    probe quarter of the corpus arrives as 4 micro-batches; each batch
+    drops docs with an estimated near-dup in the index and lands the
+    survivors under an idempotent per-batch partition dir.  Snapshot
+    mode (admit=False) is order-independent, so the streamed survivor
+    set equals the batch neardup_filter_new — the oracle is that batch
+    SQL.  The cross-batch admit lane (first-come-wins, replay-safe
+    own-row exclusion) is batching-dependent by design and pinned by
+    tests/test_streaming.py instead."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = _minhash_index_tmp(sf_dir, "stream")
+    idx = os.path.join(root, "idx")
+    dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), idx)
+    src = os.path.join(root, "src")
+    inc = docs.filter(F.col("doc_id") % 4 == 0) \
+        .select("doc_id", "text", "lang", "source")
+    inc.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    out = os.path.join(root, "out")
+    q = st.neardup_ingest_stream(stream, idx, out,
+                                 os.path.join(root, "ckpt"),
+                                 threshold=0.45, admit=False,
+                                 available_now=True)
+    q.awaitTermination(180)
+    return (spark.read.parquet(out)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
 @_q("""
 WITH ev AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events

@@ -21,7 +21,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "stateful_sessionize", "dedup_stream",
-    "neardup_stream", "span_cut_stream", "ivfpq_append_stream",
+    "neardup_stream", "span_cut_stream", "neardup_ingest_stream",
+    "ivfpq_append_stream",
     "stream_interval_join", "run_to_memory", "write_stream_parquet",
 ]
 
@@ -369,6 +370,81 @@ def span_cut_stream(docs: DataFrame, dup_hashes: DataFrame,
             yield pdf
 
     return docs.mapInPandas(kernel, schema)
+
+
+
+
+def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
+                          out_path: str, checkpoint: str, *,
+                          threshold: float = 0.7, admit: bool = True,
+                          available_now: bool = False,
+                          trigger_seconds: int | None = None):
+    """Micro-batch ingest dedup against a persisted MinHash-LSH index
+    (``extras.dedup.write_minhash_index``): every batch drops arriving
+    docs whose estimated Jaccard against an indexed doc reaches
+    ``threshold``; survivors land under ``out_path`` as parquet and —
+    with ``admit=True`` — their bucket rows are appended to the index,
+    so LATER batches dedupe against EARLIER survivors (cross-batch
+    first-come-wins).  ``admit=False`` filters every batch against the
+    index snapshot only (order-independent — the streamed result equals
+    the batch ``neardup_filter_new`` on the same input).
+
+    Duplicates WITHIN one micro-batch both survive either way — LSH
+    self-dedup of an increment is the batch op's job
+    (``minhash_dedup_pairs``); pre-dedup the increment if intra-batch
+    dups matter at your trigger size.
+
+    Delivery contract (foreachBatch = at-least-once side effects):
+    - the survivor sink is IDEMPOTENT: each batch overwrites its own
+      ``{out_path}/batch=<id>`` partition dir, so a replayed batch
+      rewrites, never duplicates (read the root as partitioned parquet;
+      the ``batch`` column is the micro-batch id);
+    - the index append is SEMANTICALLY idempotent: duplicate bucket
+      rows change no lookup result (pairs dedupe on ids, estimates
+      depend only on the signatures);
+    - a replayed batch must not see ITS OWN admitted rows (it would
+      drop all its survivors and overwrite the partition dir with an
+      empty result): hits whose index_id belongs to the current batch
+      are ignored, which requires GLOBALLY UNIQUE doc ids across the
+      stream — the same uniqueness every dedup op here assumes.
+
+    Ordering across batches follows the source's batch order (for file
+    sources: modification time, then path).  Returns the
+    StreamingQuery handle."""
+    from pyspark.sql import functions as F
+
+    from ..extras.dedup import (minhash_index_append,
+                                minhash_index_lookup, read_minhash_meta)
+
+    spark = stream_docs.sparkSession
+    id_col = read_minhash_meta(spark, index_path)["id_col"]
+
+    def process(batch_df, batch_id):
+        hits = minhash_index_lookup(spark, index_path, batch_df,
+                                    threshold=threshold)
+        batch_ids = batch_df.select(F.col(id_col).alias("index_id"))
+        drop_ids = (
+            hits.join(batch_ids, on="index_id", how="left_anti")
+            .select(F.col("probe_id").alias(id_col)).distinct()
+        )
+        surv = batch_df.join(drop_ids, on=id_col, how="left_anti")
+        surv.write.mode("overwrite").parquet(
+            f"{out_path}/batch={batch_id}")
+        if admit:
+            # read the just-committed partition back so the append
+            # cannot re-trigger the batch computation after the index
+            # refresh (same refreshByPath hazard as neardup_filter_new)
+            minhash_index_append(
+                spark, index_path,
+                spark.read.parquet(f"{out_path}/batch={batch_id}"))
+
+    w = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
 
 
 def run_to_memory(stream_df: DataFrame, table_name: str,

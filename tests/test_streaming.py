@@ -610,3 +610,116 @@ def test_span_cut_stream_tokenizes_like_batch_tokens(spark):
     # the space-separated variant hashes different windows: untouched
     assert got[2]["clean_text"] == "gamma delta epsilon zeta"
     assert got[2]["n_tokens_after"] == 4
+
+
+# ---------------------------------------------------------------------------
+# r8: neardup_ingest_stream — micro-batch ingest dedup against a
+# persisted MinHash-LSH index
+# ---------------------------------------------------------------------------
+
+def _write_one_file(spark, rows, path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pq.write_table(pa.Table.from_pandas(
+        pdf.astype({"doc_id": "int64", "text": "string"}),
+        preserve_index=False), path)
+
+
+def _ingest_fixture(spark, tag):
+    """Index over the even sf0.001 docs; returns (index_path, out, ckpt,
+    src, docs)."""
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    root = os.path.join(TMP, f"mh_ingest_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "idx")
+    dedup.write_minhash_index(
+        docs.filter(F.col("doc_id") % 2 == 0), idx)
+    return (idx, os.path.join(root, "out"), os.path.join(root, "ckpt"),
+            os.path.join(root, "src"), docs)
+
+
+def test_neardup_ingest_stream_snapshot_equals_batch(spark):
+    """admit=False: the streamed result over any batching equals the
+    batch neardup_filter_new on the same input (order-independent)."""
+    from pydiverse_transform_spark.extras import dedup
+
+    idx, out, ckpt, src, docs = _ingest_fixture(spark, "snap")
+    inc = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    rows = [(r["doc_id"], r["text"]) for r in inc.collect()]
+    # three files -> three micro-batches
+    for i in range(3):
+        _write_one_file(spark, rows[i::3], os.path.join(src, f"f{i}.parquet"))
+    stream = st.read_event_stream(
+        spark, src, schema=inc.schema, max_files_per_trigger=1)
+    q = st.neardup_ingest_stream(stream, idx, out, ckpt,
+                                 threshold=0.45, admit=False,
+                                 available_now=True)
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"] for r in dedup.neardup_filter_new(
+        spark, idx, inc, threshold=0.45).collect()}
+    assert got == want
+    # the batch partition column is exposed
+    assert "batch" in spark.read.parquet(out).columns
+
+
+def test_neardup_ingest_stream_cross_batch_admit(spark):
+    """admit=True: a later batch's doc near-dups an EARLIER batch's
+    admitted survivor and is dropped (first-come-wins across batches),
+    while intra-batch dups both survive."""
+    idx, out, ckpt, src, docs = _ingest_fixture(spark, "admit")
+    novel = "zeppelin quartz vortex jackal osmium nimbus krypton fable"
+    other = "velvet tundra orchid basalt meadow cinder prism dynamo"
+    import time as _t
+    # batch 1: two copies of a novel text (intra-batch dup) + one other
+    _write_one_file(spark, [(9001, novel), (9002, novel), (9003, other)],
+                    os.path.join(src, "b1.parquet"))
+    _t.sleep(1.2)  # distinct mtime second -> deterministic batch order
+    # batch 2: the same novel text again under a fresh id
+    _write_one_file(spark, [(9004, novel)],
+                    os.path.join(src, "b2.parquet"))
+    schema = "doc_id long, text string"
+    stream = st.read_event_stream(
+        spark, src, schema=spark.createDataFrame([], schema).schema,
+        max_files_per_trigger=1)
+    q = st.neardup_ingest_stream(stream, idx, out, ckpt,
+                                 threshold=0.9, admit=True,
+                                 available_now=True)
+    q.awaitTermination(120)
+    surv = {r["doc_id"]: r["batch"]
+            for r in spark.read.parquet(out).collect()}
+    assert 9001 in surv and 9002 in surv      # intra-batch dups survive
+    assert 9003 in surv
+    assert 9004 not in surv                   # cross-batch dup dropped
+    assert surv[9001] == surv[9002] == surv[9003] != None  # noqa: E711
+
+
+def test_neardup_ingest_stream_replay_ignores_own_rows(spark):
+    """Retry semantics: a batch whose rows were ALREADY admitted (crash
+    after append, before checkpoint commit) must reproduce its original
+    survivors, not drop them as self-near-dups — hits whose index_id is
+    in the current batch are ignored."""
+    from pydiverse_transform_spark.extras import dedup
+
+    idx, out, ckpt, src, docs = _ingest_fixture(spark, "replay")
+    novel = "quasar lattice ember fjord zenith cobalt rustle python"
+    batch_rows = [(9101, novel), (9102, novel + " extra")]
+    # simulate the half-committed state: the batch's own bucket rows are
+    # already in the index under their final ids
+    pre = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    dedup.minhash_index_append(spark, idx, pre)
+    _write_one_file(spark, batch_rows, os.path.join(src, "b1.parquet"))
+    stream = st.read_event_stream(
+        spark, src, schema=pre.schema, max_files_per_trigger=1)
+    q = st.neardup_ingest_stream(stream, idx, out, ckpt,
+                                 threshold=0.9, admit=True,
+                                 available_now=True)
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {9101, 9102}
