@@ -5506,7 +5506,11 @@ def q_stream_neardup_ingest(spark, sf_dir):
                                  os.path.join(root, "ckpt"),
                                  threshold=0.45, admit=False,
                                  available_now=True)
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "q_stream_neardup_ingest: availableNow drain exceeded 180s "
+            "— failing loudly instead of comparing a partial sink")
     return (spark.read.parquet(out)
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 

@@ -166,6 +166,39 @@ def minhash_signature_array(base_hashes: Column, n_hashes: int = 16) -> Column:
     )
 
 
+def _banded(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int,
+            sig_col: str, keep_sig: bool) -> DataFrame:
+    """Explode an (id, signature) DataFrame into one (id[, sig], band, h)
+    row per band — THE band-hash construction, shared by the batch LSH
+    ops and the persisted index so the two can never band differently
+    (mismatched banding silently produces disjoint buckets)."""
+    rows = n_hashes // bands
+    keep = [F.col(id_col)] + ([F.col(sig_col).alias("sig")] if keep_sig
+                              else [])
+    withb = sig_df.select(
+        *keep,
+        *[
+            F.md5(F.array_join(
+                F.transform(F.slice(F.col(sig_col), b * rows + 1, rows),
+                            lambda m: m.cast("string")),
+                "|",
+            )).alias(f"b{b}")
+            for b in range(bands)
+        ],
+    )
+    names = [id_col] + (["sig"] if keep_sig else [])
+    return withb.select(
+        *names,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(*names, F.col("bb.band").alias("band"),
+             F.col("bb.h").alias("h"))
+
+
 def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
                   bands: int) -> DataFrame:
     """(id, band, band-hash) rows from an (id, __sh) shingle DataFrame.
@@ -178,7 +211,6 @@ def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
     The signature itself is one single-pass fold (see
     ``minhash_signature_array``).
     """
-    rows = n_hashes // bands
     base_df = shingled.select(
         F.col(id_col), shingle_base_hash(F.col("__sh")).alias("__bh")
     )
@@ -186,26 +218,8 @@ def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
         F.col(id_col),
         minhash_signature_array(F.col("__bh"), n_hashes).alias("__sig"),
     )
-    withb = sig_df.select(
-        F.col(id_col),
-        *[
-            F.md5(F.array_join(
-                F.transform(F.slice(F.col("__sig"), b * rows + 1, rows),
-                            lambda m: m.cast("string")),
-                "|",
-            )).alias(f"b{b}")
-            for b in range(bands)
-        ],
-    )
-    return withb.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.h").alias("h"))
+    return _banded(sig_df, id_col, n_hashes, bands, "__sig",
+                   keep_sig=False)
 
 
 def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -966,10 +980,11 @@ MINHASH_META_FILE = ".__minhash_meta.json"
 def _minhash_buckets_sig(df: DataFrame, text_col: str, id_col: str,
                          k: int, n_hashes: int, bands: int,
                          char: bool) -> DataFrame:
-    """(id, band, h, sig) rows: `_band_buckets` plus the full signature
-    carried on every row (16 longs × bands per doc — the estimator's
-    input, so lookups never re-read text)."""
-    rows = n_hashes // bands
+    """(id, sig, band, h) rows: the `_banded` construction (shared with
+    `_band_buckets`, so batch LSH and the persisted index band
+    identically) plus the full signature carried on every row (16 longs
+    × bands per doc — the estimator's input, so lookups never re-read
+    text)."""
     sh = (char_shingled(df, text_col, id_col, k) if char
           else shingled(df, text_col, id_col, k))
     sig_df = sh.select(
@@ -977,25 +992,8 @@ def _minhash_buckets_sig(df: DataFrame, text_col: str, id_col: str,
         minhash_signature_array(
             shingle_base_hash(F.col("__sh")), n_hashes).alias("sig"),
     )
-    withb = sig_df.select(
-        F.col(id_col), F.col("sig"),
-        *[
-            F.md5(F.array_join(
-                F.transform(F.slice(F.col("sig"), b * rows + 1, rows),
-                            lambda m: m.cast("string")),
-                "|",
-            )).alias(f"b{b}")
-            for b in range(bands)
-        ],
-    )
-    return withb.select(
-        id_col, "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"b{b}").alias("h"))
-            for b in range(bands)
-        ])).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"),
-             F.col("bb.h").alias("h"), "sig")
+    return _banded(sig_df, id_col, n_hashes, bands, "sig",
+                   keep_sig=True)
 
 
 def write_minhash_index(df: DataFrame, path: str, *,
@@ -1038,6 +1036,62 @@ def read_minhash_meta(spark, path: str) -> dict:
     return meta
 
 
+def _probe_buckets(meta: dict, probe: DataFrame) -> DataFrame:
+    """(probe_id, __psig, band, h) bucket rows of a probe frame under
+    the index's sidecar parameters."""
+    return _minhash_buckets_sig(
+        probe, meta["text_col"], meta["id_col"], meta["k"],
+        meta["n_hashes"], meta["bands"], meta["char"],
+    ).select(F.col(meta["id_col"]).alias("probe_id"),
+             F.col("sig").alias("__psig"), "band", "h")
+
+
+def _append_probe_buckets(path: str, meta: dict,
+                          pb: DataFrame) -> None:
+    """Parquet-append (probe_id, __psig, band, h) rows into the index's
+    band partitions under the index's own column names."""
+    pb.select(F.col("probe_id").alias(meta["id_col"]),
+              F.col("__psig").alias("sig"), "band", "h") \
+        .write.mode("append").partitionBy("band").parquet(path)
+
+
+def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
+                         threshold: float,
+                         probe_strategy: str) -> DataFrame:
+    if probe_strategy == "broadcast":
+        pb = F.broadcast(pb)
+    idx = spark.read.parquet(path)
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("__psig"), F.col("sig"),
+                       lambda a, b: (a == b).cast("int")),
+            F.lit(0), lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(meta["n_hashes"]))
+    )
+    return (
+        idx.join(pb, on=["band", "h"], how="inner")
+        .select("probe_id", F.col(meta["id_col"]).alias("index_id"),
+                "__psig", "sig")
+        .dropDuplicates(["probe_id", "index_id"])
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("probe_id", "index_id", "est_jaccard")
+    )
+
+
+def _resolve_probe_strategy(probe_strategy: str,
+                            probe: DataFrame) -> str:
+    from .util import SMALL_CORPUS_BYTES, plan_size_bytes
+
+    if probe_strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(f"unknown probe_strategy {probe_strategy!r}")
+    if probe_strategy == "auto":
+        return ("broadcast"
+                if plan_size_bytes(probe) <= SMALL_CORPUS_BYTES
+                else "shuffle")
+    return probe_strategy
+
+
 def minhash_index_append(spark, path: str, new_docs: DataFrame) -> None:
     """Fold an increment into the index: hash ``new_docs`` with the
     SIDECAR's parameters and parquet-append its bucket rows.  Rows are
@@ -1049,10 +1103,7 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame) -> None:
     ``sources.sinks.compact_parquet`` when daily appends accumulate
     small files."""
     meta = read_minhash_meta(spark, path)
-    _minhash_buckets_sig(
-        new_docs, meta["text_col"], meta["id_col"], meta["k"],
-        meta["n_hashes"], meta["bands"], meta["char"],
-    ).write.mode("append").partitionBy("band").parquet(path)
+    _append_probe_buckets(path, meta, _probe_buckets(meta, new_docs))
 
 
 def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
@@ -1069,41 +1120,14 @@ def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
     to every executor so the index side is scanned in place and NEVER
     shuffled (the intended daily-increment shape); ``"shuffle"`` is a
     plain equi-join for probe sets too big to broadcast; ``"auto"``
-    picks by the probe plan's size estimate."""
-    from .util import SMALL_CORPUS_BYTES, plan_size_bytes
-
-    if probe_strategy not in ("auto", "broadcast", "shuffle"):
-        raise ValueError(f"unknown probe_strategy {probe_strategy!r}")
+    picks by the probe plan's size estimate (stats-unknown plans —
+    streams, RDD-backed frames — resolve to ``"shuffle"``: pass
+    ``"broadcast"`` explicitly when you know the probe is small)."""
     meta = read_minhash_meta(spark, path)
-    if probe_strategy == "auto":
-        probe_strategy = ("broadcast"
-                          if plan_size_bytes(probe) <= SMALL_CORPUS_BYTES
-                          else "shuffle")
-    idx = spark.read.parquet(path)
-    pb = _minhash_buckets_sig(
-        probe, meta["text_col"], meta["id_col"], meta["k"],
-        meta["n_hashes"], meta["bands"], meta["char"],
-    ).select(F.col(meta["id_col"]).alias("probe_id"), "band", "h",
-             F.col("sig").alias("__psig"))
-    if probe_strategy == "broadcast":
-        pb = F.broadcast(pb)
-    n = meta["n_hashes"]
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("__psig"), F.col("sig"),
-                       lambda a, b: (a == b).cast("int")),
-            F.lit(0), lambda acc, x: acc + x,
-        ).cast("double") / F.lit(float(n))
-    )
-    return (
-        idx.join(pb, on=["band", "h"], how="inner")
-        .select("probe_id", F.col(meta["id_col"]).alias("index_id"),
-                "__psig", "sig")
-        .dropDuplicates(["probe_id", "index_id"])
-        .withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("probe_id", "index_id", "est_jaccard")
-    )
+    strategy = _resolve_probe_strategy(probe_strategy, probe)
+    return _lookup_from_buckets(spark, path, meta,
+                                _probe_buckets(meta, probe),
+                                threshold, strategy)
 
 
 def neardup_filter_new(spark, path: str, new_docs: DataFrame, *,
@@ -1122,16 +1146,32 @@ def neardup_filter_new(spark, path: str, new_docs: DataFrame, *,
     referencing the index would silently re-evaluate against the
     just-admitted rows and come back EMPTY (every survivor is now its
     own index near-dup).  The snapshot is ids only, so the pinned
-    memory is negligible at any corpus scale."""
+    memory is negligible at any corpus scale.
+
+    The increment is tokenized+minhashed ONCE: admit appends the
+    already-computed bucket rows (persisted for the call's two
+    actions), not a re-hash of the survivor documents — bucket rows
+    reference no index path, so the refreshByPath hazard above does not
+    apply to them."""
     meta = read_minhash_meta(spark, path)
     id_col = meta["id_col"]
-    hits = minhash_index_lookup(
-        spark, path, new_docs, threshold=threshold,
-        probe_strategy=probe_strategy,
-    ).select(F.col("probe_id").alias(id_col)).distinct()
-    out = new_docs.join(hits, on=id_col, how="left_anti")
+    strategy = _resolve_probe_strategy(probe_strategy, new_docs)
+    pb = _probe_buckets(meta, new_docs)
     if admit:
-        ids = out.select(id_col).localCheckpoint()
-        out = new_docs.join(ids, on=id_col, how="left_semi")
-        minhash_index_append(spark, path, out)
+        pb = pb.persist()
+    try:
+        hits = _lookup_from_buckets(
+            spark, path, meta, pb, threshold, strategy,
+        ).select(F.col("probe_id").alias(id_col)).distinct()
+        out = new_docs.join(hits, on=id_col, how="left_anti")
+        if admit:
+            ids = out.select(id_col).localCheckpoint()
+            out = new_docs.join(ids, on=id_col, how="left_semi")
+            _append_probe_buckets(
+                path, meta,
+                pb.join(ids.withColumnRenamed(id_col, "probe_id"),
+                        on="probe_id", how="left_semi"))
+    finally:
+        if admit:
+            pb.unpersist()
     return out

@@ -1723,8 +1723,6 @@ def write_ivfpq_meta(spark, path: str, centroids: list[list[float]],
     SELF-DESCRIBING: a consumer needs only the path, not a re-derivation
     of the trained centroids/codebooks.  Written via the Hadoop
     FileSystem so it lands on whatever scheme the index uses."""
-    import json
-
     meta = {
         "format": "ivfpq/1",
         "dim": len(centroids[0]),
@@ -1738,15 +1736,9 @@ def write_ivfpq_meta(spark, path: str, centroids: list[list[float]],
         "centroids": centroids,
         "codebooks": codebooks,
     }
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path + "/" + IVFPQ_META_FILE)
-    fs = hpath.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration())
-    out = fs.create(hpath, True)
-    try:
-        out.write(bytearray(json.dumps(meta).encode()))
-    finally:
-        out.close()
+    from .util import fs_write_json
+
+    fs_write_json(spark, path + "/" + IVFPQ_META_FILE, meta)
 
 
 # parsed-sidecar cache keyed by (path -> file mtime): at the k~10⁵
@@ -1769,31 +1761,23 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
     query-time probe selection.  Parsed sidecars are cached per path
     and invalidated by file modification time (treat the result as
     read-only; pass ``use_cache=False`` to force a re-read)."""
-    import json
+    from .util import fs_mtime, fs_read_json
 
-    jvm = spark.sparkContext._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path + "/" + IVFPQ_META_FILE)
-    fs = hpath.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
+    meta_path = path + "/" + IVFPQ_META_FILE
+    try:
+        mtime = fs_mtime(spark, meta_path)
+    except FileNotFoundError:
         raise FileNotFoundError(
             f"no {IVFPQ_META_FILE} under {path!r} — the index was "
             "written without metadata (write_ivfpq(write_meta=False)); "
             "pass centroids/codebooks explicitly to ivfpq_topk")
-    mtime = fs.getFileStatus(hpath).getModificationTime()
     if use_cache:
         hit = _IVFPQ_META_CACHE.get(path)
         if hit is not None and hit[0] == mtime:
             # refresh LRU recency
             _IVFPQ_META_CACHE[path] = _IVFPQ_META_CACHE.pop(path)
             return hit[1]
-    stream = fs.open(hpath)
-    try:
-        data = bytes(
-            jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
-    finally:
-        stream.close()
-    meta = json.loads(data.decode())
+    meta = fs_read_json(spark, meta_path)
     if meta.get("format") != "ivfpq/1":
         raise ValueError(f"unknown index metadata format: "
                          f"{meta.get('format')!r}")
@@ -1941,16 +1925,10 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
         # index (that would be silent data loss) — verify and fail
         # loudly on mismatch; the roll-forward reset below uses the
         # journal's recorded paths, not this call's arguments.
-        import json as _json
+        from .util import fs_read_json
 
         try:
-            stream = fs.open(P(journal))
-            try:
-                data = bytes(jvm.org.apache.commons.io.IOUtils
-                             .toByteArray(stream))
-            finally:
-                stream.close()
-            jrec = _json.loads(data.decode()) if data else {}
+            jrec = fs_read_json(spark, journal)
         except Exception:
             # a crash mid-journal-write can leave partial JSON; the
             # journal is written BEFORE the first rename, so an
@@ -2008,15 +1986,12 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
     stats = ivfpq_fold_staging(spark, index_path, staging_path, new_p,
                                target_file_bytes=target_file_bytes)
 
-    out = fs.create(P(journal), True)
-    try:
-        import json
+    from .util import fs_write_json
 
-        out.write(bytearray(json.dumps(
-            {"index": index_path, "staging": staging_path,
-             "checkpoint": checkpoint_path}).encode()))
-    finally:
-        out.close()
+    fs_write_json(spark, journal, {
+        "index": index_path, "staging": staging_path,
+        "checkpoint": checkpoint_path,
+    })
     if not fs.rename(P(index_path), P(old_p)):
         raise IOError(f"swap rename {index_path} -> {old_p} failed")
     if not fs.rename(P(new_p), P(index_path)):

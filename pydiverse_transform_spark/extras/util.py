@@ -142,3 +142,14 @@ def fs_read_json(spark, path: str) -> dict:
     finally:
         stream.close()
     return json.loads(data.decode())
+
+
+def fs_mtime(spark, path: str) -> int:
+    """Modification time (epoch millis) of ``path`` through Hadoop's
+    FileSystem.  Raises FileNotFoundError when absent."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    return fs.getFileStatus(hpath).getModificationTime()

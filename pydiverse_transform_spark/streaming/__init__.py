@@ -377,6 +377,7 @@ def span_cut_stream(docs: DataFrame, dup_hashes: DataFrame,
 def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
                           out_path: str, checkpoint: str, *,
                           threshold: float = 0.7, admit: bool = True,
+                          probe_strategy: str = "broadcast",
                           available_now: bool = False,
                           trigger_seconds: int | None = None):
     """Micro-batch ingest dedup against a persisted MinHash-LSH index
@@ -408,35 +409,57 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
       are ignored, which requires GLOBALLY UNIQUE doc ids across the
       stream — the same uniqueness every dedup op here assumes.
 
+    ``probe_strategy`` defaults to ``"broadcast"`` (NOT ``"auto"``):
+    micro-batch plans from streaming sources often carry no size
+    statistics, and auto's stats-unknown fallback would silently
+    shuffle the ENTIRE index every trigger — the exact cost profile
+    this operator exists to avoid.  Micro-batches are small by
+    construction; pass ``"shuffle"`` only for huge backfill triggers.
+
     Ordering across batches follows the source's batch order (for file
     sources: modification time, then path).  Returns the
     StreamingQuery handle."""
     from pyspark.sql import functions as F
 
-    from ..extras.dedup import (minhash_index_append,
-                                minhash_index_lookup, read_minhash_meta)
+    from ..extras.dedup import (_append_probe_buckets,
+                                _lookup_from_buckets, _probe_buckets,
+                                read_minhash_meta)
 
     spark = stream_docs.sparkSession
-    id_col = read_minhash_meta(spark, index_path)["id_col"]
+    meta = read_minhash_meta(spark, index_path)
+    id_col = meta["id_col"]
+    if probe_strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"probe_strategy must be 'broadcast' or "
+                         f"'shuffle', got {probe_strategy!r}")
 
     def process(batch_df, batch_id):
-        hits = minhash_index_lookup(spark, index_path, batch_df,
-                                    threshold=threshold)
-        batch_ids = batch_df.select(F.col(id_col).alias("index_id"))
-        drop_ids = (
-            hits.join(batch_ids, on="index_id", how="left_anti")
-            .select(F.col("probe_id").alias(id_col)).distinct()
-        )
-        surv = batch_df.join(drop_ids, on=id_col, how="left_anti")
-        surv.write.mode("overwrite").parquet(
-            f"{out_path}/batch={batch_id}")
-        if admit:
-            # read the just-committed partition back so the append
-            # cannot re-trigger the batch computation after the index
-            # refresh (same refreshByPath hazard as neardup_filter_new)
-            minhash_index_append(
-                spark, index_path,
-                spark.read.parquet(f"{out_path}/batch={batch_id}"))
+        # the batch is tokenized+minhashed ONCE; the persisted bucket
+        # rows feed the lookup, and (admit) the index append
+        pb = _probe_buckets(meta, batch_df).persist()
+        try:
+            hits = _lookup_from_buckets(spark, index_path, meta, pb,
+                                        threshold, probe_strategy)
+            batch_ids = batch_df.select(F.col(id_col).alias("index_id"))
+            drop_ids = (
+                hits.join(batch_ids, on="index_id", how="left_anti")
+                .select(F.col("probe_id").alias(id_col)).distinct()
+            )
+            surv = batch_df.join(drop_ids, on=id_col, how="left_anti")
+            surv.write.mode("overwrite").parquet(
+                f"{out_path}/batch={batch_id}")
+            if admit:
+                # append the survivors' already-computed bucket rows;
+                # the surviving ids come from the just-committed
+                # partition so the append cannot re-trigger the batch
+                # computation after the index refresh (same
+                # refreshByPath hazard as neardup_filter_new)
+                ids = (spark.read.parquet(f"{out_path}/batch={batch_id}")
+                       .select(F.col(id_col).alias("probe_id")))
+                _append_probe_buckets(
+                    index_path, meta,
+                    pb.join(ids, on="probe_id", how="left_semi"))
+        finally:
+            pb.unpersist()
 
     w = (stream_docs.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint))
