@@ -171,3 +171,25 @@ def test_neardup_filter_new_admit_cycle(spark, tmp_path):
     again = dedup.neardup_filter_new(spark, path, reprobe,
                                      threshold=0.9)
     assert again.count() == 0
+
+
+def test_edge_texts_agree_with_batch(spark, tmp_path):
+    """Empty/null/short texts: the index estimator and the batch
+    true-Jaccard op make the SAME pairing decisions (empty and null
+    texts are mutual exact-dups — one degenerate whole-text shingle —
+    and distinct short texts pair with nothing), so swapping the batch
+    op for the index cannot change what an ingest pipeline drops."""
+    docs = spark.createDataFrame(
+        [(1, "real document with plenty of words to shingle here"),
+         (2, ""), (3, None), (4, "ab"), (5, "xy zz")],
+        "doc_id long, text string")
+    path = str(tmp_path / "edge")
+    dedup.write_minhash_index(docs, path)
+    idx_pairs = {(r["probe_id"], r["index_id"])
+                 for r in dedup.minhash_index_lookup(
+                     spark, path, docs, threshold=0.9)
+                 .filter(F.col("probe_id") < F.col("index_id")).collect()}
+    batch_pairs = {(r["id_a"], r["id_b"])
+                   for r in dedup.minhash_dedup_pairs(
+                       docs, threshold=0.9).collect()}
+    assert idx_pairs == batch_pairs == {(2, 3)}
