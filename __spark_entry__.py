@@ -2643,7 +2643,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def _shingle_sql(col: str, k: int = 3) -> str:
-    words = _TOKENS_SQL.format(col=col)
+    # NULL docs coalesce to '' — the engine contract of
+    # extras/dedup.py word_shingles (one empty shingle, so null and
+    # empty texts behave identically in every engine); without it the
+    # oracle silently diverges on null text (found by
+    # tests/test_minhash_index.py::test_fuzz_lookup_matches_duckdb)
+    words = _TOKENS_SQL.format(col=f"coalesce({col}, '')")
     return (
         f"list_distinct(list_transform("
         f"range(0, greatest(len({words}) - {k}, 0) + 1), "

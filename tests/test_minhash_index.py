@@ -193,3 +193,85 @@ def test_edge_texts_agree_with_batch(spark, tmp_path):
                    for r in dedup.minhash_dedup_pairs(
                        docs, threshold=0.9).collect()}
     assert idx_pairs == batch_pairs == {(2, 3)}
+
+
+# ---------------------------------------------------------------------------
+# differential fuzz: minhash_index_lookup vs a DuckDB replay of the
+# banding + signature-agreement estimator on hypothesis-generated
+# corpora (nulls, empties, unicode whitespace, replica fragments)
+# ---------------------------------------------------------------------------
+
+def _duckdb_lookup(rows):
+    """(probe_id, index_id, est) triples from DuckDB replaying the index
+    banding + estimator over a self-probe of ``rows``."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as se
+
+    sig = ", ".join(se._minhash_sql("bh", 16))
+    bands = ", ".join(
+        f"{{'band': {b}, "
+        f"'h': md5(array_to_string(sig[{b * 4 + 1}:{b * 4 + 4}], '|'))}}"
+        for b in range(4)
+    )
+    est = ("round(len(list_filter(range(1, 17), "
+           "i -> p.sig[i] = c.sig[i])) / 16.0, 6)")
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame(rows, columns=["doc_id", "text"])
+                 .astype({"doc_id": "int64"}))
+    out = con.execute(f"""
+WITH bh_t AS (
+  SELECT doc_id,
+         list_transform({se._shingle_sql('text')},
+                        s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS bh
+  FROM corpus
+), sig_t AS (SELECT doc_id, [{sig}] AS sig FROM bh_t),
+b_t AS (
+  SELECT doc_id, sig, bb.band AS band, bb.h AS h
+  FROM sig_t, UNNEST([{bands}]) AS t(bb)
+)
+SELECT DISTINCT p.doc_id, c.doc_id, {est}
+FROM b_t p JOIN b_t c ON p.band = c.band AND p.h = c.h
+""").fetchall()
+    con.close()
+    return {(a, b, e) for a, b, e in out}
+
+
+_VOCAB = ["alpha", "beta", "gamma", "delta", "x", "unicöde",
+          "nb\xa0sp", "tab\there"]
+
+
+def _corpus_strategy():
+    from hypothesis import strategies as st
+
+    text = st.one_of(
+        st.none(),
+        st.just(""),
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12)
+        .map(" ".join),
+    )
+    return st.lists(text, min_size=1, max_size=14).map(
+        lambda ts: [(i, t) for i, t in enumerate(ts)])
+
+
+def test_fuzz_lookup_matches_duckdb(spark, tmp_path):
+    from hypothesis import HealthCheck, given, settings
+
+    counter = [0]
+
+    @settings(max_examples=12, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(_corpus_strategy())
+    def run(rows):
+        counter[0] += 1
+        path = str(tmp_path / f"fz{counter[0]}")
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        dedup.write_minhash_index(docs, path)
+        got = {(r["probe_id"], r["index_id"], r["est_jaccard"])
+               for r in dedup.minhash_index_lookup(
+                   spark, path, docs, threshold=0.0).collect()}
+        want = _duckdb_lookup(rows)
+        assert got == want
+
+    run()
