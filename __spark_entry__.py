@@ -3125,6 +3125,76 @@ ORDER BY vec_id
 """
 
 
+def _embedding_filter_new_sql(threshold: float, n_cells: int) -> str:
+    """DuckDB twin of similarity.embedding_filter_new at n_probe=1: the
+    corpus quarter-split is celled with the same argmin form as
+    _semdedup_sql, arriving vectors hit when an indexed vector shares
+    their cell at cosine >= threshold, survivors are the anti-join."""
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    cents = hyperplanes(64, n_cells, seed="efn")
+
+    def vec(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    dists = ", ".join(
+        f"(-2.0 * list_dot_product(e, {vec(cen)}) + "
+        f"{sum(c * c for c in cen)!r})"
+        for cen in cents
+    )
+    cos = ("list_dot_product(p.e, c.e) / "
+           "(sqrt(list_dot_product(p.e, p.e)) * "
+           "sqrt(list_dot_product(c.e, c.e)))")
+    return f"""
+WITH celled AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_position([{dists}], list_min([{dists}])) - 1 AS cell
+  FROM embeddings
+), hits AS (
+  SELECT DISTINCT p.vec_id
+  FROM celled p JOIN celled c
+    ON p.cell = c.cell AND p.vec_id % 4 = 0 AND c.vec_id % 4 <> 0
+  WHERE round({cos}, 6) >= {threshold}
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id % 4 = 0 AND vec_id NOT IN (SELECT vec_id FROM hits)
+ORDER BY vec_id
+"""
+
+
+@_q(_embedding_filter_new_sql(0.4, n_cells=16))
+def q_embedding_filter_new(spark, sf_dir):
+    """Semantic ingest dedup (extras/similarity.py embedding_filter_new
+    — SemDeDup for increments): the corpus 3/4 of embeddings is a
+    persisted IVF-PQ index; the arriving quarter is cell-assigned
+    (flat-plan numpy kernel), the probed cells are pushed as a LITERAL
+    partition filter into the index scan (static pruning — only those
+    cells' files are read), exact cosine on the pruned candidates, and
+    survivors are the anti-join.  The oracle replays the celled join in
+    SQL with the same argmin form as q_semdedup's."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 16, seed="efn")
+    cbs = similarity.pq_codebooks(64, m=8, k=16)
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_stream",
+        "efn_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    similarity.write_ivfpq(emb.filter(F.col("vec_id") % 4 != 0),
+                           base, cents, cbs, residual=True)
+    surv = similarity.embedding_filter_new(
+        spark, base, emb.filter(F.col("vec_id") % 4 == 0),
+        threshold=0.4, n_probe=1, probe_margin=None,
+    )
+    return surv.select("vec_id").orderBy("vec_id")
+
+
 @_q(_semdedup_sql(0.4, n_cells=64))
 def q_semdedup(spark, sf_dir):
     """SemDeDup (extras/similarity.py semdedup; Abbas et al. 2023):

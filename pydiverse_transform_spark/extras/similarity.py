@@ -35,7 +35,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "pq_topk_coded", "write_ivfpq", "ivfpq_topk", "ivfpq_encode",
            "write_ivfpq_meta", "read_ivfpq_meta", "ivfpq_topk_auto",
            "ivfpq_fold_staging", "ivfpq_maintain",
-           "opq_permutation", "permute_vec"]
+           "opq_permutation", "permute_vec", "embedding_filter_new"]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -2085,3 +2085,87 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
         .orderBy(F.col("l2_dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
+                         threshold: float = 0.9, n_probe: int = 2,
+                         probe_margin: float | str | None = "auto",
+                         admit: bool = False) -> DataFrame:
+    """Semantic ingest dedup — SemDeDup for INCREMENTS against a
+    persisted :func:`write_ivfpq` index: drop arriving vectors whose
+    cosine against ANY indexed vector reaches ``threshold``; return the
+    survivors (all input columns).  The embedding twin of
+    ``extras.dedup.neardup_filter_new``.
+
+    Execution shape (the 100-TB story): arriving vectors are assigned
+    to their ``n_probe`` nearest coarse cells (flat-plan numpy kernel;
+    ``probe_margin="auto"`` prunes the extra probes to boundary vectors
+    using the SemDeDup coupling ``2*sqrt(2*(1-threshold))`` — exact for
+    unit-norm embeddings, see :func:`semdedup_pairs`).  The DISTINCT
+    probed cells — at most k values — are collected and pushed as a
+    LITERAL ``cell IN (...)`` filter into the index scan, so STATIC
+    partition pruning reads only the probed cells' files no matter how
+    large the index is; exact cosine runs on those candidates only and
+    survivors are the anti-join.  Per-increment cost is a function of
+    the increment and the probed cells, never the corpus.
+
+    Requires ``store_vectors=True`` (exact cosine needs raw vectors).
+    Ids must be globally unique across index and increments — an
+    arriving row whose id is already indexed pairs with itself at
+    cosine 1.0 and is dropped.
+
+    ``admit=True`` appends the survivors into the index partition dirs,
+    PQ-encoded with the sidecar's own model (so later increments dedupe
+    against today's); survivor ids are snapshotted (eager
+    localCheckpoint) BEFORE the append because the returned frame's
+    plan reads the index path — Spark's append refreshes that path's
+    cache entries and a still-referencing frame would re-evaluate
+    against the just-admitted rows and come back empty (same contract
+    as ``neardup_filter_new``)."""
+    meta = read_ivfpq_meta(spark, index_path)
+    if not meta.get("store_vectors"):
+        raise ValueError(
+            "embedding_filter_new needs store_vectors=True (exact "
+            f"cosine reads raw vectors); the index at {index_path!r} "
+            "was written without them")
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    if probe_margin == "auto":
+        probe_margin = 2.0 * (2.0 * (1.0 - threshold)) ** 0.5
+    cents = meta.get("_centroids_np", meta["centroids"])
+
+    probed = assign_cells_multi(
+        new_vecs.select(F.col(id_col), F.col(vec_col)), cents,
+        n_probe=n_probe, vec_col=vec_col, out_col="__cells",
+        probe_margin=probe_margin,
+    ).select(F.col(id_col).alias("__pid"),
+             F.col(vec_col).alias("__pv"),
+             F.explode("__cells").alias("cell")).persist()
+    try:
+        # bounded driver collect: at most k distinct cells -> a literal
+        # IN filter the parquet source prunes partitions with
+        cells = sorted(r["cell"] for r in
+                       probed.select("cell").distinct().collect())
+        if cells:
+            idx = (spark.read.parquet(index_path)
+                   .filter(F.col("cell").isin(cells))
+                   .select(F.col(vec_col).alias("__iv"), "cell"))
+            hit_ids = (
+                probed.join(idx, on="cell", how="inner")
+                .filter(F.round(cosine(F.col("__pv"), F.col("__iv")), 6)
+                        >= threshold)
+                .select(F.col("__pid").alias(id_col)).distinct()
+            )
+            out = new_vecs.join(hit_ids, on=id_col, how="left_anti")
+        else:
+            out = new_vecs
+        if admit:
+            ids = out.select(id_col).localCheckpoint()
+            out = new_vecs.join(ids, on=id_col, how="left_semi")
+            ivfpq_encode(
+                out, meta["centroids"], meta["codebooks"],
+                vec_col=vec_col, residual=meta["residual"],
+                store_vectors=True,
+            ).write.mode("append").partitionBy("cell").parquet(index_path)
+    finally:
+        probed.unpersist()
+    return out

@@ -322,3 +322,82 @@ def test_spread_seeds_hierarchical_validation(spark):
 
     with _pytest.raises(ValueError, match="hierarchical"):
         sim.kmeans_spread_seeds(df, 5, hierarchical="sometimes")
+
+
+# ---------------------------------------------------------------------------
+# r8: embedding_filter_new — semantic ingest dedup against a persisted
+# IVF-PQ index (SemDeDup for increments)
+# ---------------------------------------------------------------------------
+
+def _efn_index(spark, tmp_path, *, store_vectors=True, k=16):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    inc = emb.filter(F.col("vec_id") % 4 == 0)
+    cents = sim.hyperplanes(64, k, seed="efn")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    path = str(tmp_path / "efnidx")
+    sim.write_ivfpq(base, path, cents, cbs, residual=True,
+                    store_vectors=store_vectors)
+    return path, base, inc
+
+
+def test_embedding_filter_new_contract(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path, base, inc = _efn_index(spark, tmp_path)
+    # self-probe of INDEXED rows: every vector hits itself at cos 1.0
+    assert sim.embedding_filter_new(spark, path, base,
+                                    threshold=0.999).count() == 0
+    # survivors at 0.4 = increment minus cell-blocked cosine hits;
+    # more probes can only add hits, never survivors
+    s1 = {r["vec_id"] for r in sim.embedding_filter_new(
+        spark, path, inc, threshold=0.4, n_probe=1,
+        probe_margin=None).select("vec_id").collect()}
+    s2 = {r["vec_id"] for r in sim.embedding_filter_new(
+        spark, path, inc, threshold=0.4, n_probe=2,
+        probe_margin=None).select("vec_id").collect()}
+    assert s2 <= s1
+    assert 0 < len(s1) < inc.count() + 1
+
+
+def test_embedding_filter_new_prunes_partitions(spark, tmp_path):
+    """The index scan must carry the probed cells as a literal
+    partition filter — static pruning, not a full-index read."""
+    from pyspark.sql import functions as F
+
+    path, base, inc = _efn_index(spark, tmp_path)
+    out = sim.embedding_filter_new(spark, path, inc.limit(5),
+                                   threshold=0.9, n_probe=1,
+                                   probe_margin=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the literal IN list appears in the scan's partition filters
+    assert "cell IN" in plan or "cell#" in plan
+
+
+def test_embedding_filter_new_admit_cycle(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path, base, inc = _efn_index(spark, tmp_path)
+    surv = sim.embedding_filter_new(spark, path, inc, threshold=0.4,
+                                    n_probe=1, probe_margin=None,
+                                    admit=True)
+    n1 = surv.count()
+    assert n1 > 0
+    # admitted: re-probing the survivors' own vectors under fresh ids
+    # drops every one of them
+    re = sim.embedding_filter_new(
+        spark, path,
+        surv.withColumn("vec_id", F.col("vec_id") + 9_000_000),
+        threshold=0.999)
+    assert re.count() == 0
+    # the index stays queryable after the append
+    assert sim.ivfpq_topk_auto(spark, path, [0.1] * 64, k=5).count() == 5
+
+
+def test_embedding_filter_new_requires_vectors(spark, tmp_path):
+    path, base, inc = _efn_index(spark, tmp_path, store_vectors=False)
+    with pytest.raises(ValueError, match="store_vectors"):
+        sim.embedding_filter_new(spark, path, inc)
