@@ -1049,8 +1049,14 @@ def _probe_buckets(meta: dict, probe: DataFrame) -> DataFrame:
 def _append_probe_buckets(path: str, meta: dict,
                           pb: DataFrame) -> None:
     """Parquet-append (probe_id, __psig, band, h) rows into the index's
-    band partitions under the index's own column names."""
-    pb.select(F.col("probe_id").alias(meta["id_col"]),
+    band partitions under the index's own column names.  The id column
+    is cast to the type the index files already store — appending a
+    lookalike type (int ids into a long-id index) writes mixed-schema
+    files that crash later reads with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
+    id_type = (pb.sparkSession.read.parquet(path)
+               .schema[meta["id_col"]].dataType)
+    pb.select(F.col("probe_id").cast(id_type).alias(meta["id_col"]),
               F.col("__psig").alias("sig"), "band", "h") \
         .write.mode("append").partitionBy("band").parquet(path)
 

@@ -2087,6 +2087,49 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
     )
 
 
+def _align_to_index_schema(spark, index_path: str, df: DataFrame,
+                           cols: list[str]) -> DataFrame:
+    """Cast ``cols`` of ``df`` to the types the index files already
+    store.  Appending rows of a LOOKALIKE type (array<double> vectors
+    into an array<float> index, int ids into a long-id index) writes
+    mixed-schema files into the partition dirs; later reads infer one
+    type from a footer and crash on the other
+    (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — found by
+    tests/test_streaming.py::test_semantic_ingest_stream_cross_batch_and_replay."""
+    idx_schema = spark.read.parquet(index_path).schema
+    names = set(idx_schema.fieldNames())
+    for c in cols:
+        if c in df.columns and c in names:
+            df = df.withColumn(c, F.col(c).cast(idx_schema[c].dataType))
+    return df
+
+
+def _embedding_hit_pairs(spark, index_path: str, meta: dict,
+                         probed: DataFrame,
+                         threshold: float) -> DataFrame | None:
+    """(__pid, __iid) pairs between an exploded probe frame
+    (``__pid``, ``__pv``, ``cell``) and the index: the distinct probed
+    cells (at most k values) are collected and pushed as a LITERAL
+    partition filter into the index scan — static pruning — then exact
+    cosine gates the candidates.  None when the probe produced no
+    cells (all-null increment)."""
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    cells = sorted(r["cell"] for r in
+                   probed.select("cell").distinct().collect())
+    if not cells:
+        return None
+    idx = (spark.read.parquet(index_path)
+           .filter(F.col("cell").isin(cells))
+           .select(F.col(id_col).alias("__iid"),
+                   F.col(vec_col).alias("__iv"), "cell"))
+    return (
+        probed.join(idx, on="cell", how="inner")
+        .filter(F.round(cosine(F.col("__pv"), F.col("__iv")), 6)
+                >= threshold)
+        .select("__pid", "__iid")
+    )
+
+
 def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
                          threshold: float = 0.9, n_probe: int = 2,
                          probe_margin: float | str | None = "auto",
@@ -2141,20 +2184,11 @@ def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
              F.col(vec_col).alias("__pv"),
              F.explode("__cells").alias("cell")).persist()
     try:
-        # bounded driver collect: at most k distinct cells -> a literal
-        # IN filter the parquet source prunes partitions with
-        cells = sorted(r["cell"] for r in
-                       probed.select("cell").distinct().collect())
-        if cells:
-            idx = (spark.read.parquet(index_path)
-                   .filter(F.col("cell").isin(cells))
-                   .select(F.col(vec_col).alias("__iv"), "cell"))
-            hit_ids = (
-                probed.join(idx, on="cell", how="inner")
-                .filter(F.round(cosine(F.col("__pv"), F.col("__iv")), 6)
-                        >= threshold)
-                .select(F.col("__pid").alias(id_col)).distinct()
-            )
+        hits = _embedding_hit_pairs(spark, index_path, meta, probed,
+                                    threshold)
+        if hits is not None:
+            hit_ids = hits.select(
+                F.col("__pid").alias(id_col)).distinct()
             out = new_vecs.join(hit_ids, on=id_col, how="left_anti")
         else:
             out = new_vecs
@@ -2162,7 +2196,9 @@ def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
             ids = out.select(id_col).localCheckpoint()
             out = new_vecs.join(ids, on=id_col, how="left_semi")
             ivfpq_encode(
-                out, meta["centroids"], meta["codebooks"],
+                _align_to_index_schema(spark, index_path, out,
+                                       [id_col, vec_col]),
+                meta["centroids"], meta["codebooks"],
                 vec_col=vec_col, residual=meta["residual"],
                 store_vectors=True,
             ).write.mode("append").partitionBy("cell").parquet(index_path)

@@ -22,6 +22,7 @@ __all__ = [
     "read_event_stream", "tumbling_window_agg", "sliding_window_agg",
     "session_window_agg", "stateful_sessionize", "dedup_stream",
     "neardup_stream", "span_cut_stream", "neardup_ingest_stream",
+    "semantic_ingest_stream",
     "ivfpq_append_stream",
     "stream_interval_join", "run_to_memory", "write_stream_parquet",
 ]
@@ -462,6 +463,96 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
             pb.unpersist()
 
     w = (stream_docs.writeStream.foreachBatch(process)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
+
+
+def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
+                           out_path: str, checkpoint: str, *,
+                           threshold: float = 0.9, n_probe: int = 2,
+                           probe_margin: float | str | None = "auto",
+                           admit: bool = True,
+                           available_now: bool = False,
+                           trigger_seconds: int | None = None):
+    """Micro-batch SEMANTIC ingest dedup against a persisted IVF-PQ
+    index (``extras.similarity.write_ivfpq``): the embedding twin of
+    :func:`neardup_ingest_stream`.  Every batch assigns arriving
+    vectors to their probed coarse cells, reads ONLY those cells'
+    partition dirs (literal partition filter — static pruning), drops
+    vectors with an indexed cosine-``threshold`` near-dup, writes
+    survivors to an idempotent ``{out_path}/batch=<id>`` dir, and —
+    ``admit=True`` — PQ-encodes the survivors with the sidecar's model
+    and appends them into the index cells, so later batches dedupe
+    against earlier survivors (cross-batch first-come-wins).
+
+    Same delivery contract as :func:`neardup_ingest_stream`
+    (foreachBatch = at-least-once): idempotent per-batch survivor
+    dirs; a replayed batch ignores hits whose index id is in the
+    current batch (requires globally unique ids); index-append
+    duplicates from a replay are benign for FILTERING (any copy drops
+    an arrival) but would surface as duplicate candidates in top-k
+    queries over the same index — run ``ivfpq_maintain`` to compact
+    and exact-once the layout if the index also serves search."""
+    from pyspark.sql import functions as F
+
+    from ..extras.similarity import (_align_to_index_schema,
+                                     _embedding_hit_pairs,
+                                     assign_cells_multi, ivfpq_encode,
+                                     read_ivfpq_meta)
+
+    spark = stream_vecs.sparkSession
+    meta = read_ivfpq_meta(spark, index_path)
+    if not meta.get("store_vectors"):
+        raise ValueError("semantic_ingest_stream needs an index "
+                         "written with store_vectors=True")
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    margin = (2.0 * (2.0 * (1.0 - threshold)) ** 0.5
+              if probe_margin == "auto" else probe_margin)
+
+    def process(batch_df, batch_id):
+        probed = assign_cells_multi(
+            batch_df.select(F.col(id_col), F.col(vec_col)),
+            meta.get("_centroids_np", meta["centroids"]),
+            n_probe=n_probe, vec_col=vec_col, out_col="__cells",
+            probe_margin=margin,
+        ).select(F.col(id_col).alias("__pid"),
+                 F.col(vec_col).alias("__pv"),
+                 F.explode("__cells").alias("cell")).persist()
+        try:
+            hits = _embedding_hit_pairs(spark, index_path, meta,
+                                        probed, threshold)
+            if hits is not None:
+                batch_ids = batch_df.select(
+                    F.col(id_col).alias("__iid"))
+                drop_ids = (
+                    hits.join(batch_ids, on="__iid", how="left_anti")
+                    .select(F.col("__pid").alias(id_col)).distinct()
+                )
+                surv = batch_df.join(drop_ids, on=id_col,
+                                     how="left_anti")
+            else:
+                surv = batch_df
+            surv.write.mode("overwrite").parquet(
+                f"{out_path}/batch={batch_id}")
+            if admit:
+                admitted = _align_to_index_schema(
+                    spark, index_path,
+                    spark.read.parquet(f"{out_path}/batch={batch_id}"),
+                    [id_col, vec_col])
+                ivfpq_encode(
+                    admitted, meta["centroids"], meta["codebooks"],
+                    vec_col=vec_col, residual=meta["residual"],
+                    store_vectors=True,
+                ).write.mode("append").partitionBy("cell") \
+                    .parquet(index_path)
+        finally:
+            probed.unpersist()
+
+    w = (stream_vecs.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint))
     if available_now:
         w = w.trigger(availableNow=True)

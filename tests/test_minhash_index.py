@@ -275,3 +275,21 @@ def test_fuzz_lookup_matches_duckdb(spark, tmp_path):
         assert got == want
 
     run()
+
+
+def test_append_casts_id_to_index_type(spark, tmp_path):
+    """Appending an increment whose id column is a lookalike type (int
+    vs the index's long) must not write mixed-schema files — later
+    reads would crash with PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
+    docs = _docs(spark).limit(20)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path)  # doc_id: long
+    inc = spark.createDataFrame(
+        [(7001, "a freshly arriving document with its own words")],
+        "doc_id int, text string")        # doc_id: INT on purpose
+    dedup.minhash_index_append(spark, path, inc)
+    # the whole index (old + appended files) stays readable and typed
+    idx = spark.read.parquet(path)
+    assert dict(idx.dtypes)["doc_id"] == "bigint"
+    hits = dedup.minhash_index_lookup(spark, path, docs)
+    assert hits.count() > 0

@@ -401,3 +401,21 @@ def test_embedding_filter_new_requires_vectors(spark, tmp_path):
     path, base, inc = _efn_index(spark, tmp_path, store_vectors=False)
     with pytest.raises(ValueError, match="store_vectors"):
         sim.embedding_filter_new(spark, path, inc)
+
+
+def test_embedding_filter_new_admit_casts_to_index_type(spark, tmp_path):
+    """Admitting array<double> vectors into an array<float> index must
+    cast — mixed-schema partition files crash later reads."""
+    from pyspark.sql import functions as F
+
+    path, base, inc = _efn_index(spark, tmp_path)
+    novel = [1.0 if i == 0 else 0.0 for i in range(64)]
+    arrival = spark.createDataFrame(
+        [(9001, novel)], "vec_id long, embedding array<double>")
+    surv = sim.embedding_filter_new(spark, path, arrival,
+                                    threshold=0.999, admit=True)
+    assert surv.count() == 1
+    idx = spark.read.parquet(path)
+    assert dict(idx.dtypes)["embedding"] == "array<float>"
+    assert idx.count() == base.count() + 1
+    assert sim.ivfpq_topk_auto(spark, path, novel, k=3).count() == 3

@@ -723,3 +723,94 @@ def test_neardup_ingest_stream_replay_ignores_own_rows(spark):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert got == {9101, 9102}
+
+
+# ---------------------------------------------------------------------------
+# r8: semantic_ingest_stream — the embedding twin of neardup_ingest_stream
+# ---------------------------------------------------------------------------
+
+def _sem_ingest_fixture(spark, tag):
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    root = os.path.join(TMP, f"sem_ingest_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "idx")
+    cents = sim.hyperplanes(64, 16, seed="efn")
+    cbs = sim.pq_codebooks(64, m=8, k=16)
+    sim.write_ivfpq(emb.filter(F.col("vec_id") % 4 != 0), idx, cents,
+                    cbs, residual=True)
+    return (idx, os.path.join(root, "out"), os.path.join(root, "ckpt"),
+            os.path.join(root, "src"), emb)
+
+
+def test_semantic_ingest_stream_snapshot_equals_batch(spark):
+    """admit=False over any batching == the batch embedding_filter_new
+    on the same input."""
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    idx, out, ckpt, src, emb = _sem_ingest_fixture(spark, "snap")
+    inc = emb.filter(F.col("vec_id") % 4 == 0)
+    inc.repartition(3).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = st.read_event_stream(spark, src, schema=schema,
+                                  max_files_per_trigger=1)
+    q = st.semantic_ingest_stream(stream, idx, out, ckpt,
+                                  threshold=0.4, n_probe=1,
+                                  probe_margin=None, admit=False,
+                                  available_now=True)
+    assert q.awaitTermination(180)
+    got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["vec_id"] for r in sim.embedding_filter_new(
+        spark, idx, inc, threshold=0.4, n_probe=1,
+        probe_margin=None).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_semantic_ingest_stream_cross_batch_and_replay(spark):
+    """admit=True: a later batch's vector near-dups an earlier batch's
+    admitted survivor and drops; a pre-admitted batch (simulated crash
+    between append and checkpoint commit) reproduces its survivors via
+    the own-id exclusion."""
+    import time as _t
+
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    idx, out, ckpt, src, emb = _sem_ingest_fixture(spark, "admit")
+    # a vector orthogonal-ish to the corpus: deterministic novel rows
+    novel = [1.0 if i == 0 else 0.0 for i in range(64)]
+    b1 = spark.createDataFrame([(9001, novel)],
+                               "vec_id long, embedding array<double>")
+    b2 = spark.createDataFrame([(9002, novel)],
+                               "vec_id long, embedding array<double>")
+    os.makedirs(src, exist_ok=True)
+    b1.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    _t.sleep(1.2)
+    b2.coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    schema = b1.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(src + "/f*"))
+    q = st.semantic_ingest_stream(stream, idx, out, ckpt,
+                                  threshold=0.999, n_probe=1,
+                                  probe_margin=None, admit=True,
+                                  available_now=True)
+    assert q.awaitTermination(180)
+    surv = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert 9001 in surv          # first arrival admitted
+    assert 9002 not in surv      # identical later vector dropped
+    # replay semantics: 9001's rows are in the index; a rerun of its
+    # batch (fresh checkpoint) must keep 9001 (own-id exclusion), and
+    # still drop 9002 against it
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(src + "/f*"))
+    q2 = st.semantic_ingest_stream(stream2, idx, out, ckpt,
+                                   threshold=0.999, n_probe=1,
+                                   probe_margin=None, admit=True,
+                                   available_now=True)
+    assert q2.awaitTermination(180)
+    surv2 = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert surv2 == {9001}
