@@ -2118,10 +2118,16 @@ def _embedding_hit_pairs(spark, index_path: str, meta: dict,
                    probed.select("cell").distinct().collect())
     if not cells:
         return None
-    idx = (spark.read.parquet(index_path)
-           .filter(F.col("cell").isin(cells))
-           .select(F.col(id_col).alias("__iid"),
-                   F.col(vec_col).alias("__iv"), "cell"))
+    idx = spark.read.parquet(index_path)
+    # literal pruning pays off only while the IN list is small: a large
+    # increment at k~10^5 probes most cells, and a 10^5-literal filter
+    # is the literal-plan explosion the flat-k assignment kernel exists
+    # to avoid — past the gate the cell equi-join alone is equivalent
+    # (every partition would be read anyway)
+    if len(cells) <= min(16384, max(1024, meta["n_cells"] // 4)):
+        idx = idx.filter(F.col("cell").isin(cells))
+    idx = idx.select(F.col(id_col).alias("__iid"),
+                     F.col(vec_col).alias("__iv"), "cell")
     return (
         probed.join(idx, on="cell", how="inner")
         .filter(F.round(cosine(F.col("__pv"), F.col("__iv")), 6)

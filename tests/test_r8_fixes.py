@@ -419,3 +419,25 @@ def test_embedding_filter_new_admit_casts_to_index_type(spark, tmp_path):
     assert dict(idx.dtypes)["embedding"] == "array<float>"
     assert idx.count() == base.count() + 1
     assert sim.ivfpq_topk_auto(spark, path, novel, k=3).count() == 3
+
+
+def test_embedding_filter_new_skips_literal_filter_when_probing_all(
+        spark, tmp_path, monkeypatch):
+    """Past the literal gate (an increment probing most of a large-k
+    index) the cell IN list is dropped — the equi-join alone is
+    equivalent and a 10^5-literal filter would be the plan explosion
+    the flat-k kernel exists to avoid.  Results must be identical."""
+    from pyspark.sql import functions as F
+
+    path, base, inc = _efn_index(spark, tmp_path)
+    want = {r["vec_id"] for r in sim.embedding_filter_new(
+        spark, path, inc, threshold=0.4, n_probe=1,
+        probe_margin=None).select("vec_id").collect()}
+    # force the gate shut (module-global `min` resolves here): every
+    # probe set now exceeds it and the literal filter is skipped
+    import pydiverse_transform_spark.extras.similarity as simmod
+    monkeypatch.setattr(simmod, "min", lambda *a: 0, raising=False)
+    got = {r["vec_id"] for r in sim.embedding_filter_new(
+        spark, path, inc, threshold=0.4, n_probe=1,
+        probe_margin=None).select("vec_id").collect()}
+    assert got == want
