@@ -3195,6 +3195,56 @@ def q_embedding_filter_new(spark, sf_dir):
     return surv.select("vec_id").orderBy("vec_id")
 
 
+@_q(_embedding_filter_new_sql(0.4, n_cells=16))
+def q_stream_semantic_ingest(spark, sf_dir):
+    """Micro-batch semantic ingest dedup (streaming/__init__.py
+    semantic_ingest_stream, snapshot mode): the probe quarter of the
+    embeddings arrives as 4 micro-batches against a persisted IVF-PQ
+    index; each batch reads only its probed cells (partition pruning)
+    and lands survivors in idempotent per-batch dirs.  Snapshot mode is
+    order-independent, so the streamed survivor set equals the batch
+    embedding_filter_new — the oracle is that SQL.  The
+    batching-dependent admit lane (first-come-wins, replay own-id
+    exclusion, schema-aligned appends) is pinned by
+    tests/test_streaming.py."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 16, seed="efn")
+    cbs = similarity.pq_codebooks(64, m=8, k=16)
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_stream",
+        "sefn_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    idx = os.path.join(root, "idx")
+    similarity.write_ivfpq(emb.filter(F.col("vec_id") % 4 != 0),
+                           idx, cents, cbs, residual=True)
+    src = os.path.join(root, "src")
+    emb.filter(F.col("vec_id") % 4 == 0).repartition(4) \
+        .write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = os.path.join(root, "out")
+    q = st.semantic_ingest_stream(stream, idx, out,
+                                  os.path.join(root, "ckpt"),
+                                  threshold=0.4, n_probe=1,
+                                  probe_margin=None, admit=False,
+                                  available_now=True)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "q_stream_semantic_ingest: availableNow drain exceeded "
+            "180s — failing loudly instead of comparing a partial sink")
+    return (spark.read.parquet(out)
+            .select("vec_id").orderBy("vec_id"))
+
+
 @_q(_semdedup_sql(0.4, n_cells=64))
 def q_semdedup(spark, sf_dir):
     """SemDeDup (extras/similarity.py semdedup; Abbas et al. 2023):
