@@ -636,10 +636,18 @@ def ivfpq_append_stream(stream_df: DataFrame, index_path: str,
     (``read_ivfpq_meta``) — streaming appenders never re-derive or
     drift from the model the index was built with.  Returns the
     StreamingQuery handle."""
-    from ..extras.similarity import ivfpq_encode, read_ivfpq_meta
+    from ..extras.similarity import (_align_to_index_schema,
+                                     ivfpq_encode, read_ivfpq_meta)
 
     spark = stream_df.sparkSession
     meta = read_ivfpq_meta(spark, index_path)
+    # align vector/id types to what the BASE index stores: a
+    # double-typed stream staged against a float index would otherwise
+    # silently widen the whole index to array<double> at the next
+    # maintenance fold — a permanent 2x storage/scan cost on the
+    # dominant column
+    stream_df = _align_to_index_schema(
+        spark, index_path, stream_df, [meta["id_col"], vec_col])
     coded = ivfpq_encode(
         stream_df, meta["centroids"], meta["codebooks"],
         vec_col=vec_col, residual=meta["residual"],

@@ -814,3 +814,38 @@ def test_semantic_ingest_stream_cross_batch_and_replay(spark):
     assert q2.awaitTermination(180)
     surv2 = {r["vec_id"] for r in spark.read.parquet(out).collect()}
     assert surv2 == {9001}
+
+
+def test_ivfpq_append_stream_aligns_vector_type(spark, tmp_path):
+    """A double-typed vector stream staged against a float index must
+    stage as float: a widened staging root would silently grow the
+    whole index to array<double> at the next maintenance fold — a
+    permanent 2x storage/scan cost on the dominant column."""
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")  # array<float>
+    cents = sim.hyperplanes(64, 4, seed="aln")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    idx = str(tmp_path / "idx")
+    stg = str(tmp_path / "stg")
+    src = str(tmp_path / "src")
+    sim.write_ivfpq(emb.filter(F.col("vec_id") % 2 == 0), idx, cents,
+                    cbs, residual=False)
+    # the arriving stream is DOUBLE-typed (e.g. computed upstream)
+    emb.filter(F.col("vec_id") % 2 == 1) \
+        .withColumn("embedding", F.col("embedding").cast("array<double>")) \
+        .write.parquet(src)
+    stream = st.read_event_stream(
+        spark, src, schema=spark.read.parquet(src).schema)
+    q = st.ivfpq_append_stream(stream, idx, stg,
+                               str(tmp_path / "ckpt"),
+                               available_now=True)
+    assert q.awaitTermination(120)
+    assert dict(spark.read.parquet(stg).dtypes)["embedding"] \
+        == "array<float>"
+    # and the fold keeps the index at its original type
+    sim.ivfpq_maintain(spark, idx, stg)
+    folded = spark.read.parquet(idx)
+    assert dict(folded.dtypes)["embedding"] == "array<float>"
+    assert folded.count() == emb.count()
