@@ -1016,6 +1016,9 @@ def write_minhash_index(df: DataFrame, path: str, *,
         "format": "minhashlsh/1", "k": k, "n_hashes": n_hashes,
         "bands": bands, "char": char, "id_col": id_col,
         "text_col": text_col,
+        # appends cast arriving ids to this type WITHOUT re-listing the
+        # index files per increment
+        "id_type": df.schema[id_col].dataType.simpleString(),
     })
 
 
@@ -1053,9 +1056,21 @@ def _append_probe_buckets(path: str, meta: dict,
     is cast to the type the index files already store — appending a
     lookalike type (int ids into a long-id index) writes mixed-schema
     files that crash later reads with
-    PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
-    id_type = (pb.sparkSession.read.parquet(path)
-               .schema[meta["id_col"]].dataType)
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH.  Integral NARROWING raises
+    instead of silently wrapping out-of-range ids.  The target type
+    comes from the sidecar (no per-append index listing); pre-r8
+    sidecars without it fall back to one schema read."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from .similarity import _check_integral_narrowing
+
+    if meta.get("id_type"):
+        id_type = _parse_datatype_string(meta["id_type"])
+    else:
+        id_type = (pb.sparkSession.read.parquet(path)
+                   .schema[meta["id_col"]].dataType)
+    _check_integral_narrowing(pb.schema["probe_id"].dataType, id_type,
+                              meta["id_col"])
     pb.select(F.col("probe_id").cast(id_type).alias(meta["id_col"]),
               F.col("__psig").alias("sig"), "band", "h") \
         .write.mode("append").partitionBy("band").parquet(path)

@@ -2087,19 +2087,45 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
     )
 
 
+_INTEGRAL_WIDTH = {"byte": 1, "short": 2, "integer": 4, "long": 8}
+
+
+def _check_integral_narrowing(src_dt, dst_dt, col: str) -> None:
+    """Refuse integral narrowing (long ids into an int-id index): a
+    bare cast under ANSI-off silently WRAPS out-of-range values, which
+    would admit rows under wrong — possibly colliding — ids.  Float
+    narrowing (double vectors into a float index) is the intended
+    alignment and stays allowed."""
+    s = _INTEGRAL_WIDTH.get(src_dt.typeName())
+    d = _INTEGRAL_WIDTH.get(dst_dt.typeName())
+    if s is not None and d is not None and s > d:
+        raise ValueError(
+            f"column {col!r} is {src_dt.simpleString()} but the index "
+            f"stores {dst_dt.simpleString()}: refusing the narrowing "
+            "cast (out-of-range ids would silently wrap); re-id the "
+            "increment or rebuild the index with the wider type")
+
+
 def _align_to_index_schema(spark, index_path: str, df: DataFrame,
-                           cols: list[str]) -> DataFrame:
+                           cols: list[str],
+                           index_schema=None) -> DataFrame:
     """Cast ``cols`` of ``df`` to the types the index files already
     store.  Appending rows of a LOOKALIKE type (array<double> vectors
     into an array<float> index, int ids into a long-id index) writes
     mixed-schema files into the partition dirs; later reads infer one
     type from a footer and crash on the other
     (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — found by
-    tests/test_streaming.py::test_semantic_ingest_stream_cross_batch_and_replay."""
-    idx_schema = spark.read.parquet(index_path).schema
+    tests/test_streaming.py::test_semantic_ingest_stream_cross_batch_and_replay.
+    Integral narrowing raises instead of wrapping.  Pass
+    ``index_schema`` (captured once) to skip the per-call index
+    listing — streaming appenders capture it at stream start."""
+    idx_schema = (index_schema if index_schema is not None
+                  else spark.read.parquet(index_path).schema)
     names = set(idx_schema.fieldNames())
     for c in cols:
         if c in df.columns and c in names:
+            _check_integral_narrowing(df.schema[c].dataType,
+                                      idx_schema[c].dataType, c)
             df = df.withColumn(c, F.col(c).cast(idx_schema[c].dataType))
     return df
 
@@ -2188,7 +2214,13 @@ def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
         probe_margin=probe_margin,
     ).select(F.col(id_col).alias("__pid"),
              F.col(vec_col).alias("__pv"),
-             F.explode("__cells").alias("cell")).persist()
+             F.explode("__cells").alias("cell"))
+    if admit:
+        # three actions read `probed` under admit (cells collect, the
+        # id snapshot, the append); without admit the returned lazy
+        # frame outlives any unpersist, so caching would be written
+        # once and never read (same rule as neardup_filter_new)
+        probed = probed.persist()
     try:
         hits = _embedding_hit_pairs(spark, index_path, meta, probed,
                                     threshold)
@@ -2201,13 +2233,19 @@ def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
         if admit:
             ids = out.select(id_col).localCheckpoint()
             out = new_vecs.join(ids, on=id_col, how="left_semi")
+            # ONLY (id, vec): appending the survivors' other input
+            # columns would write mixed COLUMN-SET files into the cell
+            # dirs — the same footer-dependent-schema corruption class
+            # as the type mismatch, one level up
             ivfpq_encode(
-                _align_to_index_schema(spark, index_path, out,
+                _align_to_index_schema(spark, index_path,
+                                       out.select(id_col, vec_col),
                                        [id_col, vec_col]),
                 meta["centroids"], meta["codebooks"],
                 vec_col=vec_col, residual=meta["residual"],
                 store_vectors=True,
             ).write.mode("append").partitionBy("cell").parquet(index_path)
     finally:
-        probed.unpersist()
+        if admit:
+            probed.unpersist()
     return out

@@ -512,6 +512,9 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     margin = (2.0 * (2.0 * (1.0 - threshold)) ** 0.5
               if probe_margin == "auto" else probe_margin)
+    # index column types are fixed for the stream's lifetime: capture
+    # the schema ONCE instead of re-listing the index root per batch
+    idx_schema = spark.read.parquet(index_path).schema
 
     def process(batch_df, batch_id):
         probed = assign_cells_multi(
@@ -539,10 +542,14 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
             surv.write.mode("overwrite").parquet(
                 f"{out_path}/batch={batch_id}")
             if admit:
+                # ONLY (id, vec): appending the stream's other columns
+                # would write mixed COLUMN-SET files into the cell dirs
+                # (footer-dependent schema, same class as type drift)
                 admitted = _align_to_index_schema(
                     spark, index_path,
-                    spark.read.parquet(f"{out_path}/batch={batch_id}"),
-                    [id_col, vec_col])
+                    spark.read.parquet(f"{out_path}/batch={batch_id}")
+                    .select(id_col, vec_col),
+                    [id_col, vec_col], index_schema=idx_schema)
                 ivfpq_encode(
                     admitted, meta["centroids"], meta["codebooks"],
                     vec_col=vec_col, residual=meta["residual"],

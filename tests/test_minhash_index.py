@@ -293,3 +293,20 @@ def test_append_casts_id_to_index_type(spark, tmp_path):
     assert dict(idx.dtypes)["doc_id"] == "bigint"
     hits = dedup.minhash_index_lookup(spark, path, docs)
     assert hits.count() > 0
+
+
+def test_append_refuses_integral_narrowing(spark, tmp_path):
+    """Long ids arriving at an int-id index must raise, not wrap: a
+    bare ANSI-off cast would silently admit rows under wrong ids."""
+    docs = spark.createDataFrame(
+        [(1, "the first indexed document with some words"),
+         (2, "another indexed document with different words")],
+        "doc_id int, text string")   # int ids on purpose
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path)
+    assert dedup.read_minhash_meta(spark, path)["id_type"] == "int"
+    inc = spark.createDataFrame(
+        [(5_000_000_000, "a long-id arrival beyond int range")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="narrowing"):
+        dedup.minhash_index_append(spark, path, inc)

@@ -367,14 +367,20 @@ def test_embedding_filter_new_prunes_partitions(spark, tmp_path):
     partition filter — static pruning, not a full-index read."""
     from pyspark.sql import functions as F
 
+    import re
+
     path, base, inc = _efn_index(spark, tmp_path)
     out = sim.embedding_filter_new(spark, path, inc.limit(5),
                                    threshold=0.9, n_probe=1,
                                    probe_margin=None)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell" in plan
-    # the literal IN list appears in the scan's partition filters
-    assert "cell IN" in plan or "cell#" in plan
+    # the literal IN list must appear INSIDE a PartitionFilters clause
+    # (a bare 'PartitionFilters: []' plus cell attribute refs elsewhere
+    # must NOT pass — that was the vacuous form of this assertion)
+    clauses = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert clauses, "no PartitionFilters clause in the executed plan"
+    assert any(re.search(r"cell#\d+L? IN(SET)? ", c) for c in clauses), \
+        f"no literal cell IN filter pushed; clauses={clauses!r}"
 
 
 def test_embedding_filter_new_admit_cycle(spark, tmp_path):
