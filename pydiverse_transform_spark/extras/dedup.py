@@ -1070,7 +1070,7 @@ def _append_probe_buckets(path: str, meta: dict,
         id_type = (pb.sparkSession.read.parquet(path)
                    .schema[meta["id_col"]].dataType)
     _check_integral_narrowing(pb.schema["probe_id"].dataType, id_type,
-                              meta["id_col"])
+                              meta["id_col"], id_col=True)
     pb.select(F.col("probe_id").cast(id_type).alias(meta["id_col"]),
               F.col("__psig").alias("sig"), "band", "h") \
         .write.mode("append").partitionBy("band").parquet(path)

@@ -482,6 +482,15 @@ def kmeans_spread_seeds(df: DataFrame, k: int,
        ``coarse_k`` overrides the √k default.  Driver memory is the
        pool itself: L·dim·8 B (~450 MB at k=110k, dim 64, oversample 8
        — lower ``oversample`` first at larger k·dim).
+
+    .. note:: **Behavior change (r8).**  ``hierarchical`` defaults to
+       ``"auto"``, which turns the hierarchical reduce ON at
+       k >= 4096.  A pipeline that fit seeds at such k before r8 got
+       the flat sweep's sequence; re-running it now yields different
+       (equally valid) centroids, and a re-fit against data celled by
+       the old seeds will not reproduce them.  Pass
+       ``hierarchical=False`` to reproduce pre-r8 seed sequences
+       exactly.
     """
     if oversample < 1:
         raise ValueError(f"oversample must be >= 1, got {oversample}")
@@ -760,8 +769,24 @@ def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding",
       computes x·c - ||c||²/2, which stays finite (or keeps ±Inf's
       sign) and resolves by direction.  Do not feed unscaled
       astronomical magnitudes to a k-means quantizer and expect
-      strategy-identical cells; the guaranteed-agreement domain is
-      finite vectors with |v| < ~1e150."""
+      strategy-identical cells.
+    - Near-ties below formulation rounding error: STRATEGY-DEPENDENT.
+      literal/join evaluate Σ(x−c)² directly; its rounding error is
+      O(dim · ulp((max|x|+max|c|)²)) — roughly one ulp of ||x||².
+      When the true winning margin between the two best cells is
+      smaller than that, the direct forms see an exact tie and
+      tie-break to the lowest cid, while the numpy path's
+      x·c − ||c||²/2 never squares the dominant components, keeps the
+      margin, and returns the true argmin — the dot-trick is the MORE
+      accurate formulation here, so the divergence is the direct
+      forms' rounding, not a numpy bug (r8 fuzz finding: margin 2e-5
+      under ||x||²≈1e12, ulp≈2.4e-4).
+
+    The guaranteed-agreement domain is therefore: finite vectors,
+    |v| < ~1e150, AND winning margin above a few ulps of the largest
+    squared term.  ``tests/test_fuzz_assign.py`` asserts exact
+    three-way agreement above that tolerance and membership in the
+    near-tied cell set below it."""
     if method not in ("auto", "literal", "numpy", "join"):
         raise ValueError(f"method must be auto|literal|numpy|join, "
                          f"got {method!r}")
@@ -1741,11 +1766,15 @@ def write_ivfpq_meta(spark, path: str, centroids: list[list[float]],
     fs_write_json(spark, path + "/" + IVFPQ_META_FILE, meta)
 
 
-# parsed-sidecar cache keyed by (path -> file mtime): at the k~10⁵
-# coarse quantizers the stack supports, re-parsing ~7M centroid floats
-# from JSON and re-building the numpy matrix costs >1 s PER QUERY —
-# 20x the matvec the matrix exists for.  The mtime key makes index
-# swaps (ivfpq_maintain's atomic rename) invalidate naturally.
+# parsed-sidecar cache keyed by (path -> file (mtime, length)): at the
+# k~10⁵ coarse quantizers the stack supports, re-parsing ~7M centroid
+# floats from JSON and re-building the numpy matrix costs >1 s PER
+# QUERY — 20x the matvec the matrix exists for.  The (mtime, length)
+# key makes index swaps (ivfpq_maintain's atomic rename) invalidate
+# naturally even on object stores whose mtime is 1 s-granular (S3): a
+# rebuild inside the same second still moves the sidecar byte length
+# in practice; pass use_cache=False in tight rebuild-then-query loops
+# where even that is not guaranteed.
 # BOUNDED (LRU): one k=110k entry is ~56 MB of matrix plus a larger
 # Python centroid list — an unbounded dict leaks driver memory under
 # rolling maintenance that cycles through many index paths.
@@ -1759,13 +1788,16 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
     The returned dict additionally carries ``_centroids_np``, the
     centroid matrix pre-converted to a (k, dim) float64 ndarray for
     query-time probe selection.  Parsed sidecars are cached per path
-    and invalidated by file modification time (treat the result as
-    read-only; pass ``use_cache=False`` to force a re-read)."""
-    from .util import fs_mtime, fs_read_json
+    and invalidated by (file modification time, byte length); each
+    call returns a fresh shallow copy, so mutating or re-serializing
+    the result (minus the ``_centroids_np`` ndarray, which IS shared)
+    cannot poison later queries.  Pass ``use_cache=False`` to force a
+    re-read."""
+    from .util import fs_read_json, fs_stat
 
     meta_path = path + "/" + IVFPQ_META_FILE
     try:
-        mtime = fs_mtime(spark, meta_path)
+        stat = fs_stat(spark, meta_path)
     except FileNotFoundError:
         raise FileNotFoundError(
             f"no {IVFPQ_META_FILE} under {path!r} — the index was "
@@ -1773,10 +1805,10 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
             "pass centroids/codebooks explicitly to ivfpq_topk")
     if use_cache:
         hit = _IVFPQ_META_CACHE.get(path)
-        if hit is not None and hit[0] == mtime:
+        if hit is not None and hit[0] == stat:
             # refresh LRU recency
             _IVFPQ_META_CACHE[path] = _IVFPQ_META_CACHE.pop(path)
-            return hit[1]
+            return dict(hit[1])
     meta = fs_read_json(spark, meta_path)
     if meta.get("format") != "ivfpq/1":
         raise ValueError(f"unknown index metadata format: "
@@ -1786,10 +1818,10 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
     meta["_centroids_np"] = np.asarray(meta["centroids"],
                                        dtype=np.float64)
     _IVFPQ_META_CACHE.pop(path, None)
-    _IVFPQ_META_CACHE[path] = (mtime, meta)
+    _IVFPQ_META_CACHE[path] = (stat, meta)
     while len(_IVFPQ_META_CACHE) > _IVFPQ_META_CACHE_MAX:
         _IVFPQ_META_CACHE.pop(next(iter(_IVFPQ_META_CACHE)))
-    return meta
+    return dict(meta)
 
 
 def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
@@ -2090,12 +2122,23 @@ def ivfpq_topk(spark, path: str, query_vec: list[float],
 _INTEGRAL_WIDTH = {"byte": 1, "short": 2, "integer": 4, "long": 8}
 
 
-def _check_integral_narrowing(src_dt, dst_dt, col: str) -> None:
+# bytes of integer range a float type represents EXACTLY: float holds
+# every integer to 2^24 (covers 1/2-byte integrals), double to 2^53
+# (covers byte/short/int, NOT long)
+_FLOAT_EXACT_INT_BYTES = {"float": 3, "double": 6}
+
+
+def _check_integral_narrowing(src_dt, dst_dt, col: str, *,
+                              id_col: bool = False) -> None:
     """Refuse integral narrowing (long ids into an int-id index): a
     bare cast under ANSI-off silently WRAPS out-of-range values, which
     would admit rows under wrong — possibly colliding — ids.  Float
     narrowing (double vectors into a float index) is the intended
-    alignment and stays allowed."""
+    alignment and stays allowed — EXCEPT for id columns
+    (``id_col=True``), where an integral cast into a float type wider
+    than the source's exact-integer range (long→double above 2^53,
+    int/long→float above 2^24) silently rounds distinct ids onto the
+    same value, colliding rows on append."""
     s = _INTEGRAL_WIDTH.get(src_dt.typeName())
     d = _INTEGRAL_WIDTH.get(dst_dt.typeName())
     if s is not None and d is not None and s > d:
@@ -2104,11 +2147,21 @@ def _check_integral_narrowing(src_dt, dst_dt, col: str) -> None:
             f"stores {dst_dt.simpleString()}: refusing the narrowing "
             "cast (out-of-range ids would silently wrap); re-id the "
             "increment or rebuild the index with the wider type")
+    if id_col and s is not None:
+        exact = _FLOAT_EXACT_INT_BYTES.get(dst_dt.typeName())
+        if exact is not None and s > exact:
+            raise ValueError(
+                f"id column {col!r} is {src_dt.simpleString()} but the "
+                f"index stores {dst_dt.simpleString()}: refusing the "
+                "integral-to-floating cast (ids beyond the float "
+                "type's exact-integer range would silently collide); "
+                "rebuild the index with an integral id column")
 
 
 def _align_to_index_schema(spark, index_path: str, df: DataFrame,
                            cols: list[str],
-                           index_schema=None) -> DataFrame:
+                           index_schema=None,
+                           id_cols: tuple = ()) -> DataFrame:
     """Cast ``cols`` of ``df`` to the types the index files already
     store.  Appending rows of a LOOKALIKE type (array<double> vectors
     into an array<float> index, int ids into a long-id index) writes
@@ -2116,16 +2169,20 @@ def _align_to_index_schema(spark, index_path: str, df: DataFrame,
     type from a footer and crash on the other
     (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — found by
     tests/test_streaming.py::test_semantic_ingest_stream_cross_batch_and_replay.
-    Integral narrowing raises instead of wrapping.  Pass
-    ``index_schema`` (captured once) to skip the per-call index
-    listing — streaming appenders capture it at stream start."""
+    Integral narrowing raises instead of wrapping, and columns named
+    in ``id_cols`` additionally refuse precision-losing
+    integral-to-floating casts (long ids into a double id column
+    collide above 2^53).  Pass ``index_schema`` (captured once) to
+    skip the per-call index listing — streaming appenders capture it
+    at stream start."""
     idx_schema = (index_schema if index_schema is not None
                   else spark.read.parquet(index_path).schema)
     names = set(idx_schema.fieldNames())
     for c in cols:
         if c in df.columns and c in names:
             _check_integral_narrowing(df.schema[c].dataType,
-                                      idx_schema[c].dataType, c)
+                                      idx_schema[c].dataType, c,
+                                      id_col=c in id_cols)
             df = df.withColumn(c, F.col(c).cast(idx_schema[c].dataType))
     return df
 
@@ -2240,7 +2297,8 @@ def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
             ivfpq_encode(
                 _align_to_index_schema(spark, index_path,
                                        out.select(id_col, vec_col),
-                                       [id_col, vec_col]),
+                                       [id_col, vec_col],
+                                       id_cols=(id_col,)),
                 meta["centroids"], meta["codebooks"],
                 vec_col=vec_col, residual=meta["residual"],
                 store_vectors=True,

@@ -147,9 +147,19 @@ def fs_read_json(spark, path: str) -> dict:
 def fs_mtime(spark, path: str) -> int:
     """Modification time (epoch millis) of ``path`` through Hadoop's
     FileSystem.  Raises FileNotFoundError when absent."""
+    return fs_stat(spark, path)[0]
+
+
+def fs_stat(spark, path: str) -> tuple[int, int]:
+    """(mtime epoch millis, byte length) of ``path`` through Hadoop's
+    FileSystem.  Raises FileNotFoundError when absent.  The pair is a
+    stronger cache key than mtime alone: object stores report mtime at
+    1 s granularity, so a rebuild-then-query inside the same second is
+    only caught when the length moved too."""
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
         raise FileNotFoundError(path)
-    return fs.getFileStatus(hpath).getModificationTime()
+    st = fs.getFileStatus(hpath)
+    return st.getModificationTime(), st.getLen()

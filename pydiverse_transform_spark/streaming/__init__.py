@@ -549,7 +549,8 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
                     spark, index_path,
                     spark.read.parquet(f"{out_path}/batch={batch_id}")
                     .select(id_col, vec_col),
-                    [id_col, vec_col], index_schema=idx_schema)
+                    [id_col, vec_col], index_schema=idx_schema,
+                    id_cols=(id_col,))
                 ivfpq_encode(
                     admitted, meta["centroids"], meta["codebooks"],
                     vec_col=vec_col, residual=meta["residual"],
@@ -654,7 +655,8 @@ def ivfpq_append_stream(stream_df: DataFrame, index_path: str,
     # maintenance fold — a permanent 2x storage/scan cost on the
     # dominant column
     stream_df = _align_to_index_schema(
-        spark, index_path, stream_df, [meta["id_col"], vec_col])
+        spark, index_path, stream_df, [meta["id_col"], vec_col],
+        id_cols=(meta["id_col"],))
     coded = ivfpq_encode(
         stream_df, meta["centroids"], meta["codebooks"],
         vec_col=vec_col, residual=meta["residual"],

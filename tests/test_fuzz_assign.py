@@ -1,11 +1,18 @@
 """Hypothesis differential fuzz of assign_cells' three physical
-strategies (r8 verdict #5): on the guaranteed-agreement domain (finite
-vectors, |v| < 1e150, unique ids) literal, numpy and join must return
-ONE answer — including NULL vectors, duplicate-distance ties (values
-drawn from a tiny grid to force them), and duplicate centroids.  The
-documented strategy-DEPENDENT edges (NaN / ±Inf / overflow magnitudes /
-null components — see the assign_cells docstring's edge-input
-contract) are pinned by fixture tests instead.
+strategies (r8 verdict #5, contract narrowed per r8 VERDICT finding
+#1): on the guaranteed-agreement domain (finite vectors, |v| < 1e150,
+unique ids, winning margin ABOVE the direct formulation's rounding
+error) literal, numpy and join must return ONE answer — including
+NULL vectors, duplicate-distance ties (values drawn from a tiny grid
+to force them), and duplicate centroids.  When the winning margin is
+below a few ulps of the largest squared term, the direct Σ(x−c)²
+forms (literal/join) legitimately see a tie the dot-trick (numpy)
+still resolves — exact cross-strategy equality is mathematically
+unsatisfiable there, so the test only requires every strategy's
+answer to sit in the near-tied cell set.  The documented
+strategy-DEPENDENT edges (NaN / ±Inf / overflow magnitudes / null
+components — see the assign_cells docstring's edge-input contract)
+are pinned by fixture tests instead.
 
 Spark jobs per example are the cost ceiling: examples are capped and
 deadlines disabled (same posture as test_properties.py)."""
@@ -71,6 +78,24 @@ def _reference(rows, centroids):
     return ref
 
 
+def _near_tied_cells(v, centroids):
+    """Cells whose true Σ(x−c)² distance is within the direct
+    formulation's rounding error of the minimum.  Below that margin the
+    strategies may legitimately disagree — the direct forms see a tie
+    the numpy dot-trick still resolves (the more accurate formulation;
+    see the assign_cells docstring) — so agreement can only be required
+    when this set is a singleton."""
+    import numpy as np
+
+    dists = [math.fsum((x - y) ** 2 for x, y in zip(v, c))
+             for c in centroids]
+    peak = (max(abs(x) for x in v)
+            + max(abs(y) for c in centroids for y in c)) ** 2
+    tol = 4 * len(v) * np.spacing(max(peak, 1.0))
+    dmin = min(dists)
+    return {ci for ci, d in enumerate(dists) if d <= dmin + tol}
+
+
 @given(vectors=vectors_strategy, centroids=centroids_strategy)
 @settings(**SETTINGS)
 def test_three_strategies_one_answer(spark, vectors, centroids):
@@ -78,13 +103,25 @@ def test_three_strategies_one_answer(spark, vectors, centroids):
     lit = _assign(spark, rows, centroids, "literal")
     npy = _assign(spark, rows, centroids, "numpy")
     jn = _assign(spark, rows, centroids, "join")
-    assert lit == npy == jn
-    # grid-valued inputs also admit an exact pure-Python twin (the wide
-    # lane can differ in the last ulp between summation orders, so the
-    # cross-strategy agreement above is its only sound check)
+    for (vid, v), (_, cl), (_, cn), (_, cj) in zip(rows, lit, npy, jn):
+        if v is None:
+            assert cl is None and cn is None and cj is None, vid
+            continue
+        near = _near_tied_cells(v, centroids)
+        if len(near) == 1:
+            want = next(iter(near))
+            assert cl == cn == cj == want, (vid, cl, cn, cj, near)
+        else:
+            # sub-ulp margin (or an exact tie): every strategy must
+            # still land on a near-tied cell, but they may differ
+            assert cl in near and cn in near and cj in near, \
+                (vid, cl, cn, cj, near)
+    # grid-valued inputs are exact in binary64, so ALL strategies must
+    # match the pure-Python twin exactly (ties to the lowest cid)
     if all(v is None or all(abs(x) in (0.0, 0.5, 1.0) for x in v)
            for v in vectors):
-        assert lit == _reference(rows, centroids)
+        ref = _reference(rows, centroids)
+        assert lit == npy == jn == ref
 
 
 @given(vectors=st.lists(st.lists(grid_component, min_size=DIM,

@@ -310,3 +310,21 @@ def test_append_refuses_integral_narrowing(spark, tmp_path):
         "doc_id long, text string")
     with pytest.raises(ValueError, match="narrowing"):
         dedup.minhash_index_append(spark, path, inc)
+
+
+def test_append_refuses_float_id_precision_loss(spark, tmp_path):
+    """r9 (ADVICE): long ids arriving at a DOUBLE-id index must raise —
+    above 2^53 the integral-to-floating cast rounds distinct ids onto
+    the same value, colliding rows on append."""
+    docs = spark.createDataFrame(
+        [(1.0, "the first indexed document with some words"),
+         (2.0, "another indexed document with different words")],
+        "doc_id double, text string")   # float ids on purpose
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path)
+    assert dedup.read_minhash_meta(spark, path)["id_type"] == "double"
+    inc = spark.createDataFrame(
+        [(2**53 + 1, "a long-id arrival beyond double exactness")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="collide"):
+        dedup.minhash_index_append(spark, path, inc)

@@ -209,7 +209,9 @@ def test_query_probe_cells_matches_bruteforce_and_ties():
 
 # ---------------------------------------------------------------------------
 # r8: the parsed-sidecar cache must serve repeat reads and invalidate
-# when the sidecar is rewritten (mtime key)
+# when the sidecar is rewritten ((mtime, length) key); r9 (ADVICE):
+# callers get a SHALLOW COPY — the heavy ndarray is shared, the dict
+# is not, so mutating a result cannot poison later queries
 # ---------------------------------------------------------------------------
 
 def test_ivfpq_meta_cache_hit_and_invalidation(spark, tmp_path):
@@ -225,8 +227,19 @@ def test_ivfpq_meta_cache_hit_and_invalidation(spark, tmp_path):
     m1 = sim.read_ivfpq_meta(spark, path)
     assert isinstance(m1["_centroids_np"], np.ndarray)
     assert m1["_centroids_np"].shape == (4, 64)
-    # second read returns the SAME cached object (no re-parse)
-    assert sim.read_ivfpq_meta(spark, path) is m1
+    # second read hits the cache: fresh dict, SHARED ndarray (the copy
+    # is what makes caller-side mutation safe; the matrix is the part
+    # worth caching)
+    m1b = sim.read_ivfpq_meta(spark, path)
+    assert m1b is not m1
+    assert m1b["_centroids_np"] is m1["_centroids_np"]
+    assert {k: v for k, v in m1b.items() if k != "_centroids_np"} \
+        == {k: v for k, v in m1.items() if k != "_centroids_np"}
+    # a caller mutating its copy must not poison later reads
+    m1b["residual"] = "poisoned"
+    m1b.pop("centroids")
+    m1c = sim.read_ivfpq_meta(spark, path)
+    assert m1c["residual"] is True and "centroids" in m1c
     # rewrite the sidecar with a different model -> cache must miss
     _time.sleep(0.05)  # local-fs mtime granularity
     cents2 = sim.hyperplanes(64, 6, seed="cache2")
@@ -234,7 +247,6 @@ def test_ivfpq_meta_cache_hit_and_invalidation(spark, tmp_path):
     sim.write_ivfpq_meta(spark, path, cents2, cbs2,
                          residual=False, store_vectors=True)
     m2 = sim.read_ivfpq_meta(spark, path)
-    assert m2 is not m1
     assert m2["n_cells"] == 6 and m2["residual"] is False
     # use_cache=False always re-reads
     assert sim.read_ivfpq_meta(spark, path, use_cache=False) is not m2
@@ -258,14 +270,18 @@ def test_ivfpq_meta_cache_is_bounded_lru(spark, tmp_path, monkeypatch):
         if i == 1:
             metas.append(sim.read_ivfpq_meta(spark, paths[0]))
             metas.append(sim.read_ivfpq_meta(spark, paths[1]))
-            # hit path 0 again -> it becomes most recent
-            assert sim.read_ivfpq_meta(spark, paths[0]) is metas[0]
+            # hit path 0 again -> it becomes most recent (cache hits
+            # share the ndarray; the dict itself is a fresh copy)
+            assert (sim.read_ivfpq_meta(spark, paths[0])
+                    ["_centroids_np"] is metas[0]["_centroids_np"])
     m2 = sim.read_ivfpq_meta(spark, paths[2])
     assert len(sim._IVFPQ_META_CACHE) == 2
     # path 1 (least-recently used) was evicted; 0 and 2 survive
     assert set(sim._IVFPQ_META_CACHE) == {paths[0], paths[2]}
-    assert sim.read_ivfpq_meta(spark, paths[0]) is metas[0]
-    assert sim.read_ivfpq_meta(spark, paths[2]) is m2
+    assert (sim.read_ivfpq_meta(spark, paths[0])["_centroids_np"]
+            is metas[0]["_centroids_np"])
+    assert (sim.read_ivfpq_meta(spark, paths[2])["_centroids_np"]
+            is m2["_centroids_np"])
 
 
 # ---------------------------------------------------------------------------
