@@ -830,11 +830,47 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     )
 
 
+def _route_span_strategy(df: DataFrame, text_col: str, id_col: str, *,
+                         window: int, stride: int,
+                         skew_threshold: int,
+                         sample_pct: float) -> str:
+    """Pick ``sort`` vs ``rescan`` for :func:`substring_dedup` by
+    MEASURING span skew instead of guessing: estimate the max
+    corpus-wide occurrence count of any single window hash from a
+    deterministic ~``sample_pct``% document sample (id-hash Bernoulli —
+    no RNG, pure function of the rows), and route to ``rescan`` when
+    the estimate reaches ``skew_threshold``.
+
+    The probe costs one sampled tokenize+md5 pass plus a tiny groupBy —
+    at the default 1% that is ~1% of the main job's map work.  It
+    measures CROSS-document boilerplate (the case ``rescan`` fixes); a
+    bomb concentrated in a handful of giant documents can be missed by
+    a document-level sample, but that shape piles into the per-document
+    interval-merge window under EITHER strategy, so routing would not
+    help it anyway."""
+    f = max(min(sample_pct, 100.0), 1e-4) / 100.0
+    sampled = df if f >= 1.0 else df.filter(
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(1_000_000))
+        < F.lit(int(f * 1_000_000)))
+    row = (
+        span_occurrences(sampled, text_col, id_col,
+                         window=window, stride=stride)
+        .groupBy("h").count()
+        .agg(F.max("count").alias("m")).collect()[0]
+    )
+    top = row["m"]
+    if top is None:
+        return "sort"
+    return "rescan" if top / f >= skew_threshold else "sort"
+
+
 def substring_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", *, window: int = 8,
                     stride: int = 1,
                     clean_col: str = "clean_text",
-                    dup_strategy: str = "sort") -> DataFrame:
+                    dup_strategy: str = "auto",
+                    skew_threshold: int = 1_000_000,
+                    skew_sample_pct: float = 1.0) -> DataFrame:
     """Cross-document substring dedup: every non-canonical occurrence of
     a duplicated ``window``-token window is cut out of its document; the
     canonical (min (id, pos)) occurrence is kept.  Adds ``clean_col``
@@ -846,7 +882,7 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     ``dup_strategy`` picks how non-canonical occurrences are found; both
     return identical rows (canonical = lexicographic min of (id, pos)):
 
-    - ``"sort"`` (default) — ONE pass over the corpus: shuffle the
+    - ``"sort"`` — ONE pass over the corpus: shuffle the
       occurrence table by hash and take count/row_number window
       functions.  Half the tokenize+md5 map CPU of ``rescan`` and the
       same single ~n_tokens-row shuffle (near-unique md5 keys mean the
@@ -859,6 +895,16 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
       (global boilerplate) streams through a map-side broadcast join
       instead of piling into one window partition's sort.  Use for
       corpora with extreme span skew.
+    - ``"auto"`` (default) — MEASURE instead of guess
+      (:func:`_route_span_strategy`): estimate the hottest window
+      hash's corpus-wide occurrence count from a deterministic
+      ``skew_sample_pct``% document sample (one cheap sampled
+      tokenize+groupBy job at plan-build time) and take ``rescan``
+      when the estimate reaches ``skew_threshold`` occurrences, else
+      ``sort``.  The default threshold (10⁶) is where one hash's
+      window partition becomes a ~60 MB single-task sort
+      (docs/SCALE_KNOBS.md); pin ``dup_strategy="sort"`` to skip the
+      probe job when the corpus is known boilerplate-free.
 
     Guarantee (stride=1): every duplicated span of length >= ``window``
     loses all but its canonical copy, and the removal intervals of the
@@ -868,9 +914,13 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     per-hash, not per-maximal-span (the suffix-array construction the
     paper uses is what buys that, at a cost that does not distribute).
     """
-    if dup_strategy not in ("sort", "rescan"):
-        raise ValueError("dup_strategy must be 'sort' or 'rescan', "
-                         f"got {dup_strategy!r}")
+    if dup_strategy not in ("auto", "sort", "rescan"):
+        raise ValueError("dup_strategy must be 'auto', 'sort' or "
+                         f"'rescan', got {dup_strategy!r}")
+    if dup_strategy == "auto":
+        dup_strategy = _route_span_strategy(
+            df, text_col, id_col, window=window, stride=stride,
+            skew_threshold=skew_threshold, sample_pct=skew_sample_pct)
 
     from pyspark.sql import Window as W
 
