@@ -1857,15 +1857,21 @@ def ivfpq_topk_auto(spark, path: str, query_vec: list[float],
     )
 
 
-def ivfpq_fold_staging(spark, index_path: str, staging_path: str,
+def ivfpq_fold_staging(spark, index_path: str, staging_path: str | None,
                        out_path: str,
-                       target_file_bytes: int = 128 << 20) -> dict:
+                       target_file_bytes: int = 128 << 20,
+                       dedup_ids: bool = False) -> dict:
     """The maintenance pass of the streaming-ingest pattern: fold a
     staging root (``streaming.ivfpq_append_stream``) and the base index
     into a fresh, compacted index at ``out_path`` — one batch rewrite
     hash-clustered on the cell — and carry the quantizer-model sidecar
     over.  Swap ``out_path`` in for the base, then reset the staging
-    dir and its checkpoint.  Returns compact_parquet's stats."""
+    dir and its checkpoint.  ``staging_path=None`` compacts the base
+    alone — the shape :func:`semantic_ingest_stream`'s direct-append
+    lane maintains with.  ``dedup_ids=True`` drops duplicate id rows
+    during the rewrite (at-least-once replays of an ingest stream
+    re-append identical rows; one copy survives).  Returns
+    compact_parquet's stats."""
     from ..sources.sinks import _hadoop_files, compact_parquet
 
     meta = read_ivfpq_meta(spark, index_path)
@@ -1873,14 +1879,16 @@ def ivfpq_fold_staging(spark, index_path: str, staging_path: str,
     # a missing or data-less staging root (nothing streamed yet, or a
     # maintenance rerun after the reset already happened) folds as a
     # plain compaction of the base — not an error
-    _, fs = _hadoop_fs(spark, staging_path)
-    jvm = spark.sparkContext._jvm
-    if fs.exists(jvm.org.apache.hadoop.fs.Path(staging_path)) \
-            and _hadoop_files(spark, staging_path):
-        roots.append(staging_path)
+    if staging_path is not None:
+        _, fs = _hadoop_fs(spark, staging_path)
+        jvm = spark.sparkContext._jvm
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(staging_path)) \
+                and _hadoop_files(spark, staging_path):
+            roots.append(staging_path)
     stats = compact_parquet(
         spark, roots, out_path,
         target_file_bytes=target_file_bytes, partition_by=["cell"],
+        dedup_cols=[meta["id_col"]] if dedup_ids else None,
     )
     write_ivfpq_meta(
         spark, out_path, meta["centroids"], meta["codebooks"],
@@ -1897,9 +1905,10 @@ def _hadoop_fs(spark, path: str):
     return jvm, fs
 
 
-def ivfpq_maintain(spark, index_path: str, staging_path: str,
+def ivfpq_maintain(spark, index_path: str, staging_path: str | None,
                    checkpoint_path: str | None = None, *,
-                   target_file_bytes: int = 128 << 20) -> dict:
+                   target_file_bytes: int = 128 << 20,
+                   dedup_ids: bool = False) -> dict:
     """One-call IVF-PQ maintenance: fold the base index and the
     streaming staging root (:func:`ivfpq_fold_staging`) into a fresh
     compacted index, SWAP it in at ``index_path``, and reset the
@@ -1907,6 +1916,12 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
     ``streaming.ivfpq_append_stream`` restarts cleanly on an empty
     staging extension.  STOP the appender query before calling —
     staging must be frozen so the fold captures exactly its contents.
+
+    ``staging_path=None`` compacts the base index alone (no staging
+    fold, no staging/checkpoint reset) — the maintenance shape for
+    :func:`streaming.semantic_ingest_stream`'s direct-append lane,
+    whose ``maintain_every`` hook calls this with ``dedup_ids=True``
+    to fold away replayed at-least-once appends.
 
     Crash-safety is a journal-recovery protocol (the caller-assembled
     r6 flow left the swap window undocumented):
@@ -2007,7 +2022,8 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
             # finish the interrupted protocol's reset phase now, or the
             # fold below would double-count them.  Reset the roots the
             # JOURNAL recorded (== this call's, verified above).
-            fs.delete(P(j_staging), True)
+            if j_staging is not None:
+                fs.delete(P(j_staging), True)
             if j_ckpt is not None:
                 fs.delete(P(j_ckpt), True)
     if fs.exists(P(new_p)):       # stale fold from a phase-2 crash
@@ -2016,7 +2032,8 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
         fs.delete(P(old_p), True)
 
     stats = ivfpq_fold_staging(spark, index_path, staging_path, new_p,
-                               target_file_bytes=target_file_bytes)
+                               target_file_bytes=target_file_bytes,
+                               dedup_ids=dedup_ids)
 
     from .util import fs_write_json
 
@@ -2031,7 +2048,8 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str,
     fs.delete(P(old_p), True)
     fs.delete(P(journal), False)
 
-    fs.delete(P(staging_path), True)
+    if staging_path is not None:
+        fs.delete(P(staging_path), True)
     if checkpoint_path is not None:
         fs.delete(P(checkpoint_path), True)
     return {**stats, "recovered": recovered}

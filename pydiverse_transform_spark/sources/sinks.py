@@ -190,6 +190,7 @@ def compact_parquet(spark, path, out_path: str, *,
                     target_file_bytes: int = 128 << 20,
                     partition_by: list[str] | None = None,
                     shuffle: bool = False,
+                    dedup_cols: list[str] | None = None,
                     mode: str = "error") -> dict:
     """Compact a small-file parquet dataset into ~``target_file_bytes``
     files at ``out_path`` (the standard maintenance pass after a
@@ -210,6 +211,12 @@ def compact_parquet(spark, path, out_path: str, *,
     separately and unioned (a single multi-root read of partitioned
     layouts trips CONFLICTING_DIRECTORY_STRUCTURES), so compaction
     doubles as the staging-fold maintenance pass.
+
+    ``dedup_cols`` drops duplicate rows on those key columns during the
+    rewrite (one extra shuffle on the key) — the maintenance hook for
+    at-least-once streaming appends whose replays re-append identical
+    rows.  File sizing still uses the pre-dedup listing bytes, so
+    heavily duplicated inputs compact into slightly undersized files.
 
     In-place compaction is refused: Spark cannot atomically overwrite a
     path it is reading; write to ``out_path`` and swap at the catalog /
@@ -232,6 +239,8 @@ def compact_parquet(spark, path, out_path: str, *,
     df = spark.read.parquet(paths[0])
     for p in paths[1:]:
         df = df.unionByName(spark.read.parquet(p))
+    if dedup_cols:
+        df = df.dropDuplicates(dedup_cols)
     if partition_by:
         from pyspark.sql import functions as F
 

@@ -476,6 +476,7 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
                            threshold: float = 0.9, n_probe: int = 2,
                            probe_margin: float | str | None = "auto",
                            admit: bool = True,
+                           maintain_every: int | None = None,
                            available_now: bool = False,
                            trigger_seconds: int | None = None):
     """Micro-batch SEMANTIC ingest dedup against a persisted IVF-PQ
@@ -495,20 +496,39 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
     current batch (requires globally unique ids); index-append
     duplicates from a replay are benign for FILTERING (any copy drops
     an arrival) but would surface as duplicate candidates in top-k
-    queries over the same index — run ``ivfpq_maintain`` to compact
-    and exact-once the layout if the index also serves search."""
+    queries over the same index.
+
+    ``maintain_every=N`` closes that operational gap in-stream: after
+    every batch whose ``batch_id % N == N - 1`` (id-keyed, so a
+    REPLAYED batch re-fires the same fold idempotently instead of
+    double-counting), the hook runs
+    ``ivfpq_maintain(..., staging_path=None, dedup_ids=True)`` — fold
+    the index into a compacted layout with duplicate-id rows dropped,
+    journaled atomic swap — inside ``foreachBatch``, i.e. between
+    micro-batches, when no other reader this stream owns is mid-query.
+    Leave ``None`` (default) when the index only serves ingest
+    filtering, or when OTHER concurrent readers query ``index_path``
+    directly (the swap's rename window is theirs to coordinate); then
+    run ``ivfpq_maintain`` manually at a quiet moment."""
     from pyspark.sql import functions as F
 
     from ..extras.similarity import (_align_to_index_schema,
                                      _embedding_hit_pairs,
                                      assign_cells_multi, ivfpq_encode,
-                                     read_ivfpq_meta)
+                                     ivfpq_maintain, read_ivfpq_meta)
 
     spark = stream_vecs.sparkSession
     meta = read_ivfpq_meta(spark, index_path)
     if not meta.get("store_vectors"):
         raise ValueError("semantic_ingest_stream needs an index "
                          "written with store_vectors=True")
+    if maintain_every is not None and maintain_every < 1:
+        raise ValueError(f"maintain_every must be >= 1, "
+                         f"got {maintain_every}")
+    if maintain_every is not None and not admit:
+        raise ValueError("maintain_every without admit=True has "
+                         "nothing to compact — the stream never "
+                         "appends to the index")
     vec_col, id_col = meta["vec_col"], meta["id_col"]
     margin = (2.0 * (2.0 * (1.0 - threshold)) ** 0.5
               if probe_margin == "auto" else probe_margin)
@@ -557,6 +577,19 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
                     store_vectors=True,
                 ).write.mode("append").partitionBy("cell") \
                     .parquet(index_path)
+                if (maintain_every is not None
+                        and batch_id % maintain_every
+                        == maintain_every - 1):
+                    # fold away replay-duplicate id rows and compact
+                    # the batch-sized append files; staging_path=None
+                    # (this lane appends directly into the index) and
+                    # the stream's OWN checkpoint is never touched
+                    ivfpq_maintain(spark, index_path, None,
+                                   dedup_ids=True)
+                    # the swap is a directory rename outside Spark's
+                    # write path — drop any cached listings/plans for
+                    # the old directory contents
+                    spark.catalog.refreshByPath(index_path)
         finally:
             probed.unpersist()
 
