@@ -1223,7 +1223,16 @@ def neardup_filter_new(spark, path: str, new_docs: DataFrame, *,
     already-computed bucket rows (persisted for the call's two
     actions), not a re-hash of the survivor documents — bucket rows
     reference no index path, so the refreshByPath hazard above does not
-    apply to them."""
+    apply to them.
+
+    Edge-input contract (r9, tested in ``tests/test_r9_fixes.py``):
+    null / empty / whitespace-only documents carry the sentinel
+    empty-shingle signature — BATCH PARITY with ``neardup_dedup``,
+    where all empties estimate jaccard 1.0 against each other and
+    collapse onto the first.  Incrementally that means the first
+    indexed empty doc drops every later empty arrival; the increment
+    that introduces them keeps them all (the filter compares against
+    the INDEX only, not within the increment)."""
     meta = read_minhash_meta(spark, path)
     id_col = meta["id_col"]
     strategy = _resolve_probe_strategy(probe_strategy, new_docs)

@@ -2237,6 +2237,16 @@ def _embedding_hit_pairs(spark, index_path: str, meta: dict,
     )
 
 
+def _matchable_vec(vec_col: str):
+    """True only for vectors a FUTURE probe could actually match: no
+    null elements, no NaN components (NaN cosine never reaches any
+    threshold), non-null array.  ``forall`` returns null — filtered
+    out — for null arrays and null elements.  Dim mismatch is caught
+    separately by the encoder's null cell."""
+    return F.forall(F.col(vec_col),
+                    lambda x: x.isNotNull() & ~F.isnan(x))
+
+
 def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
                          threshold: float = 0.9, n_probe: int = 2,
                          probe_margin: float | str | None = "auto",
@@ -2263,6 +2273,14 @@ def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
     Ids must be globally unique across index and increments — an
     arriving row whose id is already indexed pairs with itself at
     cosine 1.0 and is dropped.
+
+    Edge-input contract (r9, tested in ``tests/test_r9_fixes.py``):
+    null vectors, vectors with null or NaN components, and
+    dim-mismatched vectors always SURVIVE (no exact cosine can reach
+    any threshold against them) but are NEVER admitted — they cannot
+    match a future probe, and a null encoder cell would write a junk
+    ``cell=__HIVE_DEFAULT_PARTITION__`` dir outside the literal probe
+    filter's reach.
 
     ``admit=True`` appends the survivors into the index partition dirs,
     PQ-encoded with the sidecar's own model (so later increments dedupe
@@ -2311,16 +2329,24 @@ def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
             # ONLY (id, vec): appending the survivors' other input
             # columns would write mixed COLUMN-SET files into the cell
             # dirs — the same footer-dependent-schema corruption class
-            # as the type mismatch, one level up
+            # as the type mismatch, one level up.  And only MATCHABLE
+            # rows: null/NaN/null-element vectors SURVIVE (nothing can
+            # near-dup them) but are never indexed — they cannot match
+            # a future probe, and a null encoder cell would otherwise
+            # write a junk cell=__HIVE_DEFAULT_PARTITION__ dir the
+            # literal probe filter can never prune against.
             ivfpq_encode(
                 _align_to_index_schema(spark, index_path,
-                                       out.select(id_col, vec_col),
+                                       out.filter(_matchable_vec(vec_col))
+                                       .select(id_col, vec_col),
                                        [id_col, vec_col],
                                        id_cols=(id_col,)),
                 meta["centroids"], meta["codebooks"],
                 vec_col=vec_col, residual=meta["residual"],
                 store_vectors=True,
-            ).write.mode("append").partitionBy("cell").parquet(index_path)
+            ).filter(F.col("cell").isNotNull()) \
+                .write.mode("append").partitionBy("cell") \
+                .parquet(index_path)
     finally:
         if admit:
             probed.unpersist()

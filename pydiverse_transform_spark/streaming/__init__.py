@@ -514,8 +514,9 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
 
     from ..extras.similarity import (_align_to_index_schema,
                                      _embedding_hit_pairs,
-                                     assign_cells_multi, ivfpq_encode,
-                                     ivfpq_maintain, read_ivfpq_meta)
+                                     _matchable_vec, assign_cells_multi,
+                                     ivfpq_encode, ivfpq_maintain,
+                                     read_ivfpq_meta)
 
     spark = stream_vecs.sparkSession
     meta = read_ivfpq_meta(spark, index_path)
@@ -564,10 +565,15 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
             if admit:
                 # ONLY (id, vec): appending the stream's other columns
                 # would write mixed COLUMN-SET files into the cell dirs
-                # (footer-dependent schema, same class as type drift)
+                # (footer-dependent schema, same class as type drift).
+                # Only MATCHABLE rows (no null/NaN vectors, no null
+                # encoder cell): unmatchable survivors stay in the
+                # batch output but never pollute the index — same
+                # contract as embedding_filter_new's admit lane.
                 admitted = _align_to_index_schema(
                     spark, index_path,
                     spark.read.parquet(f"{out_path}/batch={batch_id}")
+                    .filter(_matchable_vec(vec_col))
                     .select(id_col, vec_col),
                     [id_col, vec_col], index_schema=idx_schema,
                     id_cols=(id_col,))
@@ -575,7 +581,8 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
                     admitted, meta["centroids"], meta["codebooks"],
                     vec_col=vec_col, residual=meta["residual"],
                     store_vectors=True,
-                ).write.mode("append").partitionBy("cell") \
+                ).filter(F.col("cell").isNotNull()) \
+                    .write.mode("append").partitionBy("cell") \
                     .parquet(index_path)
                 if (maintain_every is not None
                         and batch_id % maintain_every

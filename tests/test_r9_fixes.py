@@ -50,3 +50,149 @@ def test_id_cast_guard_matrix(src, dst, id_col, ok):
     else:
         with pytest.raises(ValueError):
             _check_integral_narrowing(src, dst, "c", id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# r9 (VERDICT next #7): null/NaN edge lane through the INGEST (admit)
+# path of both incremental dedup ops — survivors AND index contents
+# ---------------------------------------------------------------------------
+
+def test_embedding_filter_new_admit_edge_lane(spark, tmp_path):
+    """Null / NaN / null-element / dim-mismatched vectors SURVIVE the
+    ingest filter (nothing can near-dup them) but are never admitted
+    into the index: no junk cell=__HIVE_DEFAULT_PARTITION__ dir, no
+    forever-unmatchable candidate rows."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.hyperplanes(64, 4, seed="edge9")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    path = str(tmp_path / "idx")
+    sim.write_ivfpq(emb, path, cents, cbs, residual=True)
+    n0 = spark.read.parquet(path).count()
+    nan = float("nan")
+    inc = spark.createDataFrame(
+        [(9001, None),                      # null vector
+         (9002, [nan] * 64),                # all-NaN
+         (9003, [0.5] * 3),                 # dim mismatch
+         (9004, [1.0] + [0.0] * 63),        # novel valid
+         (9005, [0.1, nan] + [0.0] * 62),   # NaN component
+         (9006, [0.1, None] + [0.0] * 62)],  # null element
+        "vec_id long, embedding array<double>")
+    surv = sim.embedding_filter_new(spark, path, inc, threshold=0.95,
+                                    n_probe=1, probe_margin=None,
+                                    admit=True)
+    assert sorted(r["vec_id"] for r in surv.collect()) \
+        == [9001, 9002, 9003, 9004, 9005, 9006]
+    idx = spark.read.parquet(path)
+    added = {r["vec_id"]: r["cell"] for r in
+             idx.filter(F.col("vec_id") >= 9000).collect()}
+    # ONLY the matchable survivor was indexed
+    assert list(added) == [9004] and added[9004] is not None
+    assert idx.count() == n0 + 1
+    assert idx.filter(F.col("cell").isNull()).count() == 0
+    import os
+    assert not any("HIVE_DEFAULT" in d for d in os.listdir(path))
+    # and a later identical arrival near-dups the admitted one
+    inc2 = spark.createDataFrame([(9104, [1.0] + [0.0] * 63)],
+                                 "vec_id long, embedding array<double>")
+    surv2 = sim.embedding_filter_new(spark, path, inc2, threshold=0.95,
+                                     n_probe=1, probe_margin=None)
+    assert surv2.count() == 0
+
+
+def test_semantic_ingest_stream_admit_edge_lane(spark, tmp_path):
+    """The streaming twin keeps the same contract per micro-batch."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark import streaming as st
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.hyperplanes(64, 4, seed="edge9s")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    idx = str(tmp_path / "idx")
+    src = str(tmp_path / "src")
+    sim.write_ivfpq(emb, idx, cents, cbs, residual=True)
+    n0 = spark.read.parquet(idx).count()
+    nan = float("nan")
+    inc = spark.createDataFrame(
+        [(9001, None), (9002, [nan] * 64), (9003, [0.5] * 3),
+         (9004, [1.0] + [0.0] * 63),
+         (9005, [0.1, nan] + [0.0] * 62)],
+        "vec_id long, embedding array<double>")
+    inc.coalesce(1).write.parquet(src)
+    stream = st.read_event_stream(spark, src,
+                                  schema=spark.read.parquet(src).schema)
+    q = st.semantic_ingest_stream(
+        stream, idx, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        threshold=0.95, n_probe=1, probe_margin=None, admit=True,
+        available_now=True)
+    assert q.awaitTermination(180)
+    surv = {r["vec_id"] for r in
+            spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert surv == {9001, 9002, 9003, 9004, 9005}
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() == n0 + 1
+    assert idx_df.filter(F.col("cell").isNull()).count() == 0
+    added = [r["vec_id"] for r in
+             idx_df.filter(F.col("vec_id") >= 9000).collect()]
+    assert added == [9004]
+
+
+def test_neardup_filter_new_admit_edge_lane(spark, tmp_path):
+    """Null / empty / whitespace-only text through the ingest lane
+    keeps BATCH PARITY: empty docs carry the sentinel empty-shingle
+    signature, so they estimate jaccard 1.0 against each other — the
+    batch op (``neardup_dedup``) keeps the first and drops the rest,
+    and the incremental lane must behave the same across increments:
+    the first indexed empty doc drops every later empty arrival."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document about spark engines")],
+        "doc_id long, text string")
+    path = str(tmp_path / "midx")
+    dedup.write_minhash_index(docs, path)
+    inc = spark.createDataFrame(
+        [(9001, None),
+         (9002, ""),
+         (9003, "   \t  "),
+         (9004, "the quick brown fox jumps over the lazy dog today"),
+         (9005, "totally novel words nobody indexed before now ok")],
+        "doc_id long, text string")
+    surv = dedup.neardup_filter_new(spark, path, inc, threshold=0.7,
+                                    admit=True)
+    got = sorted(r["doc_id"] for r in surv.collect())
+    # 9004 near-dups indexed doc 1 and drops; the filter only compares
+    # against the INDEX, so the increment's empties all survive (no
+    # empty doc was indexed yet) and are admitted
+    assert got == [9001, 9002, 9003, 9005]
+    idx = spark.read.parquet(path)
+    appended = sorted(r["doc_id"] for r in
+                      idx.filter(F.col("doc_id") >= 9000)
+                      .select("doc_id").distinct().collect())
+    assert appended == [9001, 9002, 9003, 9005]
+    # batch parity across increments: a LATER empty/null/whitespace
+    # arrival estimates jaccard 1.0 vs the indexed sentinel and drops —
+    # exactly what neardup_dedup does within one batch (keep-first)
+    inc2 = spark.createDataFrame(
+        [(9101, ""), (9102, None), (9103, " \t "),
+         (9105, "totally novel words nobody indexed before now ok"),
+         (9106, "words never seen by any index increment before")],
+        "doc_id long, text string")
+    surv2 = dedup.neardup_filter_new(spark, path, inc2, threshold=0.7)
+    assert sorted(r["doc_id"] for r in surv2.collect()) == [9106]
+    # the single-batch twin agrees: all empties collapse onto the first
+    batch_kept = dedup.neardup_dedup(
+        spark.createDataFrame(
+            [(1, ""), (2, None), (3, "   "), (4, "real words here ok")],
+            "doc_id long, text string"), threshold=0.7)
+    assert sorted(r["doc_id"] for r in batch_kept.collect()) == [1, 4]
