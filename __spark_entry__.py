@@ -3272,6 +3272,89 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def _semdedup_kprop_sql(threshold: float, k_min: int = 16,
+                        k_cap: int = 256, divisor: int = 100) -> str:
+    """DuckDB twin of q_semdedup_kprop: the SAME pipeline as
+    _semdedup_sql but with k derived from the corpus size at run time
+    (k = clamp(n // divisor, k_min, k_cap) — the SCALE_KNOBS "k ≈
+    n/100" sizing rule).  All k_cap centroid distances are embedded as
+    literals and the per-row distance list is SLICED to k, which keeps
+    the argmin prefix-consistent with Spark's hyperplanes(64, k)
+    (component (p, i) is a pure function of (seed, p, i), so prefixes
+    agree across k)."""
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+    cents = hyperplanes(64, k_cap, seed="semdedup")
+
+    def vec(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    dists = ", ".join(
+        f"(-2.0 * list_dot_product(e, {vec(cen)}) + "
+        f"{sum(c * c for c in cen)!r})"
+        for cen in cents
+    )
+    cos = ("list_dot_product(a.e, b.e) / "
+           "(sqrt(list_dot_product(a.e, a.e)) * "
+           "sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+WITH RECURSIVE params AS (
+  SELECT greatest({k_min}, least({k_cap}, count(*) // {divisor})) AS k
+  FROM embeddings
+), dlist AS (
+  SELECT vec_id, e, [{dists}][:(SELECT k FROM params)] AS d
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+), celled AS (
+  SELECT vec_id, e, list_position(d, list_min(d)) - 1 AS cell
+  FROM dlist
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM celled a JOIN celled b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({cos}, 6) >= {threshold}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM reach GROUP BY src
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != comp)
+ORDER BY vec_id
+"""
+
+
+@_q(_semdedup_kprop_sql(0.4))
+def q_semdedup_kprop(spark, sf_dir):
+    """SemDeDup at the SCALE_KNOBS operating point (r9, VERDICT next
+    #4): k GROWS with the corpus — k = clamp(n // 100, 16, 256) — so
+    per-cell occupancy (and the quadratic within-cell pair volume)
+    stays ~flat as data scales, unlike q_semdedup's deliberately fixed
+    k=64 whose sf0.1→sf1 slope is the documented cost of ignoring the
+    sizing rule.  One parquet footer count picks k; centroids are the
+    prefix of the same md5-derived family, so the oracle can slice a
+    literal-embedded distance list to the same k.  The 256 cap is the
+    ORACLE's literal budget, not the library's (semdedup takes any k;
+    r8 proved assignment flat to k=110,592)."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    k = max(16, min(256, n // 100))
+    cents = similarity.hyperplanes(64, k, seed="semdedup")
+    return (
+        similarity.semdedup(emb, cents, threshold=0.4,
+                            assign_method="numpy")
+        .select("vec_id").orderBy("vec_id")
+    )
+
+
 def _semdedup_multiprobe_sql(threshold: float, n_cells: int = 16) -> str:
     """DuckDB twin of similarity.semdedup with DIRECTED 2-probe
     blocking (r8): every vector is a home member of its argmin cell and

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "q_dsir_sample",
     "q_temperature_mix",
     "q_semdedup",
+    "q_semdedup_kprop",
     "q_minhash_index_lookup",
     "q_semantic_decontaminate",
     "q_packed_batches",
