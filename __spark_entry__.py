@@ -6442,6 +6442,52 @@ def q_catalog_roundtrip(spark, sf_dir):
     )
 
 
+@_q("""
+SELECT s_nationkey, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_acctbal
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+""")
+def q_jdbc_roundtrip(spark, sf_dir):
+    """JDBC round-trip (sources write_jdbc/read_jdbc) through an
+    in-process Derby database (the derby jars ship with Spark for the
+    Hive metastore, so no external service is needed): a supplier
+    aggregate is written over JDBC and read back; grouped counts and
+    rounded sums must round-trip exactly.  Was pytest-absent through
+    r8 (r8 verdict stretch #8).  Embedded Derby is a single-JVM store
+    — valid in local mode only; write_jdbc's docstring carries the
+    cluster contract (networked url).  The db dir is sf-suffixed so
+    concurrent runs at different scale factors don't contend for
+    Derby's single-JVM boot lock."""
+    import shutil
+
+    import pydiverse_transform_spark as pdt
+
+    dbdir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_stream",
+        "jdbc_rt_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(dbdir, ignore_errors=True)
+    url = f"jdbc:derby:{dbdir}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    s = _t(spark, sf_dir, "supplier")
+    agg = (
+        s
+        >> pdt.group_by(s.s_nationkey)
+        >> pdt.summarize(n_suppliers=s.s_suppkey.count(),
+                         total_acctbal=s.s_acctbal.sum().round(2))
+    )
+    agg >> pdt.write_jdbc(url, "supplier_agg", mode="overwrite",
+                          **props)
+    back = pdt.read_jdbc(spark, url, "supplier_agg", **props)
+    return (
+        back
+        >> pdt.select(back.s_nationkey, back.n_suppliers,
+                      back.total_acctbal)
+        >> pdt.arrange(back.s_nationkey)
+        >> pdt.export(pdt.Spark)
+    )
+
+
 # =============================================================================
 # driver contract
 # =============================================================================

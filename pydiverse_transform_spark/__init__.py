@@ -101,6 +101,7 @@ from .sources import (  # noqa: F401
 from .sources.sinks import (  # noqa: F401
     save_as_table,
     write_csv,
+    write_jdbc,
     write_json,
     write_orc,
     write_parquet,

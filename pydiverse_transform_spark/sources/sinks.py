@@ -16,8 +16,9 @@ from ..operators.pipeable import verb
 from ..table import Table
 
 __all__ = ["write_parquet", "write_csv", "write_json", "write_orc",
-           "save_as_table", "write_time_partitioned", "write_sorted",
-           "compact_parquet", "dataset_manifest", "write_manifest"]
+           "write_jdbc", "save_as_table", "write_time_partitioned",
+           "write_sorted", "compact_parquet", "dataset_manifest",
+           "write_manifest"]
 
 
 def _writer(table: Table, mode: str, partition_by, **options):
@@ -54,6 +55,23 @@ def write_csv(table: Table, path: str, *, mode: str = "error",
 def write_json(table: Table, path: str, *, mode: str = "error",
                partition_by=None, **options) -> Table:
     _writer(table, mode, partition_by, **options).json(path)
+    return table
+
+
+@verb
+def write_jdbc(table: Table, url: str, dbtable: str, *,
+               mode: str = "error", **options) -> Table:
+    """JDBC sink — the write twin of ``read_jdbc`` (reference:
+    src/pydiverse/transform/_internal/backend/targets.py SqlAlchemy
+    target; here the engine stays Spark and SQL stores are I/O
+    endpoints).  Each task opens its own connection, so the driver
+    class must be reachable from EXECUTORS — an embedded single-JVM
+    store (Derby/H2/SQLite) only works in local mode; on a cluster use
+    a networked url.  ``mode="overwrite"`` drops and recreates the
+    table (add truncate=true to keep the DDL)."""
+    (table.to_spark().write.format("jdbc")
+     .option("url", url).option("dbtable", dbtable)
+     .options(**options).mode(mode).save())
     return table
 
 

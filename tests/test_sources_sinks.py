@@ -151,3 +151,30 @@ def test_write_manifest_sidecar(spark, sf_dir, tmp_path):
     loaded = json.load(open(os.path.join(src, "_manifest.json")))
     assert loaded["n_rows"] == man["n_rows"]
     assert spark.read.parquet(src).count() == docs.count()
+
+
+def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
+    """write_jdbc -> read_jdbc through Spark's bundled embedded Derby
+    (r9, VERDICT r8 stretch #8): values, types wide enough for the
+    content, and mode='overwrite' re-runs must all hold.  Embedded
+    Derby is single-JVM — the local-mode test shape; write_jdbc's
+    docstring carries the cluster contract."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    t = pdt.read_parquet(spark, "/root/testdata/sf0.001/nation.parquet")
+    t >> pdt.write_jdbc(url, "nation_rt", mode="overwrite", **props)
+    back = pdt.read_jdbc(spark, url, "nation_rt", **props)
+    got = (back >> pdt.arrange(back.n_nationkey)
+           >> pdt.export(pdt.DictOfLists))
+    want = (t >> pdt.arrange(t.n_nationkey)
+            >> pdt.export(pdt.DictOfLists))
+    assert got == want
+    # overwrite drops + recreates: a second write is not an append
+    t >> pdt.write_jdbc(url, "nation_rt", mode="overwrite", **props)
+    n = pdt.read_jdbc(spark, url, "nation_rt", **props) \
+        >> pdt.summarize(n=pdt.C.n_nationkey.count()) \
+        >> pdt.export(pdt.Scalar)
+    assert n == 25
+    # mode='error' on an existing table raises
+    with pytest.raises(Exception, match="(?i)exists|SaveMode"):
+        t >> pdt.write_jdbc(url, "nation_rt", **props)
