@@ -2805,6 +2805,40 @@ def q_minhash_index_lookup(spark, sf_dir):
 
 
 @_q(f"""
+WITH {_minhash_sides_sql()}
+SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS index_id,
+       {_MINHASH_EST_SQL} AS est_jaccard
+FROM p_b p JOIN c_b c ON p.band = c.band AND p.h = c.h
+WHERE {_MINHASH_EST_SQL} >= 0.2
+ORDER BY probe_id, index_id
+""")
+def q_minhash_maintain(spark, sf_dir):
+    """Minhash index maintenance (extras/dedup.py
+    minhash_index_maintain, r9): the indexed corpus gets a slice
+    RE-appended twice (the at-least-once streaming replay shape), the
+    maintenance fold drops the duplicate (id, band) rows and compacts
+    via journaled atomic swap, and the post-fold lookup must equal the
+    clean-index oracle exactly — how the index reached its state is
+    invisible to the query (same contract as q_ivfpq_maintain)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _minhash_index_tmp(sf_dir, "mnt")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    dedup.write_minhash_index(corpus, base)
+    replay = corpus.filter(F.col("doc_id") % 8 == 1)
+    dedup.minhash_index_append(spark, base, replay)
+    dedup.minhash_index_append(spark, base, replay)
+    dedup.minhash_index_maintain(spark, base)
+    return dedup.minhash_index_lookup(
+        spark, base, docs.filter(F.col("doc_id") % 4 == 0),
+        threshold=0.2,
+    ).orderBy("probe_id", "index_id")
+
+
+@_q(f"""
 WITH {_minhash_sides_sql()},
 hits AS (
   SELECT DISTINCT p.doc_id

@@ -1170,11 +1170,95 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame) -> None:
     from the unioned corpus (pinned by test_minhash_index).  Appending
     the same ids twice duplicates their rows (LSH candidates dedupe at
     lookup, but estimates then pair a doc with itself — dedupe ids
-    upstream).  Compact the partition dirs with
-    ``sources.sinks.compact_parquet`` when daily appends accumulate
-    small files."""
+    upstream).  Run :func:`minhash_index_maintain` when appends
+    accumulate small files or at-least-once replays accumulate
+    duplicate rows."""
     meta = read_minhash_meta(spark, path)
     _append_probe_buckets(path, meta, _probe_buckets(meta, new_docs))
+
+
+def minhash_index_maintain(spark, path: str, *,
+                           dedup_rows: bool = True,
+                           target_file_bytes: int = 128 << 20) -> dict:
+    """One-call maintenance for a :func:`write_minhash_index` root:
+    rewrite the bucket table compacted (daily appends accumulate
+    batch-sized small files) and — ``dedup_rows=True`` — with duplicate
+    (id, band) rows dropped, then atomically SWAP the fresh layout in.
+    Replayed at-least-once streaming appends
+    (:func:`streaming.neardup_ingest_stream`) are the duplicate
+    source: duplicates change no lookup RESULT (candidates dedupe on
+    ids) but bloat every scan and pair each hot bucket row against the
+    probe twice.
+
+    Crash-safety mirrors :func:`similarity.ivfpq_maintain`'s journal
+    protocol with no staging/checkpoint lanes (the minhash index is
+    model-free — appends need no fold): journal -> index -> .__old,
+    .__new -> index, delete .__old, delete journal; recovery handles
+    the same four survivor states.  Returns compact stats +
+    {"recovered": <action or None>}."""
+    from ..sources.sinks import compact_parquet
+    from .util import fs_read_json, fs_write_json
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    def P(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    new_p, old_p = path + ".__new", path + ".__old"
+    journal = path + ".__swap"
+    recovered = None
+    if fs.exists(P(journal)):
+        try:
+            jrec = fs_read_json(spark, journal)
+        except Exception:
+            jrec = {}
+        if jrec.get("index", path) != path:
+            raise IOError(
+                f"swap journal {journal!r} records index "
+                f"{jrec.get('index')!r} but this run was invoked for "
+                f"{path!r}; refusing to recover")
+        has_idx, has_new, has_old = (fs.exists(P(path)),
+                                     fs.exists(P(new_p)),
+                                     fs.exists(P(old_p)))
+        if has_idx and has_new:
+            fs.delete(P(new_p), True)
+            recovered = "rolled_back_stale_new"
+        elif not has_idx and has_old and has_new:
+            if not fs.rename(P(new_p), P(path)):
+                raise IOError(f"recovery rename {new_p} -> {path} failed")
+            fs.delete(P(old_p), True)
+            recovered = "rolled_forward_new"
+        elif has_idx and has_old:
+            fs.delete(P(old_p), True)
+            recovered = "rolled_forward_cleanup"
+        elif not has_idx and has_old:
+            if not fs.rename(P(old_p), P(path)):
+                raise IOError(f"recovery rename {old_p} -> {path} failed")
+            recovered = "rolled_back_old"
+        fs.delete(P(journal), False)
+    if fs.exists(P(new_p)):
+        fs.delete(P(new_p), True)
+    if fs.exists(P(old_p)):
+        fs.delete(P(old_p), True)
+
+    meta = read_minhash_meta(spark, path)
+    stats = compact_parquet(
+        spark, path, new_p, target_file_bytes=target_file_bytes,
+        partition_by=["band"],
+        dedup_cols=[meta["id_col"], "band"] if dedup_rows else None,
+    )
+    fs_write_json(spark, new_p + "/" + MINHASH_META_FILE, meta)
+
+    fs_write_json(spark, journal, {"index": path})
+    if not fs.rename(P(path), P(old_p)):
+        raise IOError(f"swap rename {path} -> {old_p} failed")
+    if not fs.rename(P(new_p), P(path)):
+        raise IOError(f"swap rename {new_p} -> {path} failed")
+    fs.delete(P(old_p), True)
+    fs.delete(P(journal), False)
+    return {**stats, "recovered": recovered}
 
 
 def minhash_index_lookup(spark, path: str, probe: DataFrame, *,

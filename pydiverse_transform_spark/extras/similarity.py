@@ -1260,6 +1260,71 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
     return books
 
 
+def _fat_cell_tmap(celled: DataFrame, cap: int):
+    """(cell -> t) for cells whose member count exceeds ``cap``
+    (t = ceil(count / cap)), or None when no cell is fat.  One
+    map-side-combined count aggregate + a bounded collect (at most k
+    rows reach the driver check)."""
+    counts = celled.groupBy("__cell").count()
+    tmap = counts.filter(F.col("count") > cap).select(
+        "__cell",
+        F.ceil(F.col("count") / cap).cast("int").alias("__t"))
+    if tmap.limit(1).isEmpty():
+        return None
+    return tmap
+
+
+def _blocked_pair_join(a: DataFrame, b: DataFrame, tmap: DataFrame,
+                       symmetric: bool) -> DataFrame:
+    """Self/semi-self equi-join on ``__cell`` with PER-KEY parallelism:
+    members of a cell with block factor t (from ``tmap``; 1 elsewhere)
+    are salted by id-hash into t buckets and the cell's pair space is
+    decomposed into a t x t block grid — each block is its own join
+    key, so one fat cell's quadratic pair work spreads over ~t²/2
+    TASKS instead of serializing into one (a single join key is the
+    one skew shape AQE's skew-join split cannot touch).  EXACT: every
+    candidate pair lands in exactly one block.
+
+    ``symmetric=True`` (a == b up to column naming, caller keeps pairs
+    with id_a < id_b): triangle decomposition — A-side row with salt s
+    joins blocks (s, j >= s), B-side row with salt s joins blocks
+    (i <= s, s); an unordered pair with salts (p, q), p != q, meets
+    exactly once in block (min, max) with the lower-salt row on the A
+    side, and diagonal blocks fall back to the caller's id order.  The
+    caller must therefore accept off-diagonal pairs in EITHER id order
+    (filter ``(__bi < __bj) | (id_a < id_b)`` and canonicalize with
+    least/greatest).  ``symmetric=False`` (A is a subset lane, e.g.
+    multi-probe home members): full-grid decomposition, every (A, B)
+    combination meets exactly once.
+
+    Data inflation is confined to fat cells: ~t/2 x (triangle) or
+    t x (grid) on each side — O(n_cell²/cap) extra shuffled rows, the
+    price of turning one 10⁹-pair task into 10³ bounded ones."""
+    one = F.lit(1)
+    ta = a.join(F.broadcast(tmap), on="__cell", how="left") \
+        .withColumn("__t", F.coalesce(F.col("__t"), one))
+    tb = b.join(F.broadcast(tmap), on="__cell", how="left") \
+        .withColumn("__t", F.coalesce(F.col("__t"), one))
+    sa = F.pmod(F.xxhash64(F.col("id_a")), F.col("__t")).cast("int")
+    sb = F.pmod(F.xxhash64(F.col("id_b")), F.col("__t")).cast("int")
+    a_blocks = (
+        ta.withColumn("__bi", sa)
+        .withColumn("__bj", F.explode(F.sequence(
+            F.col("__bi") if symmetric else F.lit(0),
+            F.col("__t") - 1)))
+        .drop("__t")
+    )
+    b_blocks = (
+        tb.withColumn("__bj", sb)
+        .withColumn("__bi", F.explode(F.sequence(
+            F.lit(0),
+            F.col("__bj") if symmetric else F.col("__t") - 1)))
+        .drop("__t")
+    )
+    return a_blocks.join(b_blocks, on=["__cell", "__bi", "__bj"],
+                         how="inner")
+
+
 def semdedup_pairs(df: DataFrame, centroids,
                    threshold: float = 0.95,
                    vec_col: str = "embedding",
@@ -1267,7 +1332,8 @@ def semdedup_pairs(df: DataFrame, centroids,
                    persist_celled: bool | None = None,
                    assign_method: str = "auto",
                    n_probe: int = 1,
-                   probe_margin: float | str | None = "auto"
+                   probe_margin: float | str | None = "auto",
+                   cell_task_cap: int | None = 4096
                    ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -1308,7 +1374,22 @@ def semdedup_pairs(df: DataFrame, centroids,
     (see :func:`assign_cells_multi` for the triangle-inequality
     argument).  Pass an explicit float for non-normalized corpora
     (2x the largest pair distance you must not miss), or ``None`` to
-    probe all ``n_probe`` cells unconditionally."""
+    probe all ``n_probe`` cells unconditionally.
+
+    ``cell_task_cap`` (r9) bounds the pair work a single task can be
+    handed: when any cell's member count exceeds the cap (measured by
+    one cheap count aggregate), that cell's self-join is decomposed
+    into a salted block grid (:func:`_blocked_pair_join`) — EXACT
+    (identical pairs, no recall change), it only re-parallelizes the
+    quadratic within-cell work that otherwise serializes into one
+    join-key task (a shape AQE's skew split cannot touch; found at
+    sf10 where replica-clustered embeddings put 33k vectors in one
+    md5-hyperplane cell = 5.6x10⁸ cosine evaluations on one core).
+    Raising k is still the first-order fix when the QUANTIZER can
+    spread the data (train with kmeans_fit); the cap is the guard for
+    when it cannot — clustered corpora under untrained centroids.
+    ``None`` disables the probe and the salting (r7/r8 plan shape,
+    byte-identical)."""
     from .util import SMALL_CORPUS_BYTES, fan_out, plan_size_bytes
 
     if persist_celled is None:
@@ -1358,8 +1439,12 @@ def semdedup_pairs(df: DataFrame, centroids,
         # order the pair key explicitly and dedupe (a home-home pair
         # arrives once from each orientation; cosine is symmetric, so
         # the vector columns need no swap)
+        tmap = (_fat_cell_tmap(celled, cell_task_cap)
+                if cell_task_cap is not None else None)
+        joined = (a.join(b, on="__cell", how="inner") if tmap is None
+                  else _blocked_pair_join(a, b, tmap, symmetric=False))
         cands = (
-            a.join(b, on="__cell", how="inner")
+            joined
             .filter(F.col("id_a") != F.col("id_b"))
             .select(
                 F.least("id_a", "id_b").alias("id_a"),
@@ -1385,10 +1470,27 @@ def semdedup_pairs(df: DataFrame, centroids,
             F.col("__cell"), F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
         )
-        cands = (
-            a.join(b, on="__cell", how="inner")
-            .filter(F.col("id_a") < F.col("id_b"))
-        )
+        tmap = (_fat_cell_tmap(celled, cell_task_cap)
+                if cell_task_cap is not None else None)
+        if tmap is None:
+            cands = (
+                a.join(b, on="__cell", how="inner")
+                .filter(F.col("id_a") < F.col("id_b"))
+            )
+        else:
+            # triangle blocks: off-diagonal blocks hold each unordered
+            # pair once in salt order (either id order — canonicalize),
+            # diagonal blocks fall back to the id order
+            cands = (
+                _blocked_pair_join(a, b, tmap, symmetric=True)
+                .filter((F.col("__bi") < F.col("__bj"))
+                        | (F.col("id_a") < F.col("id_b")))
+                .select(
+                    F.least("id_a", "id_b").alias("id_a"),
+                    F.greatest("id_a", "id_b").alias("id_b"),
+                    "va", "vb", "na", "nb",
+                )
+            )
     return (
         cands.select(
             "id_a", "id_b",
@@ -1410,18 +1512,21 @@ def semdedup(df: DataFrame, centroids,
              max_iter: int = 30,
              assign_method: str = "auto",
              n_probe: int = 1,
-             probe_margin: float | str | None = "auto") -> DataFrame:
+             probe_margin: float | str | None = "auto",
+             cell_task_cap: int | None = 4096) -> DataFrame:
     """End-to-end SemDeDup: within-cell cosine pairs -> connected
     components -> keep only the canonical (minimum-id) row of every
     semantic-duplicate cluster.  The non-canonical id set is tiny
     relative to the corpus, so Catalyst broadcasts the anti-join and
     the full table is read exactly once (same shape as
-    ``dedup.neardup_dedup``)."""
+    ``dedup.neardup_dedup``).  ``cell_task_cap`` passes through to
+    :func:`semdedup_pairs` (fat-cell block decomposition)."""
     from .dedup import connected_components
 
     pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col,
                            assign_method=assign_method, n_probe=n_probe,
-                           probe_margin=probe_margin)
+                           probe_margin=probe_margin,
+                           cell_task_cap=cell_task_cap)
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iter=max_iter)
     losers = comp.filter(F.col("node") != F.col("comp")) \

@@ -378,6 +378,7 @@ def span_cut_stream(docs: DataFrame, dup_hashes: DataFrame,
 def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
                           out_path: str, checkpoint: str, *,
                           threshold: float = 0.7, admit: bool = True,
+                          maintain_every: int | None = None,
                           probe_strategy: str = "broadcast",
                           available_now: bool = False,
                           trigger_seconds: int | None = None):
@@ -410,6 +411,15 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
       are ignored, which requires GLOBALLY UNIQUE doc ids across the
       stream — the same uniqueness every dedup op here assumes.
 
+    ``maintain_every=N`` (r9) runs
+    ``extras.dedup.minhash_index_maintain`` after every batch whose
+    ``batch_id % N == N - 1`` (id-keyed — replays re-fire the same
+    fold idempotently): replay-duplicate bucket rows are dropped and
+    the batch-sized append files compact, via journaled atomic swap
+    between micro-batches.  Leave ``None`` when other concurrent
+    readers query ``index_path`` directly, and run the maintenance
+    manually at a quiet moment.
+
     ``probe_strategy`` defaults to ``"broadcast"`` (NOT ``"auto"``):
     micro-batch plans from streaming sources often carry no size
     statistics, and auto's stats-unknown fallback would silently
@@ -423,7 +433,9 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
     from pyspark.sql import functions as F
 
     from ..extras.dedup import (_append_probe_buckets,
-                                _lookup_from_buckets, _probe_buckets,
+                                _lookup_from_buckets,
+                                _probe_buckets,
+                                minhash_index_maintain,
                                 read_minhash_meta)
 
     spark = stream_docs.sparkSession
@@ -432,6 +444,13 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
     if probe_strategy not in ("broadcast", "shuffle"):
         raise ValueError(f"probe_strategy must be 'broadcast' or "
                          f"'shuffle', got {probe_strategy!r}")
+    if maintain_every is not None and maintain_every < 1:
+        raise ValueError(f"maintain_every must be >= 1, "
+                         f"got {maintain_every}")
+    if maintain_every is not None and not admit:
+        raise ValueError("maintain_every without admit=True has "
+                         "nothing to compact — the stream never "
+                         "appends to the index")
 
     def process(batch_df, batch_id):
         # the batch is tokenized+minhashed ONCE; the persisted bucket
@@ -459,6 +478,15 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
                 _append_probe_buckets(
                     index_path, meta,
                     pb.join(ids, on="probe_id", how="left_semi"))
+                if (maintain_every is not None
+                        and batch_id % maintain_every
+                        == maintain_every - 1):
+                    # drop replay-duplicate bucket rows and compact the
+                    # batch-sized append files; the swap is a directory
+                    # rename outside Spark's write path, so refresh
+                    # any cached listings of the old directory
+                    minhash_index_maintain(spark, index_path)
+                    spark.catalog.refreshByPath(index_path)
         finally:
             pb.unpersist()
 

@@ -30,6 +30,11 @@ CORPORA = [
     ("/root/testdata/sf0.1/documents.parquet", 20, "5k"),
     ("/root/repo/.scratch/sf1/documents.parquet", 20, "50k"),
     ("/root/repo/.scratch/sf10/documents.parquet", 200, "500k"),
+    # r9 soak decade (VERDICT r8 stretch #9): ~1.8 GB bucket table —
+    # past the point where it lives in page cache alongside the shuffle
+    # working set, which is exactly what the flat-lookup claim must
+    # survive.  gen_scale_corpus.py 1000 ... sf100 documents
+    ("/root/repo/.scratch/sf100/documents.parquet", 2000, "5m"),
 ]
 
 

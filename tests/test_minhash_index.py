@@ -328,3 +328,82 @@ def test_append_refuses_float_id_precision_loss(spark, tmp_path):
         "doc_id long, text string")
     with pytest.raises(ValueError, match="collide"):
         dedup.minhash_index_append(spark, path, inc)
+
+
+# ---------------------------------------------------------------------------
+# r9: minhash_index_maintain — compaction + replay-duplicate removal
+# with the journaled atomic swap (the minhash twin of ivfpq_maintain's
+# dedup_ids lane)
+# ---------------------------------------------------------------------------
+
+def _maintain_fixture(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "an entirely different document about spark engines"),
+         (3, "a third unrelated text body with distinct words")],
+        "doc_id long, text string")
+    path = str(tmp_path / "midx")
+    dedup.write_minhash_index(docs, path)
+    return docs, path
+
+
+def test_minhash_maintain_dedups_replayed_appends(spark, tmp_path):
+    docs, path = _maintain_fixture(spark, tmp_path)
+    n0 = spark.read.parquet(path).count()
+    probe = spark.createDataFrame(
+        [(9001, "fresh arriving words never indexed before today")],
+        "doc_id long, text string")
+    lookup_before = sorted(
+        (r["probe_id"], r["index_id"]) for r in
+        dedup.minhash_index_lookup(spark, path, docs,
+                                   threshold=0.9).collect())
+    # simulate an at-least-once replay: the same docs appended twice
+    dedup.minhash_index_append(spark, path, docs.filter("doc_id <= 2"))
+    dedup.minhash_index_append(spark, path, docs.filter("doc_id <= 2"))
+    assert spark.read.parquet(path).count() > n0
+    stats = dedup.minhash_index_maintain(spark, path)
+    assert stats["recovered"] is None
+    idx = spark.read.parquet(path)
+    assert idx.count() == n0
+    assert idx.groupBy("doc_id", "band").count() \
+        .filter(F.col("count") > 1).count() == 0
+    # sidecar survives the swap and lookups are unchanged
+    assert dedup.read_minhash_meta(spark, path)["format"] \
+        == "minhashlsh/1"
+    lookup_after = sorted(
+        (r["probe_id"], r["index_id"]) for r in
+        dedup.minhash_index_lookup(spark, path, docs,
+                                   threshold=0.9).collect())
+    assert lookup_after == lookup_before
+    assert dedup.minhash_index_lookup(spark, path, probe,
+                                      threshold=0.5).count() == 0
+
+
+def test_minhash_maintain_journal_recovery(spark, tmp_path):
+    """The four-state recovery decision table, exercised on the two
+    states a crash most plausibly leaves: stale .__new with the live
+    index intact (phase-2 crash -> roll back), and a journal with only
+    .__old surviving (crash between the two renames -> roll back to
+    .__old)."""
+    import shutil as _sh
+
+    from pydiverse_transform_spark.extras.util import fs_write_json
+
+    docs, path = _maintain_fixture(spark, tmp_path)
+    n0 = spark.read.parquet(path).count()
+    # state: index ∧ .__new (+ journal) -> delete stale .__new
+    _sh.copytree(path, path + ".__new")
+    fs_write_json(spark, path + ".__swap", {"index": path})
+    stats = dedup.minhash_index_maintain(spark, path)
+    assert stats["recovered"] == "rolled_back_stale_new"
+    assert spark.read.parquet(path).count() == n0
+    # state: ¬index ∧ .__old (+ journal) -> .__old becomes index again
+    _sh.move(path, path + ".__old")
+    fs_write_json(spark, path + ".__swap", {"index": path})
+    stats = dedup.minhash_index_maintain(spark, path)
+    assert stats["recovered"] == "rolled_back_old"
+    assert spark.read.parquet(path).count() == n0
+    # wrong-index journal refuses loudly
+    fs_write_json(spark, path + ".__swap", {"index": "/elsewhere"})
+    with pytest.raises(IOError, match="refusing"):
+        dedup.minhash_index_maintain(spark, path)

@@ -196,3 +196,75 @@ def test_neardup_filter_new_admit_edge_lane(spark, tmp_path):
             [(1, ""), (2, None), (3, "   "), (4, "real words here ok")],
             "doc_id long, text string"), threshold=0.7)
     assert sorted(r["doc_id"] for r in batch_kept.collect()) == [1, 4]
+
+
+# ---------------------------------------------------------------------------
+# r9: fat-cell block decomposition for semdedup_pairs — EXACT pair
+# parity with the plain join, across both probe lanes, plus actual
+# multi-key distribution of a forced fat cell
+# ---------------------------------------------------------------------------
+
+def _emb9(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.mark.parametrize("n_probe", [1, 2])
+def test_blocked_pairs_exact_parity(spark, n_probe):
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = _emb9(spark)
+    cents = sim.hyperplanes(64, 4, seed="blk")  # few cells => all fat
+    kw = dict(threshold=0.2, n_probe=n_probe, probe_margin=None,
+              assign_method="numpy")
+    plain = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in
+        sim.semdedup_pairs(emb, cents, cell_task_cap=None,
+                           **kw).collect())
+    blocked = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in
+        sim.semdedup_pairs(emb, cents, cell_task_cap=20,
+                           **kw).collect())
+    assert len(plain) > 0
+    assert blocked == plain
+    # a cap larger than every cell leaves the plain path (no blocks)
+    untouched = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in
+        sim.semdedup_pairs(emb, cents, cell_task_cap=10**9,
+                           **kw).collect())
+    assert untouched == plain
+
+
+def test_blocked_pairs_distribute_fat_cell(spark):
+    """The decomposition's point: one fat cell's pair space becomes
+    MANY join keys (t x t triangle blocks), so the quadratic work can
+    spread over tasks instead of serializing on one."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity as sim
+    from pydiverse_transform_spark.extras.similarity import (
+        _blocked_pair_join, _fat_cell_tmap,
+    )
+
+    emb = _emb9(spark)
+    one_cell = [[0.0] * 64]  # every vector lands in cell 0
+    celled = sim.assign_cells(emb, one_cell, method="numpy")
+    tmap = _fat_cell_tmap(celled, cap=50)   # 500 rows -> t = 10
+    assert tmap is not None
+    got_t = tmap.collect()
+    assert [(r["__cell"], r["__t"]) for r in got_t] == [(0, 10)]
+    a = celled.select("__cell", F.col("vec_id").alias("id_a"))
+    b = celled.select("__cell", F.col("vec_id").alias("id_b"))
+    joined = _blocked_pair_join(a, b, tmap, symmetric=True)
+    pairs = joined.filter(
+        (F.col("__bi") < F.col("__bj"))
+        | (F.col("id_a") < F.col("id_b")))
+    # triangle block count: t*(t+1)/2 = 55 distinct join keys
+    n_blocks = pairs.select("__bi", "__bj").distinct().count()
+    assert n_blocks == 55
+    # and exactness at the raw-pair level: C(500, 2) unordered pairs
+    canon = pairs.select(
+        F.least("id_a", "id_b").alias("a"),
+        F.greatest("id_a", "id_b").alias("b")).distinct()
+    n = emb.count()
+    assert pairs.count() == n * (n - 1) // 2   # no duplicates at all
+    assert canon.count() == n * (n - 1) // 2

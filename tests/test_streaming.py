@@ -933,3 +933,49 @@ def test_ivfpq_maintain_dedup_ids_base_only(spark, tmp_path):
         .filter(F.col("count") > 1).count() == 0
     # sidecar carried over: path-only querying still works
     assert sim.read_ivfpq_meta(spark, idx)["n_cells"] == 4
+
+
+def test_neardup_ingest_maintain_hook_folds_replay_duplicates(spark):
+    """r9: maintain_every on the minhash ingest stream — a full replay
+    re-appends every admitted batch's bucket rows; the hook folds the
+    duplicates away, leaving one row per (doc, band) and unchanged
+    filtering."""
+    from pydiverse_transform_spark.extras import dedup
+
+    idx, out, ckpt, src, docs = _ingest_fixture(spark, "maint9")
+    novel1 = "quasar lattice ember fjord zenith cobalt rustle python"
+    novel2 = "meadow cipher violet tundra orbit ledger puffin stanza"
+    _write_one_file(spark, [(9201, novel1)],
+                    os.path.join(src, "b1.parquet"))
+    import time as _t
+    _t.sleep(1.2)
+    _write_one_file(spark, [(9202, novel2)],
+                    os.path.join(src, "b2.parquet"))
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = st.read_event_stream(
+            spark, src,
+            schema=spark.read.parquet(src + "/b1.parquet").schema,
+            max_files_per_trigger=1)
+        q = st.neardup_ingest_stream(stream, idx, out, ckpt,
+                                     threshold=0.7, admit=True,
+                                     maintain_every=1,
+                                     available_now=True)
+        assert q.awaitTermination(240)
+
+    run()
+    base_rows = spark.read.parquet(idx).count()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    run()   # full replay: re-appends, hook folds
+    idx_df = spark.read.parquet(idx)
+    assert idx_df.count() == base_rows
+    assert idx_df.groupBy("doc_id", "band").count() \
+        .filter(F.col("count") > 1).count() == 0
+    surv = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert surv == {9201, 9202}
+    # the folded index still matches future arrivals of the admitted docs
+    probe = spark.createDataFrame([(9301, novel1)], schema)
+    hits = dedup.minhash_index_lookup(spark, idx, probe, threshold=0.9)
+    assert {r["index_id"] for r in hits.collect()} == {9201}
