@@ -1325,6 +1325,112 @@ def _blocked_pair_join(a: DataFrame, b: DataFrame, tmap: DataFrame,
                          how="inner")
 
 
+def _pairs_numpy_kernel(threshold: float, id_col: str, vec_col: str,
+                        row_block: int = 2048):
+    """applyInPandas kernel emitting (id_a, id_b, cos_sim) pairs with
+    rounded cosine >= threshold inside one cell / one salted block.
+    One BLAS matmul per ``row_block`` rows instead of one interpreted
+    Catalyst ArrayAggregate per PAIR — measured ~1000x on fat cells
+    (the sf10 33k-member cell: 5.6e8 pairs = ~37 min interpreted, ~5 s
+    here).  The sim matrix is blocked so peak memory is
+    row_block x n_group floats, never n².
+
+    Group frames carry a ``__side`` flag when they come from the
+    salted block grid: diagonal blocks (bi == bj) hold the same rows
+    on both sides and reduce to the triangle case; off-diagonal blocks
+    compute the A x B cross product and canonicalize ids (cosine is
+    symmetric).  Rounding note: np.round is half-even while Spark's
+    round is half-up — a pair whose cosine lands EXACTLY on a 5e-7
+    boundary can differ between backends; the parity test pins
+    agreement on real data."""
+    import numpy as np
+    import pandas as pd
+
+    def _stack(frame):
+        ids = frame[id_col].to_numpy()
+        X = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in frame[vec_col]])
+        n = np.sqrt((X * X).sum(axis=1))
+        return ids, X, n
+
+    def _emit(ia, ib, cs):
+        return pd.DataFrame({"id_a": np.minimum(ia, ib),
+                             "id_b": np.maximum(ia, ib),
+                             "cos_sim": cs})
+
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
+
+    def fn(pdf):
+        if len(pdf) == 0:
+            return empty
+        cross = ("__side" in pdf.columns
+                 and pdf["__bi"].iat[0] != pdf["__bj"].iat[0])
+        out = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if cross:
+                a = pdf[pdf["__side"] == 0]
+                b = pdf[pdf["__side"] == 1]
+                if len(a) == 0 or len(b) == 0:
+                    return empty
+                ia, Xa, na = _stack(a)
+                ib, Xb, nb = _stack(b)
+                for s in range(0, len(ia), row_block):
+                    e = min(s + row_block, len(ia))
+                    sims = np.round(
+                        (Xa[s:e] @ Xb.T) / np.outer(na[s:e], nb), 6)
+                    r, c = np.nonzero(sims >= threshold)
+                    if len(r):
+                        out.append(_emit(ia[s:e][r], ib[c],
+                                         sims[r, c]))
+            else:
+                rows = (pdf[pdf["__side"] == 0]
+                        if "__side" in pdf.columns else pdf)
+                if len(rows) < 2:
+                    return empty
+                # sort by id so the positional upper triangle IS the
+                # id_a < id_b contract
+                rows = rows.sort_values(id_col)
+                ids, X, nrm = _stack(rows)
+                for s in range(0, len(ids), row_block):
+                    e = min(s + row_block, len(ids))
+                    sims = np.round(
+                        (X[s:e] @ X.T) / np.outer(nrm[s:e], nrm), 6)
+                    r, c = np.nonzero(sims >= threshold)
+                    keep = c > (r + s)          # strict upper triangle
+                    r, c = r[keep], c[keep]
+                    if len(r):
+                        out.append(_emit(ids[s:e][r], ids[c],
+                                         sims[r, c]))
+        return pd.concat(out) if out else empty
+
+    return fn
+
+
+def _numpy_block_frames(rows: DataFrame, tmap: DataFrame,
+                        id_col: str) -> DataFrame:
+    """Row-level twin of :func:`_blocked_pair_join` for the numpy pair
+    backend: every member row is exploded into its triangle-block
+    memberships with a ``__side`` flag (0 = A occurrences, 1 = B), so
+    one ``groupBy(cell, bi, bj)`` group carries exactly the rows of
+    one block."""
+    one = F.lit(1)
+    t = rows.join(F.broadcast(tmap), on="__cell", how="left") \
+        .withColumn("__t", F.coalesce(F.col("__t"), one))
+    s = F.pmod(F.xxhash64(F.col(id_col)), F.col("__t")).cast("int")
+    a = (t.withColumn("__bi", s)
+         .withColumn("__bj", F.explode(
+             F.sequence(F.col("__bi"), F.col("__t") - 1)))
+         .withColumn("__side", F.lit(0)).drop("__t"))
+    b = (t.withColumn("__bj", s)
+         .withColumn("__bi", F.explode(
+             F.sequence(F.lit(0), F.col("__bj"))))
+         .withColumn("__side", F.lit(1)).drop("__t"))
+    # diagonal blocks hold identical row sets on both sides; keep only
+    # the A occurrence there (the kernel triangles it)
+    return a.unionByName(
+        b.filter(F.col("__bi") != F.col("__bj")))
+
+
 def semdedup_pairs(df: DataFrame, centroids,
                    threshold: float = 0.95,
                    vec_col: str = "embedding",
@@ -1333,7 +1439,8 @@ def semdedup_pairs(df: DataFrame, centroids,
                    assign_method: str = "auto",
                    n_probe: int = 1,
                    probe_margin: float | str | None = "auto",
-                   cell_task_cap: int | None = 4096
+                   cell_task_cap: int | None = 4096,
+                   pair_backend: str = "auto"
                    ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -1389,9 +1496,43 @@ def semdedup_pairs(df: DataFrame, centroids,
     spread the data (train with kmeans_fit); the cap is the guard for
     when it cannot — clustered corpora under untrained centroids.
     ``None`` disables the probe and the salting (r7/r8 plan shape,
-    byte-identical)."""
+    byte-identical).
+
+    ``pair_backend`` (r9) picks how candidate cosines are evaluated on
+    the single-probe lane:
+
+    - ``"sql"`` — codegen join + Catalyst ``aggregate`` dot
+      product.  Zero Python in the plan; the oracle-exact path (Spark
+      round = half-up).  Right while cells are small: the per-pair
+      interpreted ArrayAggregate (~4 µs) never dominates.
+    - ``"numpy"`` — Arrow-batched ``applyInPandas`` per cell (or per
+      salted block when a cell exceeds ``cell_task_cap``): one BLAS
+      matmul per 2048-row block instead of one interpreted
+      ArrayAggregate per PAIR — ~1000x on pair-dense cells, the
+      backend for clustered corpora where most pairs share few cells.
+      Same pairs; cosines can differ from ``"sql"`` only for values
+      landing EXACTLY on a 5e-7 rounding boundary (np.round is
+      half-even).  Not yet implemented for ``n_probe > 1``.
+    - ``"auto"`` (default) — ``numpy`` exactly when a fat cell exists
+      (the same ``cell_task_cap`` probe that triggers the block
+      decomposition), else ``sql``.  Rationale: the block grid fixes
+      the one-task serialization, but AQE's BYTES-based partition
+      coalescing then merges many small-byte blocks back into few
+      tasks — blind to their quadratic CPU — so the interpreted
+      backend stays slow on fat cells no matter how the join is cut;
+      only dropping the per-pair cost ~1000x actually closes it
+      (measured at sf10).  Below the cap the two backends cost about
+      the same and ``sql`` keeps plans Python-free and oracle-exact.
+    """
     from .util import SMALL_CORPUS_BYTES, fan_out, plan_size_bytes
 
+    if pair_backend not in ("auto", "sql", "numpy"):
+        raise ValueError(f"pair_backend must be 'auto', 'sql' or "
+                         f"'numpy', got {pair_backend!r}")
+    if pair_backend == "numpy" and n_probe > 1:
+        raise ValueError("pair_backend='numpy' supports the "
+                         "single-probe lane only; use n_probe=1 or "
+                         "pair_backend='sql'")
     if persist_celled is None:
         persist_celled = plan_size_bytes(df) <= SMALL_CORPUS_BYTES
     src = fan_out(df).select(F.col(id_col), F.col(vec_col))
@@ -1462,6 +1603,25 @@ def semdedup_pairs(df: DataFrame, centroids,
         ).withColumn("__norm", norm(F.col(vec_col)))
         if persist_celled:
             celled = celled.persist()
+        tmap = (_fat_cell_tmap(celled, cell_task_cap)
+                if cell_task_cap is not None else None)
+        backend = pair_backend
+        if backend == "auto":
+            backend = "numpy" if tmap is not None else "sql"
+        if backend == "numpy":
+            # null cells (null/dim-mismatched vectors) join nothing on
+            # the sql path (null != null); drop them before grouping
+            rows = celled.filter(F.col("__cell").isNotNull()) \
+                .select("__cell", F.col(id_col), F.col(vec_col))
+            idt = df.schema[id_col].dataType.simpleString()
+            out_schema = f"id_a {idt}, id_b {idt}, cos_sim double"
+            kernel = _pairs_numpy_kernel(threshold, id_col, vec_col)
+            if tmap is None:
+                return rows.groupBy("__cell") \
+                    .applyInPandas(kernel, out_schema)
+            return (_numpy_block_frames(rows, tmap, id_col)
+                    .groupBy("__cell", "__bi", "__bj")
+                    .applyInPandas(kernel, out_schema))
         a = celled.select(
             F.col("__cell"), F.col(id_col).alias("id_a"),
             F.col(vec_col).alias("va"), F.col("__norm").alias("na"),
@@ -1470,8 +1630,6 @@ def semdedup_pairs(df: DataFrame, centroids,
             F.col("__cell"), F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("vb"), F.col("__norm").alias("nb"),
         )
-        tmap = (_fat_cell_tmap(celled, cell_task_cap)
-                if cell_task_cap is not None else None)
         if tmap is None:
             cands = (
                 a.join(b, on="__cell", how="inner")
@@ -1513,20 +1671,23 @@ def semdedup(df: DataFrame, centroids,
              assign_method: str = "auto",
              n_probe: int = 1,
              probe_margin: float | str | None = "auto",
-             cell_task_cap: int | None = 4096) -> DataFrame:
+             cell_task_cap: int | None = 4096,
+             pair_backend: str = "auto") -> DataFrame:
     """End-to-end SemDeDup: within-cell cosine pairs -> connected
     components -> keep only the canonical (minimum-id) row of every
     semantic-duplicate cluster.  The non-canonical id set is tiny
     relative to the corpus, so Catalyst broadcasts the anti-join and
     the full table is read exactly once (same shape as
-    ``dedup.neardup_dedup``).  ``cell_task_cap`` passes through to
-    :func:`semdedup_pairs` (fat-cell block decomposition)."""
+    ``dedup.neardup_dedup``).  ``cell_task_cap`` and ``pair_backend``
+    pass through to :func:`semdedup_pairs` (fat-cell block
+    decomposition / BLAS pair kernel)."""
     from .dedup import connected_components
 
     pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col,
                            assign_method=assign_method, n_probe=n_probe,
                            probe_margin=probe_margin,
-                           cell_task_cap=cell_task_cap)
+                           cell_task_cap=cell_task_cap,
+                           pair_backend=pair_backend)
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iter=max_iter)
     losers = comp.filter(F.col("node") != F.col("comp")) \

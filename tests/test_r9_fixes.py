@@ -268,3 +268,61 @@ def test_blocked_pairs_distribute_fat_cell(spark):
     n = emb.count()
     assert pairs.count() == n * (n - 1) // 2   # no duplicates at all
     assert canon.count() == n * (n - 1) // 2
+
+
+@pytest.mark.parametrize("cap", [None, 20])
+def test_numpy_pair_backend_parity(spark, cap):
+    """The BLAS pair kernel must return the SAME pairs and cosines as
+    the codegen sql path — with and without the fat-cell block grid —
+    on real embeddings (last-ulp rounding-boundary divergence is the
+    only documented escape, and real data does not sit on 5e-7
+    boundaries)."""
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = _emb9(spark)
+    cents = sim.hyperplanes(64, 4, seed="blk")
+    kw = dict(threshold=0.2, assign_method="numpy")
+
+    def run(backend):
+        return sorted(
+            (r["id_a"], r["id_b"], r["cos_sim"]) for r in
+            sim.semdedup_pairs(emb, cents, cell_task_cap=cap,
+                               pair_backend=backend, **kw).collect())
+
+    sql_pairs = run("sql")
+    np_pairs = run("numpy")
+    assert len(sql_pairs) > 0
+    assert np_pairs == sql_pairs
+
+
+def test_pair_backend_auto_and_validation(spark):
+    """auto == sql when no cell is fat (byte-identical result, and the
+    sf0.01 driver-gate path), numpy when one is; numpy rejects the
+    multi-probe lane."""
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = _emb9(spark)
+    cents = sim.hyperplanes(64, 4, seed="blk")
+    auto_fat = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in
+        sim.semdedup_pairs(emb, cents, threshold=0.2, cell_task_cap=20,
+                           assign_method="numpy").collect())
+    explicit = sorted(
+        (r["id_a"], r["id_b"], r["cos_sim"]) for r in
+        sim.semdedup_pairs(emb, cents, threshold=0.2, cell_task_cap=20,
+                           pair_backend="numpy",
+                           assign_method="numpy").collect())
+    assert auto_fat == explicit
+    with pytest.raises(ValueError, match="single-probe"):
+        sim.semdedup_pairs(emb, cents, n_probe=2,
+                           pair_backend="numpy")
+    with pytest.raises(ValueError, match="pair_backend"):
+        sim.semdedup_pairs(emb, cents, pair_backend="bogus")
+    # end-to-end: semdedup survivors identical across backends
+    keep_sql = {r["vec_id"] for r in
+                sim.semdedup(emb, cents, threshold=0.4,
+                             pair_backend="sql").collect()}
+    keep_np = {r["vec_id"] for r in
+               sim.semdedup(emb, cents, threshold=0.4, cell_task_cap=20,
+                            pair_backend="numpy").collect()}
+    assert keep_np == keep_sql
