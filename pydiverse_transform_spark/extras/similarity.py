@@ -1439,7 +1439,7 @@ def semdedup_pairs(df: DataFrame, centroids,
                    assign_method: str = "auto",
                    n_probe: int = 1,
                    probe_margin: float | str | None = "auto",
-                   cell_task_cap: int | None = 4096,
+                   cell_task_cap: int | None = 2048,
                    pair_backend: str = "auto"
                    ) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
@@ -1492,11 +1492,15 @@ def semdedup_pairs(df: DataFrame, centroids,
     join-key task (a shape AQE's skew split cannot touch; found at
     sf10 where replica-clustered embeddings put 33k vectors in one
     md5-hyperplane cell = 5.6x10⁸ cosine evaluations on one core).
-    Raising k is still the first-order fix when the QUANTIZER can
-    spread the data (train with kmeans_fit); the cap is the guard for
-    when it cannot — clustered corpora under untrained centroids.
-    ``None`` disables the probe and the salting (r7/r8 plan shape,
-    byte-identical).
+    The default (2048) is an interpreted-pair-work budget: 2048² ≈
+    4M ArrayAggregate cosines ≈ 17 s on one core is the most a cell is
+    allowed to cost before the decomposition + BLAS backend take over
+    (4096 left a 3.6k-member cell at sf1 paying ~32 s of interpreted
+    quadratic work just under the trigger).  Raising k is still the
+    first-order fix when the QUANTIZER can spread the data (train
+    with kmeans_fit); the cap is the guard for when it cannot —
+    clustered corpora under untrained centroids.  ``None`` disables
+    the probe and the salting (r7/r8 plan shape, byte-identical).
 
     ``pair_backend`` (r9) picks how candidate cosines are evaluated on
     the single-probe lane:
@@ -1671,7 +1675,7 @@ def semdedup(df: DataFrame, centroids,
              assign_method: str = "auto",
              n_probe: int = 1,
              probe_margin: float | str | None = "auto",
-             cell_task_cap: int | None = 4096,
+             cell_task_cap: int | None = 2048,
              pair_backend: str = "auto") -> DataFrame:
     """End-to-end SemDeDup: within-cell cosine pairs -> connected
     components -> keep only the canonical (minimum-id) row of every
