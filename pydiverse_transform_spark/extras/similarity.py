@@ -1261,17 +1261,25 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
 
 
 def _fat_cell_tmap(celled: DataFrame, cap: int):
-    """(cell -> t) for cells whose member count exceeds ``cap``
-    (t = ceil(count / cap)), or None when no cell is fat.  One
-    map-side-combined count aggregate + a bounded collect (at most k
-    rows reach the driver check)."""
-    counts = celled.groupBy("__cell").count()
-    tmap = counts.filter(F.col("count") > cap).select(
-        "__cell",
-        F.ceil(F.col("count") / cap).cast("int").alias("__t"))
-    if tmap.limit(1).isEmpty():
+    """(cell -> t) DataFrame for cells whose member count exceeds
+    ``cap`` (t = ceil(count / cap)), or None when no cell is fat.
+    One map-side-combined count aggregate, COLLECTED once (at most k
+    rows) and rebuilt as a literal frame — leaving it lazy would
+    re-run the full celled aggregation for every downstream
+    evaluation (the probe check plus each broadcast exchange), which
+    at corpus scale with persist_celled=False is one extra corpus
+    pass apiece."""
+    rows = (celled.groupBy("__cell").count()
+            .filter(F.col("count") > cap)
+            .select("__cell",
+                    F.ceil(F.col("count") / cap).cast("int")
+                    .alias("__t"))
+            .collect())
+    if not rows:
         return None
-    return tmap
+    return celled.sparkSession.createDataFrame(
+        [(r["__cell"], r["__t"]) for r in rows],
+        "__cell int, __t int")
 
 
 def _blocked_pair_join(a: DataFrame, b: DataFrame, tmap: DataFrame,
@@ -1537,6 +1545,10 @@ def semdedup_pairs(df: DataFrame, centroids,
         raise ValueError("pair_backend='numpy' supports the "
                          "single-probe lane only; use n_probe=1 or "
                          "pair_backend='sql'")
+    if cell_task_cap is not None and cell_task_cap < 1:
+        raise ValueError(
+            f"cell_task_cap must be >= 1 (or None to disable the "
+            f"fat-cell probe entirely), got {cell_task_cap}")
     if persist_celled is None:
         persist_celled = plan_size_bytes(df) <= SMALL_CORPUS_BYTES
     src = fan_out(df).select(F.col(id_col), F.col(vec_col))
@@ -1663,7 +1675,13 @@ def semdedup_pairs(df: DataFrame, centroids,
                 ), 6
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # NaN guard: Spark's ordering treats NaN as LARGEST, so a bare
+        # >= threshold would EMIT pairs of NaN-component vectors (and
+        # the numpy backend would not — np comparisons are False on
+        # NaN).  A NaN cosine is unmatchable, same contract as the
+        # ingest admit lanes; both backends now agree (pinned in
+        # tests/test_r9_fixes.py)
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
     )
 
 
@@ -2059,9 +2077,11 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
     centroid matrix pre-converted to a (k, dim) float64 ndarray for
     query-time probe selection.  Parsed sidecars are cached per path
     and invalidated by (file modification time, byte length); each
-    call returns a fresh shallow copy, so mutating or re-serializing
-    the result (minus the ``_centroids_np`` ndarray, which IS shared)
-    cannot poison later queries.  Pass ``use_cache=False`` to force a
+    call returns a fresh SHALLOW copy — adding/removing/replacing keys
+    on the result cannot poison later queries, but the nested values
+    (the ``centroids``/``codebooks`` lists and the ``_centroids_np``
+    ndarray) are SHARED with the cache: treat them as read-only, or
+    copy before mutating.  Pass ``use_cache=False`` to force a
     re-read."""
     from .util import fs_read_json, fs_stat
 
@@ -2444,6 +2464,17 @@ def _check_integral_narrowing(src_dt, dst_dt, col: str, *,
                 "integral-to-floating cast (ids beyond the float "
                 "type's exact-integer range would silently collide); "
                 "rebuild the index with an integral id column")
+    if id_col and src_dt.typeName() in ("float", "double") \
+            and d is not None:
+        # the reverse direction loses information too: a float-typed
+        # id cast into an integral index TRUNCATES fractional values
+        # and (ANSI off) wraps out-of-range ones — colliding ids
+        raise ValueError(
+            f"id column {col!r} is {src_dt.simpleString()} but the "
+            f"index stores {dst_dt.simpleString()}: refusing the "
+            "floating-to-integral cast (fractional/out-of-range ids "
+            "would silently truncate or wrap); cast the increment's "
+            "ids to an exact integral type explicitly first")
 
 
 def _align_to_index_schema(spark, index_path: str, df: DataFrame,
@@ -2499,10 +2530,14 @@ def _embedding_hit_pairs(spark, index_path: str, meta: dict,
         idx = idx.filter(F.col("cell").isin(cells))
     idx = idx.select(F.col(id_col).alias("__iid"),
                      F.col(vec_col).alias("__iv"), "cell")
+    # NaN guard (r9): Spark predicates treat NaN as LARGER than any
+    # value, so a NaN cosine (NaN-component probe x indexed vector)
+    # would count as a hit and silently DROP the arrival; a NaN cosine
+    # is unmatchable under the admit-lane contract
+    cos = F.round(cosine(F.col("__pv"), F.col("__iv")), 6)
     return (
         probed.join(idx, on="cell", how="inner")
-        .filter(F.round(cosine(F.col("__pv"), F.col("__iv")), 6)
-                >= threshold)
+        .filter(~F.isnan(cos) & (cos >= threshold))
         .select("__pid", "__iid")
     )
 

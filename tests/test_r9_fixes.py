@@ -41,6 +41,11 @@ from pydiverse_transform_spark.extras.similarity import (
     # double-vectors-into-float-index alignment)
     (T.DoubleType(), T.FloatType(), False, True),
     (T.DoubleType(), T.FloatType(), True, True),
+    # floating -> integral, id column: refused (truncation/wrap
+    # collides ids — review finding r9); non-id columns untouched
+    (T.DoubleType(), T.LongType(), True, False),
+    (T.FloatType(), T.IntegerType(), True, False),
+    (T.DoubleType(), T.LongType(), False, True),
     # strings etc. are not this guard's business
     (T.StringType(), T.DoubleType(), True, True),
 ])
@@ -326,3 +331,73 @@ def test_pair_backend_auto_and_validation(spark):
                sim.semdedup(emb, cents, threshold=0.4, cell_task_cap=20,
                             pair_backend="numpy").collect()}
     assert keep_np == keep_sql
+
+
+def test_nan_cosine_pairs_agree_across_backends(spark, tmp_path):
+    """Review finding (r9): Spark predicates treat NaN as LARGER than
+    any value, so the sql lane's bare `cos_sim >= threshold` emitted
+    NaN-cosine pairs the numpy kernel dropped — backend choice changed
+    semdedup survivor sets.  NaN cosines are unmatchable (admit-lane
+    contract); both backends must now drop them.  Vectors go through
+    PARQUET (createDataFrame's Arrow lane can null-out NaNs; parquet
+    preserves them faithfully)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    nan = float("nan")
+    src = str(tmp_path / "v")
+    spark.range(1).select(
+        F.lit(1).alias("vec_id"),
+        F.array(*[F.lit(nan)] * 4).alias("embedding")).unionByName(
+        spark.range(1).select(
+            F.lit(2).alias("vec_id"),
+            F.array(*[F.lit(nan)] * 4).alias("embedding"))
+    ).unionByName(spark.range(1).select(
+        F.lit(3).alias("vec_id"),
+        F.array(F.lit(0.5), F.lit(0.5), F.lit(0.5), F.lit(0.5))
+        .alias("embedding"))).write.parquet(src)
+    emb = spark.read.parquet(src)
+    # vectors really carry NaN (not null) after the parquet round-trip
+    assert emb.filter(F.isnan(F.element_at("embedding", 1))) \
+        .count() == 2
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    for backend in ("sql", "numpy"):
+        pairs = sim.semdedup_pairs(emb, cents, threshold=0.9,
+                                   assign_method="numpy",
+                                   pair_backend=backend).collect()
+        assert pairs == [], backend
+        kept = {r["vec_id"] for r in
+                sim.semdedup(emb, cents, threshold=0.9,
+                             pair_backend=backend).collect()}
+        assert kept == {1, 2, 3}, backend
+
+
+def test_float_id_into_integral_index_refused(spark, tmp_path):
+    """Review finding (r9): the id cast guard was one-directional —
+    double ids arriving at a long-id IVF-PQ index truncated/wrapped
+    silently."""
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = _emb9(spark)   # vec_id long
+    cents = sim.hyperplanes(64, 4, seed="fid")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    path = str(tmp_path / "idx")
+    sim.write_ivfpq(emb, path, cents, cbs, residual=True)
+    inc = spark.createDataFrame(
+        [(9001.5, [1.0] + [0.0] * 63)],
+        "vec_id double, embedding array<double>")
+    with pytest.raises(ValueError, match="floating-to-integral"):
+        sim.embedding_filter_new(spark, path, inc, threshold=0.95,
+                                 n_probe=1, probe_margin=None,
+                                 admit=True).collect()
+
+
+def test_cell_task_cap_validated(spark):
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    emb = _emb9(spark)
+    cents = sim.hyperplanes(64, 4, seed="blk")
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="cell_task_cap"):
+            sim.semdedup_pairs(emb, cents, cell_task_cap=bad)
