@@ -216,7 +216,9 @@ def embedding_neardup_pairs(df: DataFrame, threshold: float = 0.95,
                 ), 6
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # NaN cosines are unmatchable, and Spark's NaN-is-largest
+        # predicate semantics would otherwise pass them (r9)
+        .filter(~F.isnan("cos_sim") & (F.col("cos_sim") >= threshold))
     )
 
 
@@ -1737,10 +1739,22 @@ def semantic_contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
     set), so after the cell filter its celled projection broadcasts;
     the corpus pays one map-only assignment pass and the probe join —
     no corpus shuffle at all when the broadcast fires."""
+    # the corpus-side cell column must NOT be a literal-path codegen
+    # alias: Catalyst's constraint inference substitutes the alias's
+    # lambda expression through the join-key equality and pushes a
+    # predicate REFERENCING CORPUS ATTRS onto the benchmark side —
+    # runtime INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND whenever the inputs'
+    # lineage overlaps or the corpus frame was used in an earlier
+    # higher-order-function query (bisected r9, pinned in
+    # tests/test_r9_fixes.py; the numpy/join assignment lanes are
+    # immune — the Arrow kernel is opaque to constraint inference).
+    # "auto" therefore resolves to the numpy kernel here; pass
+    # method="literal" explicitly only for fresh-lineage inputs.
+    c_method = "numpy" if assign_method == "auto" else assign_method
     c = assign_cells(
         corpus.select(F.col(id_col), F.col(vec_col)),
         centroids, vec_col=vec_col, out_col="__cell", id_col=id_col,
-        method=assign_method,
+        method=c_method,
     ).select(
         F.col(id_col), F.col(vec_col).alias("__vc"), F.col("__cell"),
         norm(F.col(vec_col)).alias("__nc"),
@@ -1753,11 +1767,31 @@ def semantic_contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
         F.col("__cell"), F.col(vec_col).alias("__vb"),
         norm(F.col(vec_col)).alias("__nb"),
     )
-    cos = F.try_divide(dot(F.col("__vc"), F.col("__vb")),
-                       F.col("__nc") * F.col("__nb"))
+    # materialize the benchmark's celled projection as a LITERAL frame
+    # (it is small by definition — an eval set — and broadcasts anyway).
+    # This severs any lineage shared with the corpus: a corpus and
+    # benchmark derived from the same scan otherwise trip a Catalyst
+    # runtime-binding bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) where
+    # relation deduplication misses attribute references inside the
+    # higher-order dot/norm lambdas (found r9, pinned in
+    # tests/test_r9_fixes.py).
+    spark = benchmark.sparkSession
+    b = spark.createDataFrame(b.collect(), b.schema)
+    cos = F.round(F.try_divide(dot(F.col("__vc"), F.col("__vb")),
+                               F.col("__nc") * F.col("__nb")), 6)
     return (
         c.join(F.broadcast(b), on="__cell", how="inner")
-        .filter(F.round(cos, 6) >= threshold)
+        # project the cosine FIRST, filter the projected column (the
+        # semdedup_pairs shape): filtering the raw lambda expression
+        # lets constraint inference synthesize a predicate over the
+        # corpus attrs and mis-push it to the benchmark side —
+        # runtime INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (r9, pinned in
+        # tests/test_r9_fixes.py)
+        .select(F.col(id_col), cos.alias("__cos"))
+        # NaN cosines are unmatchable — without the guard, one
+        # NaN-component benchmark row would flag every corpus row in
+        # its cell as contaminated (Spark NaN-is-largest predicates)
+        .filter(~F.isnan("__cos") & (F.col("__cos") >= threshold))
         .select(id_col)
         .distinct()
     )

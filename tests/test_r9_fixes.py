@@ -401,3 +401,69 @@ def test_cell_task_cap_validated(spark):
     for bad in (0, -1):
         with pytest.raises(ValueError, match="cell_task_cap"):
             sim.semdedup_pairs(emb, cents, cell_task_cap=bad)
+
+
+def test_nan_guard_on_lsh_pairs_and_decontamination(spark, tmp_path):
+    """Same Spark-NaN-passes-predicates hazard, remaining two sites:
+    embedding_neardup_pairs (sign-LSH buckets) and
+    semantic_contaminated_ids (one NaN benchmark row must not flag its
+    whole cell as contaminated)."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    nan = float("nan")
+    src = str(tmp_path / "v")
+    rows = [(1, [nan] * 4), (2, [nan] * 4), (3, [0.5] * 4),
+            (4, [0.5] * 4)]
+    df = None
+    for vid, vec in rows:
+        part = spark.range(1).select(
+            F.lit(vid).alias("vec_id"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("embedding"))
+        df = part if df is None else df.unionByName(part)
+    df.write.parquet(src)
+    emb = spark.read.parquet(src)
+    pairs = sim.embedding_neardup_pairs(emb, threshold=0.9,
+                                        n_planes=2, dim=4).collect()
+    assert sorted((r["id_a"], r["id_b"]) for r in pairs) == [(3, 4)]
+    # a NaN benchmark row flags nothing; the real near-identical row
+    # still flags (fresh read: self-lineage benchmark frames trip
+    # Catalyst attribute binding in the self-join)
+    bench = spark.read.parquet(src) \
+        .filter(F.col("vec_id").isin([1, 3])).select("embedding")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    bad = {r["vec_id"] for r in sim.semantic_contaminated_ids(
+        emb.filter(F.col("vec_id").isin([2, 4])), bench, cents,
+        threshold=0.9).collect()}
+    assert bad == {4}
+
+
+def test_decontaminate_survives_shared_lineage(spark, tmp_path):
+    """Corpus and benchmark derived from the SAME DataFrame/scan used
+    to crash at runtime (Catalyst INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND:
+    relation dedup misses attr refs inside the dot/norm lambdas).  The
+    benchmark's celled projection is now materialized as a literal
+    frame — it is eval-set-sized and broadcasts anyway — severing the
+    shared lineage."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import similarity as sim
+
+    src = str(tmp_path / "v")
+    rows = [(1, [0.5] * 4), (2, [0.51] * 4), (3, [0.0, 1.0, 0.0, 0.0])]
+    df = None
+    for vid, vec in rows:
+        p = spark.range(1).select(
+            F.lit(vid).alias("vec_id"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("embedding"))
+        df = p if df is None else df.unionByName(p)
+    df.write.parquet(src)
+    emb = spark.read.parquet(src)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    # same-object lineage on both sides — the crash shape
+    bad = {r["vec_id"] for r in sim.semantic_contaminated_ids(
+        emb.filter(F.col("vec_id").isin([2, 3])),
+        emb.filter(F.col("vec_id") == 1).select("embedding"),
+        cents, threshold=0.99).collect()}
+    assert bad == {2}
