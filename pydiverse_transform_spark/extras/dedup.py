@@ -25,7 +25,8 @@ __all__ = [
     "contaminated_ids", "decontaminate",
     "span_occurrences", "duplicate_spans", "substring_dedup",
     "write_minhash_index", "read_minhash_meta", "minhash_index_append",
-    "minhash_index_lookup", "neardup_filter_new",
+    "minhash_index_lookup", "minhash_index_maintain",
+    "minhash_index_recover", "neardup_filter_new",
 ]
 
 
@@ -830,6 +831,9 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
     )
 
 
+_SPAN_PROBE_MIN_SUPPORT = 100
+
+
 def _route_span_strategy(df: DataFrame, text_col: str, id_col: str, *,
                          window: int, stride: int,
                          skew_threshold: int,
@@ -860,6 +864,16 @@ def _route_span_strategy(df: DataFrame, text_col: str, id_col: str, *,
     )
     top = row["m"]
     if top is None:
+        return "sort"
+    # minimum support before trusting the 1/f extrapolation: a lone
+    # sampled occurrence says nothing about corpus-wide skew, but at
+    # the clamped floor (sample_pct=1e-4 -> f=1e-6) it would scale to
+    # 10^6 and route EVERY corpus to rescan.  ~100 sampled occurrences
+    # of one hash is real evidence of boilerplate (relative error of
+    # the scaled estimate ~1/sqrt(100)=10%); below it, default to the
+    # faster sort path — an undetected bomb still executes correctly
+    # there, just slower.
+    if top < _SPAN_PROBE_MIN_SUPPORT:
         return "sort"
     return "rescan" if top / f >= skew_threshold else "sort"
 
@@ -901,10 +915,16 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
       ``skew_sample_pct``% document sample (one cheap sampled
       tokenize+groupBy job at plan-build time) and take ``rescan``
       when the estimate reaches ``skew_threshold`` occurrences, else
-      ``sort``.  The default threshold (10⁶) is where one hash's
-      window partition becomes a ~60 MB single-task sort
-      (docs/SCALE_KNOBS.md); pin ``dup_strategy="sort"`` to skip the
-      probe job when the corpus is known boilerplate-free.
+      ``sort``.  The extrapolation needs minimum support: fewer than
+      100 sampled occurrences of the hottest hash is noise, not
+      evidence, and routes to ``sort``.  The default threshold (10⁶)
+      is where one hash's window partition becomes a ~60 MB
+      single-task sort (docs/SCALE_KNOBS.md).  NOTE ``"auto"`` makes
+      this otherwise-lazy plan builder launch an EAGER sampled Spark
+      job at call time — pin ``dup_strategy="sort"`` (or ``"rescan"``)
+      to keep it lazy, e.g. when embedding the call in a
+      ``foreachBatch`` hook or when the corpus is known
+      boilerplate-free.
 
     Guarantee (stride=1): every duplicated span of length >= ``window``
     loses all but its canonical copy, and the removal intervals of the
@@ -1177,6 +1197,64 @@ def minhash_index_append(spark, path: str, new_docs: DataFrame) -> None:
     _append_probe_buckets(path, meta, _probe_buckets(meta, new_docs))
 
 
+def minhash_index_recover(spark, path: str) -> str | None:
+    """Finish or roll back an INTERRUPTED :func:`minhash_index_maintain`
+    swap without running maintenance.  A crash inside the swap window
+    (between the two directory renames) leaves no directory at
+    ``path``; any code that starts with ``read_minhash_meta`` —
+    including :func:`streaming.neardup_ingest_stream`'s constructor —
+    would fail with FileNotFound before maintenance-side recovery could
+    run.  ``neardup_ingest_stream`` calls this automatically at stream
+    construction; call it manually when another process reads the index
+    after a crashed maintenance run.  Safe no-op (returns ``None``)
+    when no swap journal exists."""
+    from .util import fs_read_json
+
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+    def P(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    new_p, old_p = path + ".__new", path + ".__old"
+    journal = path + ".__swap"
+    if not fs.exists(P(journal)):
+        return None
+    try:
+        jrec = fs_read_json(spark, journal)
+    except Exception:
+        # partial JSON from a crash mid-journal-write: the journal is
+        # written BEFORE the first rename, so the swap never started
+        jrec = {}
+    if jrec.get("index", path) != path:
+        raise IOError(
+            f"swap journal {journal!r} records index "
+            f"{jrec.get('index')!r} but this run was invoked for "
+            f"{path!r}; refusing to recover")
+    has_idx, has_new, has_old = (fs.exists(P(path)),
+                                 fs.exists(P(new_p)),
+                                 fs.exists(P(old_p)))
+    recovered = None
+    if has_idx and has_new:
+        fs.delete(P(new_p), True)
+        recovered = "rolled_back_stale_new"
+    elif not has_idx and has_old and has_new:
+        if not fs.rename(P(new_p), P(path)):
+            raise IOError(f"recovery rename {new_p} -> {path} failed")
+        fs.delete(P(old_p), True)
+        recovered = "rolled_forward_new"
+    elif has_idx and has_old:
+        fs.delete(P(old_p), True)
+        recovered = "rolled_forward_cleanup"
+    elif not has_idx and has_old:
+        if not fs.rename(P(old_p), P(path)):
+            raise IOError(f"recovery rename {old_p} -> {path} failed")
+        recovered = "rolled_back_old"
+    fs.delete(P(journal), False)
+    return recovered
+
+
 def minhash_index_maintain(spark, path: str, *,
                            dedup_rows: bool = True,
                            target_file_bytes: int = 128 << 20) -> dict:
@@ -1197,7 +1275,7 @@ def minhash_index_maintain(spark, path: str, *,
     the same four survivor states.  Returns compact stats +
     {"recovered": <action or None>}."""
     from ..sources.sinks import compact_parquet
-    from .util import fs_read_json, fs_write_json
+    from .util import fs_write_json
 
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -1208,36 +1286,7 @@ def minhash_index_maintain(spark, path: str, *,
 
     new_p, old_p = path + ".__new", path + ".__old"
     journal = path + ".__swap"
-    recovered = None
-    if fs.exists(P(journal)):
-        try:
-            jrec = fs_read_json(spark, journal)
-        except Exception:
-            jrec = {}
-        if jrec.get("index", path) != path:
-            raise IOError(
-                f"swap journal {journal!r} records index "
-                f"{jrec.get('index')!r} but this run was invoked for "
-                f"{path!r}; refusing to recover")
-        has_idx, has_new, has_old = (fs.exists(P(path)),
-                                     fs.exists(P(new_p)),
-                                     fs.exists(P(old_p)))
-        if has_idx and has_new:
-            fs.delete(P(new_p), True)
-            recovered = "rolled_back_stale_new"
-        elif not has_idx and has_old and has_new:
-            if not fs.rename(P(new_p), P(path)):
-                raise IOError(f"recovery rename {new_p} -> {path} failed")
-            fs.delete(P(old_p), True)
-            recovered = "rolled_forward_new"
-        elif has_idx and has_old:
-            fs.delete(P(old_p), True)
-            recovered = "rolled_forward_cleanup"
-        elif not has_idx and has_old:
-            if not fs.rename(P(old_p), P(path)):
-                raise IOError(f"recovery rename {old_p} -> {path} failed")
-            recovered = "rolled_back_old"
-        fs.delete(P(journal), False)
+    recovered = minhash_index_recover(spark, path)
     if fs.exists(P(new_p)):
         fs.delete(P(new_p), True)
     if fs.exists(P(old_p)):

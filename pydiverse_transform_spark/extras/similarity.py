@@ -34,7 +34,7 @@ __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "pq_codebooks", "pq_fit", "pq_encode", "pq_topk",
            "pq_topk_coded", "write_ivfpq", "ivfpq_topk", "ivfpq_encode",
            "write_ivfpq_meta", "read_ivfpq_meta", "ivfpq_topk_auto",
-           "ivfpq_fold_staging", "ivfpq_maintain",
+           "ivfpq_fold_staging", "ivfpq_maintain", "ivfpq_recover",
            "opq_permutation", "permute_vec", "embedding_filter_new"]
 
 
@@ -1719,6 +1719,14 @@ def semdedup(df: DataFrame, centroids,
     return df.join(losers, id_col, "left_anti")
 
 
+# driver-materialization cap for the benchmark side of
+# semantic_contaminated_ids: 100k rows of (id, vec, cell, norm) is a
+# few hundred MB at dim<=1024 — far beyond any real eval set, far
+# below driver OOM.  Above it the lineage-severing fallback is an
+# eager localCheckpoint (executor-side, no driver materialization).
+_BENCH_COLLECT_CAP = 100_000
+
+
 def semantic_contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
                               centroids,
                               threshold: float = 0.95,
@@ -1774,9 +1782,18 @@ def semantic_contaminated_ids(corpus: DataFrame, benchmark: DataFrame,
     # runtime-binding bug (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND) where
     # relation deduplication misses attribute references inside the
     # higher-order dot/norm lambdas (found r9, pinned in
-    # tests/test_r9_fixes.py).
+    # tests/test_r9_fixes.py).  Guarded: an oversized "benchmark"
+    # (or swapped corpus/benchmark arguments) must not OOM the driver,
+    # so the collect is LIMIT-probed and falls back to an eager
+    # localCheckpoint — executor-side materialization that equally
+    # truncates the shared lineage (the plan becomes a scan of
+    # checkpointed blocks, no shared subtree left to mis-deduplicate).
     spark = benchmark.sparkSession
-    b = spark.createDataFrame(b.collect(), b.schema)
+    probe = b.limit(_BENCH_COLLECT_CAP + 1).collect()
+    if len(probe) <= _BENCH_COLLECT_CAP:
+        b = spark.createDataFrame(probe, b.schema)
+    else:
+        b = b.localCheckpoint(eager=True)
     cos = F.round(F.try_divide(dot(F.col("__vc"), F.col("__vb")),
                                F.col("__nc") * F.col("__nb")), 6)
     return (
@@ -2112,11 +2129,12 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
     query-time probe selection.  Parsed sidecars are cached per path
     and invalidated by (file modification time, byte length); each
     call returns a fresh SHALLOW copy — adding/removing/replacing keys
-    on the result cannot poison later queries, but the nested values
-    (the ``centroids``/``codebooks`` lists and the ``_centroids_np``
-    ndarray) are SHARED with the cache: treat them as read-only, or
-    copy before mutating.  Pass ``use_cache=False`` to force a
-    re-read."""
+    on the result cannot poison later queries — and the nested values
+    SHARED with the cache are frozen (``centroids``/``codebooks`` are
+    nested tuples, ``_centroids_np`` a read-only ndarray): an
+    accidental in-place mutation raises instead of corrupting later
+    queries.  Copy before mutating on purpose; pass
+    ``use_cache=False`` to force a re-read."""
     from .util import fs_read_json, fs_stat
 
     meta_path = path + "/" + IVFPQ_META_FILE
@@ -2139,8 +2157,19 @@ def read_ivfpq_meta(spark, path: str, *, use_cache: bool = True) -> dict:
                          f"{meta.get('format')!r}")
     import numpy as np
 
-    meta["_centroids_np"] = np.asarray(meta["centroids"],
-                                       dtype=np.float64)
+    # freeze everything the cache shares across calls: the nested
+    # centroid/codebook lists become tuples (item assignment raises)
+    # and the ndarray is marked read-only — a caller mutation raises
+    # instead of silently poisoning every later query on this index
+    def _freeze(x):
+        return tuple(_freeze(v) for v in x) \
+            if isinstance(x, (list, tuple)) else x
+
+    meta["centroids"] = _freeze(meta["centroids"])
+    meta["codebooks"] = _freeze(meta["codebooks"])
+    arr = np.asarray(meta["centroids"], dtype=np.float64)
+    arr.setflags(write=False)
+    meta["_centroids_np"] = arr
     _IVFPQ_META_CACHE.pop(path, None)
     _IVFPQ_META_CACHE[path] = (stat, meta)
     while len(_IVFPQ_META_CACHE) > _IVFPQ_META_CACHE_MAX:
@@ -2229,6 +2258,116 @@ def _hadoop_fs(spark, path: str):
     return jvm, fs
 
 
+def _ivfpq_swap_recover(spark, index_path: str,
+                        staging_path: str | None = None,
+                        checkpoint_path: str | None = None, *,
+                        verify_paths: bool = True) -> str | None:
+    """Journal-recovery preamble of :func:`ivfpq_maintain`: if a
+    ``<index>.__swap`` journal is present, finish or roll back the
+    interrupted swap (decision table in ivfpq_maintain's docstring) and
+    delete the journal.  No-op (returns ``None``) when no journal
+    exists — strays without a journal are a crashed PRE-swap fold and
+    are left for ivfpq_maintain's own cleanup.
+
+    ``verify_paths=True`` (the maintain path) fails loudly when the
+    journal records a different staging root than this call's — a
+    mismatched rerun must not reset a root whose rows were never
+    folded.  ``verify_paths=False`` (the :func:`ivfpq_recover` path)
+    trusts the JOURNAL's recorded paths for the roll-forward reset —
+    the recovering process finishes whatever the interrupted run was
+    doing, with the interrupted run's own arguments."""
+    jvm, fs = _hadoop_fs(spark, index_path)
+
+    def P(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    new_p, old_p = index_path + ".__new", index_path + ".__old"
+    journal = index_path + ".__swap"
+    if not fs.exists(P(journal)):
+        return None
+    # The journal records which staging/checkpoint roots the
+    # interrupted run was folding.  A rerun invoked with DIFFERENT
+    # paths must not reset roots that were never folded into the
+    # index (that would be silent data loss) — verify and fail
+    # loudly on mismatch; the roll-forward reset below uses the
+    # journal's recorded paths, not this call's arguments.
+    from .util import fs_read_json
+
+    try:
+        jrec = fs_read_json(spark, journal)
+    except Exception:
+        # a crash mid-journal-write can leave partial JSON; the
+        # journal is written BEFORE the first rename, so an
+        # unreadable journal means the swap never started — treat
+        # it as recording this call's own paths
+        jrec = {}
+    j_staging = jrec.get("staging", staging_path)
+    j_ckpt = jrec.get("checkpoint", checkpoint_path)
+    if jrec.get("index", index_path) != index_path:
+        raise IOError(
+            f"swap journal {journal!r} records index "
+            f"{jrec.get('index')!r} but this run was invoked for "
+            f"{index_path!r}; refusing to recover")
+    if verify_paths and j_staging != staging_path:
+        raise IOError(
+            f"swap journal {journal!r} records staging root "
+            f"{j_staging!r} but this run was invoked with "
+            f"{staging_path!r}; rerun ivfpq_maintain with the "
+            "journaled staging root to finish recovery first")
+    has_idx, has_new, has_old = (fs.exists(P(index_path)),
+                                 fs.exists(P(new_p)),
+                                 fs.exists(P(old_p)))
+    recovered = None
+    roll_forward = False
+    if has_idx and has_new:
+        fs.delete(P(new_p), True)
+        recovered = "rolled_back_stale_new"
+    elif not has_idx and has_old and has_new:
+        if not fs.rename(P(new_p), P(index_path)):
+            raise IOError(f"recovery rename {new_p} -> "
+                          f"{index_path} failed")
+        fs.delete(P(old_p), True)
+        recovered, roll_forward = "rolled_forward_new", True
+    elif has_idx and has_old:
+        fs.delete(P(old_p), True)
+        recovered, roll_forward = "rolled_forward_cleanup", True
+    elif not has_idx and has_old:
+        if not fs.rename(P(old_p), P(index_path)):
+            raise IOError(f"recovery rename {old_p} -> "
+                          f"{index_path} failed")
+        recovered = "rolled_back_old"
+    fs.delete(P(journal), False)
+    if roll_forward:
+        # the swapped-in index already CONTAINS the staged rows —
+        # finish the interrupted protocol's reset phase now, or a
+        # later fold would double-count them.  Reset the roots the
+        # JOURNAL recorded.
+        if j_staging is not None:
+            fs.delete(P(j_staging), True)
+        if j_ckpt is not None:
+            fs.delete(P(j_ckpt), True)
+    return recovered
+
+
+def ivfpq_recover(spark, index_path: str) -> str | None:
+    """Finish or roll back an INTERRUPTED :func:`ivfpq_maintain` swap
+    without running maintenance: the standalone recovery entry point a
+    restarting reader/stream runs BEFORE touching the index.
+
+    A crash inside the swap window (between the two directory renames)
+    leaves no directory at ``index_path``; any code that starts with
+    ``read_ivfpq_meta`` — including
+    :func:`streaming.semantic_ingest_stream`'s constructor — would
+    fail with FileNotFound before maintenance-side recovery could run.
+    ``streaming.semantic_ingest_stream`` and
+    ``streaming.ivfpq_append_stream`` call this automatically at
+    stream construction; call it manually when another process reads
+    the index after a crashed maintenance run.  Trusts the journal's
+    own recorded staging/checkpoint paths for the roll-forward reset.
+    Safe no-op (returns ``None``) when no swap journal exists."""
+    return _ivfpq_swap_recover(spark, index_path, verify_paths=False)
+
+
 def ivfpq_maintain(spark, index_path: str, staging_path: str | None,
                    checkpoint_path: str | None = None, *,
                    target_file_bytes: int = 128 << 20,
@@ -2288,68 +2427,8 @@ def ivfpq_maintain(spark, index_path: str, staging_path: str | None,
 
     new_p, old_p = index_path + ".__new", index_path + ".__old"
     journal = index_path + ".__swap"
-    recovered = None
-    if fs.exists(P(journal)):
-        # The journal records which staging/checkpoint roots the
-        # interrupted run was folding.  A rerun invoked with DIFFERENT
-        # paths must not reset roots that were never folded into the
-        # index (that would be silent data loss) — verify and fail
-        # loudly on mismatch; the roll-forward reset below uses the
-        # journal's recorded paths, not this call's arguments.
-        from .util import fs_read_json
-
-        try:
-            jrec = fs_read_json(spark, journal)
-        except Exception:
-            # a crash mid-journal-write can leave partial JSON; the
-            # journal is written BEFORE the first rename, so an
-            # unreadable journal means the swap never started — treat
-            # it as recording this call's own paths
-            jrec = {}
-        j_staging = jrec.get("staging", staging_path)
-        j_ckpt = jrec.get("checkpoint", checkpoint_path)
-        if jrec.get("index", index_path) != index_path:
-            raise IOError(
-                f"swap journal {journal!r} records index "
-                f"{jrec.get('index')!r} but this run was invoked for "
-                f"{index_path!r}; refusing to recover")
-        if j_staging != staging_path:
-            raise IOError(
-                f"swap journal {journal!r} records staging root "
-                f"{j_staging!r} but this run was invoked with "
-                f"{staging_path!r}; rerun ivfpq_maintain with the "
-                "journaled staging root to finish recovery first")
-        has_idx, has_new, has_old = (fs.exists(P(index_path)),
-                                     fs.exists(P(new_p)),
-                                     fs.exists(P(old_p)))
-        roll_forward = False
-        if has_idx and has_new:
-            fs.delete(P(new_p), True)
-            recovered = "rolled_back_stale_new"
-        elif not has_idx and has_old and has_new:
-            if not fs.rename(P(new_p), P(index_path)):
-                raise IOError(f"recovery rename {new_p} -> "
-                              f"{index_path} failed")
-            fs.delete(P(old_p), True)
-            recovered, roll_forward = "rolled_forward_new", True
-        elif has_idx and has_old:
-            fs.delete(P(old_p), True)
-            recovered, roll_forward = "rolled_forward_cleanup", True
-        elif not has_idx and has_old:
-            if not fs.rename(P(old_p), P(index_path)):
-                raise IOError(f"recovery rename {old_p} -> "
-                              f"{index_path} failed")
-            recovered = "rolled_back_old"
-        fs.delete(P(journal), False)
-        if roll_forward:
-            # the swapped-in index already CONTAINS the staged rows —
-            # finish the interrupted protocol's reset phase now, or the
-            # fold below would double-count them.  Reset the roots the
-            # JOURNAL recorded (== this call's, verified above).
-            if j_staging is not None:
-                fs.delete(P(j_staging), True)
-            if j_ckpt is not None:
-                fs.delete(P(j_ckpt), True)
+    recovered = _ivfpq_swap_recover(spark, index_path, staging_path,
+                                    checkpoint_path, verify_paths=True)
     if fs.exists(P(new_p)):       # stale fold from a phase-2 crash
         fs.delete(P(new_p), True)
     if fs.exists(P(old_p)):

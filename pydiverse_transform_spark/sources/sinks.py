@@ -233,8 +233,14 @@ def compact_parquet(spark, path, out_path: str, *,
     ``dedup_cols`` drops duplicate rows on those key columns during the
     rewrite (one extra shuffle on the key) — the maintenance hook for
     at-least-once streaming appends whose replays re-append identical
-    rows.  File sizing still uses the pre-dedup listing bytes, so
-    heavily duplicated inputs compact into slightly undersized files.
+    rows.  CONTRACT: rows sharing a key must be BYTE-IDENTICAL replays
+    (the unique-id guarantee every streaming lane here assumes) —
+    ``dropDuplicates`` keeps an ARBITRARY row per key, so if a key was
+    re-appended with CHANGED content (an update, not a replay), which
+    version survives is nondeterministic.  Updates need a versioned
+    merge (e.g. max-timestamp row per key), not this pass.  File
+    sizing still uses the pre-dedup listing bytes, so heavily
+    duplicated inputs compact into slightly undersized files.
 
     In-place compaction is refused: Spark cannot atomically overwrite a
     path it is reading; write to ``out_path`` and swap at the catalog /

@@ -418,7 +418,12 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
     the batch-sized append files compact, via journaled atomic swap
     between micro-batches.  Leave ``None`` when other concurrent
     readers query ``index_path`` directly, and run the maintenance
-    manually at a quiet moment.
+    manually at a quiet moment.  If an in-stream maintenance dies
+    inside its swap window (no directory at ``index_path``),
+    restarting this stream repairs it automatically (journal-recovery
+    preamble at construction); a DIFFERENT process reading the index
+    first should call
+    ``extras.dedup.minhash_index_recover(spark, index_path)``.
 
     ``probe_strategy`` defaults to ``"broadcast"`` (NOT ``"auto"``):
     micro-batch plans from streaming sources often carry no size
@@ -436,9 +441,18 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
                                 _lookup_from_buckets,
                                 _probe_buckets,
                                 minhash_index_maintain,
+                                minhash_index_recover,
                                 read_minhash_meta)
 
     spark = stream_docs.sparkSession
+    # a prior run's in-stream maintenance may have died inside the swap
+    # window (no directory at index_path until recovery rolls the
+    # journal forward) — run the journal-recovery preamble BEFORE the
+    # meta read or a crashed maintain would leave the stream unable to
+    # restart (FileNotFound here).  No-op when no journal exists;
+    # extras.dedup.minhash_index_recover is the manual entry point for
+    # other processes reading a crashed index.
+    minhash_index_recover(spark, index_path)
     meta = read_minhash_meta(spark, index_path)
     id_col = meta["id_col"]
     if probe_strategy not in ("broadcast", "shuffle"):
@@ -537,16 +551,31 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
     Leave ``None`` (default) when the index only serves ingest
     filtering, or when OTHER concurrent readers query ``index_path``
     directly (the swap's rename window is theirs to coordinate); then
-    run ``ivfpq_maintain`` manually at a quiet moment."""
+    run ``ivfpq_maintain`` manually at a quiet moment.
+
+    Crash recovery: if the in-stream maintenance dies inside its swap
+    window, ``index_path`` temporarily has no directory; restarting
+    this stream repairs it automatically (journal-recovery preamble at
+    construction).  A DIFFERENT process that reads the index first
+    should call ``extras.similarity.ivfpq_recover(spark, index_path)``
+    manually."""
     from pyspark.sql import functions as F
 
     from ..extras.similarity import (_align_to_index_schema,
                                      _embedding_hit_pairs,
                                      _matchable_vec, assign_cells_multi,
                                      ivfpq_encode, ivfpq_maintain,
-                                     read_ivfpq_meta)
+                                     ivfpq_recover, read_ivfpq_meta)
 
     spark = stream_vecs.sparkSession
+    # a prior run's in-stream maintenance may have died inside the swap
+    # window (no directory at index_path until recovery rolls the
+    # journal forward) — run the journal-recovery preamble BEFORE the
+    # meta read or a crashed maintain would leave the stream unable to
+    # restart (FileNotFound here).  No-op when no journal exists;
+    # extras.similarity.ivfpq_recover is the manual entry point for
+    # other processes reading a crashed index.
+    ivfpq_recover(spark, index_path)
     meta = read_ivfpq_meta(spark, index_path)
     if not meta.get("store_vectors"):
         raise ValueError("semantic_ingest_stream needs an index "
@@ -713,9 +742,13 @@ def ivfpq_append_stream(stream_df: DataFrame, index_path: str,
     drift from the model the index was built with.  Returns the
     StreamingQuery handle."""
     from ..extras.similarity import (_align_to_index_schema,
-                                     ivfpq_encode, read_ivfpq_meta)
+                                     ivfpq_encode, ivfpq_recover,
+                                     read_ivfpq_meta)
 
     spark = stream_df.sparkSession
+    # recover a maintenance swap that died between renames (see
+    # semantic_ingest_stream) — no-op when no journal exists
+    ivfpq_recover(spark, index_path)
     meta = read_ivfpq_meta(spark, index_path)
     # align vector/id types to what the BASE index stores: a
     # double-typed stream staged against a float index would otherwise

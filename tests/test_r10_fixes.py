@@ -1,0 +1,241 @@
+"""Round-10 fixes: the r9 VERDICT punch list + ADVICE findings.
+
+- standalone journal recovery (``minhash_index_recover`` /
+  ``ivfpq_recover``) runnable BEFORE any meta read, wired into the
+  ingest-stream constructors (ADVICE r9 #1: a crash inside the
+  maintain hook's swap window previously left the stream unable to
+  restart — FileNotFound at read_*_meta before any recovery ran)
+- driver-materialization cap in ``semantic_contaminated_ids``
+  (ADVICE r9 #2: oversized/swapped benchmark OOMs the driver)
+- minimum-support guard in substring_dedup's skew probe
+  (ADVICE r9 #3: a lone sampled hit at the clamped sample floor
+  extrapolated to 10^6 and routed every corpus to rescan)
+- frozen shared cache internals in ``read_ivfpq_meta``
+  (VERDICT r9 nit #2: nested centroid/codebook lists and the
+  ``_centroids_np`` ndarray were mutably shared with the cache)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras import dedup
+from pydiverse_transform_spark.extras import similarity as sim
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".tmp_test")
+
+
+# ---------------------------------------------------------------------------
+# standalone journal recovery (ADVICE r9 #1, medium)
+# ---------------------------------------------------------------------------
+
+def _mh_index(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "mh_idx")
+    dedup.write_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return docs, path
+
+
+def _crash_mid_swap(spark, path):
+    """Simulate a maintain run dying BETWEEN the two swap renames:
+    journal present, no directory at ``path``, complete .__new and
+    .__old survivors.  This is exactly the state where read_*_meta
+    raises FileNotFound until recovery rolls the journal forward."""
+    from pydiverse_transform_spark.extras.util import fs_write_json
+
+    fs_write_json(spark, path + ".__swap", {"index": path})
+    shutil.copytree(path, path + ".__new")
+    shutil.move(path, path + ".__old")
+
+
+def test_minhash_index_recover_rolls_forward(spark, tmp_path):
+    docs, path = _mh_index(spark, tmp_path)
+    n0 = spark.read.parquet(path).count()
+    _crash_mid_swap(spark, path)
+    # the crash state is unreadable without recovery
+    with pytest.raises(Exception):
+        dedup.read_minhash_meta(spark, path)
+    assert dedup.minhash_index_recover(spark, path) == "rolled_forward_new"
+    assert spark.read.parquet(path).count() == n0
+    assert dedup.read_minhash_meta(spark, path)["format"] == "minhashlsh/1"
+    for suffix in (".__swap", ".__new", ".__old"):
+        assert not os.path.exists(path + suffix)
+    # idempotent: a second call is a no-op
+    assert dedup.minhash_index_recover(spark, path) is None
+    # wrong-index journal refuses loudly
+    from pydiverse_transform_spark.extras.util import fs_write_json
+
+    fs_write_json(spark, path + ".__swap", {"index": "/elsewhere"})
+    with pytest.raises(IOError, match="refusing"):
+        dedup.minhash_index_recover(spark, path)
+    os.remove(path + ".__swap")
+
+
+def test_neardup_ingest_stream_restarts_after_swap_crash(spark, tmp_path):
+    """The stream CONSTRUCTOR must self-heal a crashed maintain swap:
+    before the fix, read_minhash_meta at construction raised
+    FileNotFound and the journal recovery was unreachable."""
+    from pydiverse_transform_spark import streaming as st
+
+    docs, path = _mh_index(spark, tmp_path)
+    inc = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    src = str(tmp_path / "src")
+    inc.limit(5).coalesce(1).write.parquet(src)
+    _crash_mid_swap(spark, path)
+    stream = st.read_event_stream(spark, src, schema=inc.schema)
+    q = st.neardup_ingest_stream(
+        stream, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        threshold=0.45, admit=False, available_now=True)
+    q.awaitTermination(120)
+    # recovery happened at construction and the stream ran
+    assert not os.path.exists(path + ".__swap")
+    assert spark.read.parquet(str(tmp_path / "out")).count() >= 0
+
+
+def test_ivfpq_recover_rolls_forward(spark, tmp_path):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.hyperplanes(64, 4, seed="r10")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    path = str(tmp_path / "ivf_idx")
+    sim.write_ivfpq(emb, path, cents, cbs, residual=True)
+    n0 = spark.read.parquet(path).count()
+    _crash_mid_swap(spark, path)
+    assert sim.ivfpq_recover(spark, path) == "rolled_forward_new"
+    assert spark.read.parquet(path).count() == n0
+    assert sim.read_ivfpq_meta(spark, path,
+                               use_cache=False)["format"] == "ivfpq/1"
+    assert sim.ivfpq_recover(spark, path) is None
+    # roll-forward reset targets the JOURNAL's recorded staging root
+    staging = str(tmp_path / "staging")
+    os.makedirs(staging)
+    from pydiverse_transform_spark.extras.util import fs_write_json
+
+    fs_write_json(spark, path + ".__swap",
+                  {"index": path, "staging": staging, "checkpoint": None})
+    shutil.copytree(path, path + ".__new")
+    shutil.move(path, path + ".__old")
+    assert sim.ivfpq_recover(spark, path) == "rolled_forward_new"
+    assert not os.path.exists(staging)
+
+
+def test_semantic_ingest_stream_restarts_after_swap_crash(spark, tmp_path):
+    from pydiverse_transform_spark import streaming as st
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.hyperplanes(64, 4, seed="r10s")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    path = str(tmp_path / "ivf_idx")
+    sim.write_ivfpq(emb.filter(F.col("vec_id") % 2 == 0), path,
+                    cents, cbs, residual=True, store_vectors=True)
+    inc = emb.filter(F.col("vec_id") % 2 == 1) \
+        .select("vec_id", "embedding")
+    src = str(tmp_path / "src")
+    inc.limit(5).coalesce(1).write.parquet(src)
+    _crash_mid_swap(spark, path)
+    stream = st.read_event_stream(spark, src, schema=inc.schema)
+    q = st.semantic_ingest_stream(
+        stream, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        threshold=0.99, admit=False, available_now=True)
+    q.awaitTermination(120)
+    assert not os.path.exists(path + ".__swap")
+    assert spark.read.parquet(str(tmp_path / "out")).count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# semantic_contaminated_ids driver-materialization cap (ADVICE r9 #2)
+# ---------------------------------------------------------------------------
+
+def test_contaminated_ids_collect_cap_fallback(spark, tmp_path,
+                                               monkeypatch):
+    """Above the cap the benchmark side is lineage-severed via eager
+    localCheckpoint instead of a driver collect — the result must be
+    identical, including on the shared-lineage crash shape pinned in
+    test_r9_fixes."""
+    src = str(tmp_path / "v")
+    rows = [(1, [0.5] * 4), (2, [0.51] * 4), (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.49] * 4), (5, [1.0, 0.0, 0.0, 0.0])]
+    df = None
+    for vid, vec in rows:
+        p = spark.range(1).select(
+            F.lit(vid).alias("vec_id"),
+            F.array(*[F.lit(float(x)) for x in vec]).alias("embedding"))
+        df = p if df is None else df.unionByName(p)
+    df.write.parquet(src)
+    emb = spark.read.parquet(src)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    def run():
+        return {r["vec_id"] for r in sim.semantic_contaminated_ids(
+            emb.filter(F.col("vec_id").isin([2, 3, 4])),
+            emb.filter(F.col("vec_id").isin([1, 5])).select("embedding"),
+            cents, threshold=0.99).collect()}
+
+    want = run()
+    assert want == {2, 4}
+    # force the fallback path: every benchmark row count exceeds cap=1
+    monkeypatch.setattr(sim, "_BENCH_COLLECT_CAP", 1)
+    assert run() == want
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup skew-probe minimum support (ADVICE r9 #3)
+# ---------------------------------------------------------------------------
+
+def test_span_probe_requires_min_support(spark):
+    from pydiverse_transform_spark.extras.dedup import (
+        _SPAN_PROBE_MIN_SUPPORT, _route_span_strategy)
+
+    boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " tail"),
+                 F.col("id").cast("string")).alias("text"))
+    # 50 sampled occurrences < the 100-occurrence support floor: stays
+    # sort even though 50/1.0 >= threshold=10 would have said rescan
+    assert 50 < _SPAN_PROBE_MIN_SUPPORT
+    assert _route_span_strategy(
+        docs, "text", "doc_id", window=8, stride=1,
+        skew_threshold=10, sample_pct=100.0) == "sort"
+    # with real support (>=100 sampled occurrences) routing still fires
+    docs_big = spark.range(150).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(boiler + " tail"),
+                 F.col("id").cast("string")).alias("text"))
+    assert _route_span_strategy(
+        docs_big, "text", "doc_id", window=8, stride=1,
+        skew_threshold=10, sample_pct=100.0) == "rescan"
+
+
+# ---------------------------------------------------------------------------
+# read_ivfpq_meta frozen cache internals (VERDICT r9 nit #2)
+# ---------------------------------------------------------------------------
+
+def test_ivfpq_meta_cache_is_mutation_proof(spark, tmp_path):
+    import numpy as np
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.hyperplanes(64, 4, seed="frz")
+    cbs = sim.pq_codebooks(64, m=4, k=8)
+    path = str(tmp_path / "idx")
+    sim.write_ivfpq(emb.limit(50), path, cents, cbs, residual=True)
+    meta = sim.read_ivfpq_meta(spark, path)
+    with pytest.raises(ValueError):
+        meta["_centroids_np"][0, 0] = 123.0     # read-only ndarray
+    with pytest.raises(TypeError):
+        meta["centroids"][0][0] = 123.0         # nested tuples
+    with pytest.raises(TypeError):
+        meta["codebooks"][0][0][0] = 123.0
+    # replacing a top-level key only affects the caller's shallow copy
+    meta["centroids"] = "junk"
+    meta2 = sim.read_ivfpq_meta(spark, path)
+    assert np.asarray(meta2["centroids"], dtype=float).shape \
+        == np.asarray(cents, dtype=float).shape
+    assert meta2["_centroids_np"].flags.writeable is False
+    # the frozen meta still drives a working query
+    q = [0.1] * 64
+    assert sim.ivfpq_topk_auto(spark, path, q, k=3).count() == 3
