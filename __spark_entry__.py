@@ -2805,6 +2805,52 @@ def q_minhash_index_lookup(spark, sf_dir):
 
 
 @_q(f"""
+WITH {_minhash_sides_sql()},
+cand AS (
+  SELECT p.doc_id AS probe_id, c.doc_id AS index_id,
+         any_value(p.sig) AS psig, any_value(c.sig) AS csig,
+         count(DISTINCT p.band) AS nb
+  FROM p_b p JOIN c_b c ON p.band = c.band AND p.h = c.h
+  GROUP BY p.doc_id, c.doc_id
+), est_t AS (
+  SELECT probe_id, index_id,
+         round(len(list_filter(range(1, 17),
+                               i -> psig[i] = csig[i])) / 16.0, 6)
+           AS est_jaccard
+  FROM cand WHERE nb >= 2
+), ranked AS (
+  SELECT probe_id, index_id, est_jaccard,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY est_jaccard DESC, index_id) AS rn
+  FROM est_t WHERE est_jaccard >= 0.2
+)
+SELECT probe_id, index_id, est_jaccard FROM ranked WHERE rn <= 3
+ORDER BY probe_id, index_id
+""")
+def q_minhash_lookup_governed(spark, sf_dir):
+    """Governed LSH index lookup (r10, VERDICT r9 next #2): the same
+    index/probe split as q_minhash_index_lookup but with the
+    candidate-volume governors ON — pairs must collide in >= 2
+    distinct bands before estimator verification (min_bands=2) and
+    each probe keeps only its 3 best matches (top_k=3, index_id
+    tie-break).  The oracle replays the banding, the distinct-band
+    count, the estimator and the row_number cut in SQL; governors-OFF
+    equivalence with the ungoverned path and the subset contract are
+    pinned in tests/test_r10_fixes.py."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _minhash_index_tmp(sf_dir, "gov")
+    dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), base)
+    return dedup.minhash_index_lookup(
+        spark, base, docs.filter(F.col("doc_id") % 4 == 0),
+        threshold=0.2, min_bands=2, top_k=3,
+    ).orderBy("probe_id", "index_id")
+
+
+@_q(f"""
 WITH {_minhash_sides_sql()}
 SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS index_id,
        {_MINHASH_EST_SQL} AS est_jaccard
@@ -3306,38 +3352,85 @@ def q_semdedup(spark, sf_dir):
     )
 
 
-def _semdedup_kprop_sql(threshold: float, k_min: int = 16,
-                        k_cap: int = 256, divisor: int = 100) -> str:
+# The k∝n centroid family is staged ONCE as a parquet fixture that BOTH
+# engines read (r10, VERDICT r9 next #1): the r9 oracle embedded every
+# centroid as a SQL literal, which capped k at 256 for SQL-size reasons
+# and pinned the driver-gate query's sf1->sf10 slope at 9x/decade while
+# the library itself scales k to 110k.  32768 covers k = n/100 through
+# a 2M-row embeddings corpus (sf100) with no literal budget anywhere.
+_KPROP_CAP = 32768
+_KPROP_MIN = 16
+_KPROP_DIVISOR = 100
+
+
+def _kprop_centroid_path() -> str:
+    """Stage hyperplanes(64, _KPROP_CAP, seed="semdedup") as parquet
+    (cid, vec list<double>, norm2 double) under the gitignored
+    .scratch/fixtures dir; regenerate lazily (deterministic md5 family,
+    ~2 s once).  The write is tmp+rename so a concurrent reader never
+    sees a partial file."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch",
+        "fixtures", f"kprop_cents_64x{_KPROP_CAP}_v1.parquet")
+    if not os.path.exists(path):
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from pydiverse_transform_spark.extras.similarity import hyperplanes
+
+        cents = hyperplanes(64, _KPROP_CAP, seed="semdedup")
+        tbl = pa.table({
+            "cid": pa.array(range(_KPROP_CAP), pa.int32()),
+            "vec": pa.array(cents, pa.list_(pa.float64())),
+            # same float accumulation the literal oracle used
+            "norm2": pa.array([sum(c * c for c in cen) for cen in cents],
+                              pa.float64()),
+        })
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        papq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def _kprop_centroids(k: int) -> list[list[float]]:
+    """First k centroids of the staged family — bit-identical to
+    hyperplanes(64, k, seed="semdedup") (component (p, i) is a pure
+    function of (seed, p, i), so prefixes agree across k; doubles
+    round-trip parquet exactly — pinned in tests/test_r10_fixes.py)."""
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(_kprop_centroid_path(), columns=["vec"])
+    return tbl.slice(0, k).column("vec").to_pylist()
+
+
+def _semdedup_kprop_sql(threshold: float) -> str:
     """DuckDB twin of q_semdedup_kprop: the SAME pipeline as
     _semdedup_sql but with k derived from the corpus size at run time
-    (k = clamp(n // divisor, k_min, k_cap) — the SCALE_KNOBS "k ≈
-    n/100" sizing rule).  All k_cap centroid distances are embedded as
-    literals and the per-row distance list is SLICED to k, which keeps
-    the argmin prefix-consistent with Spark's hyperplanes(64, k)
-    (component (p, i) is a pure function of (seed, p, i), so prefixes
-    agree across k)."""
-    from pydiverse_transform_spark.extras.similarity import hyperplanes
-
-    cents = hyperplanes(64, k_cap, seed="semdedup")
-
-    def vec(v):
-        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
-
-    dists = ", ".join(
-        f"(-2.0 * list_dot_product(e, {vec(cen)}) + "
-        f"{sum(c * c for c in cen)!r})"
-        for cen in cents
-    )
+    (k = clamp(n // 100, 16, 32768) — the SCALE_KNOBS "k ≈ n/100"
+    sizing rule) and the centroids read from the SAME parquet fixture
+    the Spark side reads (no literal budget — the r9 SQL embedded all
+    centroids as literals and had to cap k at 256).  The distance list
+    is built over the first k (cid-ordered) centroids, which keeps the
+    argmin prefix-consistent with Spark's hyperplanes(64, k)."""
+    cents_path = _kprop_centroid_path()
     cos = ("list_dot_product(a.e, b.e) / "
            "(sqrt(list_dot_product(a.e, a.e)) * "
            "sqrt(list_dot_product(b.e, b.e)))")
     return f"""
 WITH RECURSIVE params AS (
-  SELECT greatest({k_min}, least({k_cap}, count(*) // {divisor})) AS k
+  SELECT greatest({_KPROP_MIN},
+                  least({_KPROP_CAP}, count(*) // {_KPROP_DIVISOR})) AS k
   FROM embeddings
+), cent AS (
+  SELECT list({{'v': vec, 'n': norm2}} ORDER BY cid) AS cl
+  FROM read_parquet('{cents_path}')
+  WHERE cid < (SELECT k FROM params)
 ), dlist AS (
-  SELECT vec_id, e, [{dists}][:(SELECT k FROM params)] AS d
+  SELECT vec_id, e,
+         list_transform(cl, s -> -2.0 * list_dot_product(e, s.v) + s.n) AS d
   FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+  CROSS JOIN cent
 ), celled AS (
   SELECT vec_id, e, list_position(d, list_min(d)) - 1 AS cell
   FROM dlist
@@ -3366,22 +3459,23 @@ ORDER BY vec_id
 
 @_q(_semdedup_kprop_sql(0.4))
 def q_semdedup_kprop(spark, sf_dir):
-    """SemDeDup at the SCALE_KNOBS operating point (r9, VERDICT next
-    #4): k GROWS with the corpus — k = clamp(n // 100, 16, 256) — so
-    per-cell occupancy (and the quadratic within-cell pair volume)
-    stays ~flat as data scales, unlike q_semdedup's deliberately fixed
-    k=64 whose sf0.1→sf1 slope is the documented cost of ignoring the
-    sizing rule.  One parquet footer count picks k; centroids are the
-    prefix of the same md5-derived family, so the oracle can slice a
-    literal-embedded distance list to the same k.  The 256 cap is the
-    ORACLE's literal budget, not the library's (semdedup takes any k;
-    r8 proved assignment flat to k=110,592)."""
+    """SemDeDup at the SCALE_KNOBS operating point (r9; cap lifted
+    256 -> 32768 in r10 per VERDICT r9 next #1): k GROWS with the
+    corpus — k = clamp(n // 100, 16, 32768) — so per-cell occupancy
+    (and the quadratic within-cell pair volume) stays ~flat as data
+    scales, unlike q_semdedup's deliberately fixed k=64 whose
+    sf0.1→sf1 slope is the documented cost of ignoring the sizing
+    rule.  One parquet footer count picks k; centroids come from the
+    parquet fixture BOTH engines read (_kprop_centroid_path), so the
+    oracle re-derives identical cells at any k — no literal budget.
+    At sf10 (200k embeddings) this runs the true k=2000 operating
+    point the r9 gate couldn't reach."""
     from pydiverse_transform_spark.extras import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    k = max(16, min(256, n // 100))
-    cents = similarity.hyperplanes(64, k, seed="semdedup")
+    k = max(_KPROP_MIN, min(_KPROP_CAP, n // _KPROP_DIVISOR))
+    cents = _kprop_centroids(k)
     return (
         similarity.semdedup(emb, cents, threshold=0.4,
                             assign_method="numpy")

@@ -1147,8 +1147,13 @@ def _append_probe_buckets(path: str, meta: dict,
 
 
 def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
-                         threshold: float,
-                         probe_strategy: str) -> DataFrame:
+                         threshold: float, probe_strategy: str,
+                         min_bands: int = 1,
+                         top_k: int | None = None) -> DataFrame:
+    if min_bands < 1:
+        raise ValueError(f"min_bands must be >= 1, got {min_bands}")
+    if top_k is not None and top_k < 1:
+        raise ValueError(f"top_k must be >= 1 or None, got {top_k}")
     if probe_strategy == "broadcast":
         pb = F.broadcast(pb)
     idx = spark.read.parquet(path)
@@ -1159,15 +1164,52 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
             F.lit(0), lambda acc, x: acc + x,
         ).cast("double") / F.lit(float(meta["n_hashes"]))
     )
-    return (
-        idx.join(pb, on=["band", "h"], how="inner")
-        .select("probe_id", F.col(meta["id_col"]).alias("index_id"),
-                "__psig", "sig")
-        .dropDuplicates(["probe_id", "index_id"])
-        .withColumn("est_jaccard", F.round(est, 6))
+    cand = idx.join(pb, on=["band", "h"], how="inner")
+    if min_bands > 1:
+        # candidate-volume governor (r10): a pair must collide in
+        # >= min_bands DISTINCT bands before any estimator work.  The
+        # aggregation replaces dropDuplicates (same single shuffle with
+        # map-side partial combine — no extra exchange) and prunes the
+        # low-evidence tail that dominates verify cost on dup-saturated
+        # corpora (MINHASH_INDEX_r09: 576k candidates from a 2.5k-doc
+        # probe).  countDistinct, not count: at-least-once replayed
+        # appends duplicate bucket ROWS, which must not fake band
+        # evidence.
+        cand = (
+            cand.select("probe_id",
+                        F.col(meta["id_col"]).alias("index_id"),
+                        "band", "__psig", "sig")
+            .groupBy("probe_id", "index_id")
+            .agg(F.first("__psig").alias("__psig"),
+                 F.first("sig").alias("sig"),
+                 F.countDistinct("band").alias("__nb"))
+            .filter(F.col("__nb") >= min_bands)
+        )
+    else:
+        cand = (
+            cand.select("probe_id",
+                        F.col(meta["id_col"]).alias("index_id"),
+                        "__psig", "sig")
+            .dropDuplicates(["probe_id", "index_id"])
+        )
+    out = (
+        cand.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("probe_id", "index_id", "est_jaccard")
     )
+    if top_k is not None:
+        # per-probe early exit: keep only the top_k best estimates per
+        # probe doc (deterministic tie-break on index_id).  The window
+        # partitions on probe_id, so the shuffle it adds carries only
+        # rows that already passed min_bands + threshold.
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy("probe_id")
+             .orderBy(F.col("est_jaccard").desc(),
+                      F.col("index_id").asc()))
+        out = (out.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= top_k).drop("__rn"))
+    return out
 
 
 def _resolve_probe_strategy(probe_strategy: str,
@@ -1312,7 +1354,9 @@ def minhash_index_maintain(spark, path: str, *,
 
 def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
                          threshold: float = 0.0,
-                         probe_strategy: str = "auto") -> DataFrame:
+                         probe_strategy: str = "auto",
+                         min_bands: int = 1,
+                         top_k: int | None = None) -> DataFrame:
     """Near-dup pairs between ``probe`` docs and the indexed corpus:
     (probe_id, index_id, est_jaccard), est_jaccard = fraction of
     agreeing signature positions, filtered to ``>= threshold`` (0.0
@@ -1326,12 +1370,34 @@ def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
     plain equi-join for probe sets too big to broadcast; ``"auto"``
     picks by the probe plan's size estimate (stats-unknown plans —
     streams, RDD-backed frames — resolve to ``"shuffle"``: pass
-    ``"broadcast"`` explicitly when you know the probe is small)."""
+    ``"broadcast"`` explicitly when you know the probe is small).
+
+    Candidate-volume governors (r10, both DEFAULT OFF — the defaults
+    reproduce the ungoverned result exactly):
+
+    - ``min_bands``: require a candidate pair to collide in at least
+      this many DISTINCT bands before estimator verification.  At
+      ``1`` (default) every LSH candidate is verified; at ``b > 1``
+      the result is the subset of the ungoverned result whose pairs
+      have >= b matching bands — pairs whose ONLY evidence is a single
+      band (the long tail that dominates verify cost on dup-saturated
+      corpora) are pruned before the estimator runs.  Raising it
+      raises the effective jaccard floor the index can see (standard
+      S-curve shift), so keep ``threshold`` authoritative and use
+      ``min_bands`` as a volume bound.
+    - ``top_k``: keep only the ``top_k`` best-estimate index matches
+      per probe doc (ties broken on ``index_id`` — deterministic).
+      Bounds OUTPUT volume per probe regardless of corpus dup density.
+
+    Governed results are always a subset of the ungoverned result with
+    identical ``est_jaccard`` values (pinned in
+    ``tests/test_r10_fixes.py``)."""
     meta = read_minhash_meta(spark, path)
     strategy = _resolve_probe_strategy(probe_strategy, probe)
     return _lookup_from_buckets(spark, path, meta,
                                 _probe_buckets(meta, probe),
-                                threshold, strategy)
+                                threshold, strategy,
+                                min_bands=min_bands, top_k=top_k)
 
 
 def neardup_filter_new(spark, path: str, new_docs: DataFrame, *,

@@ -7,6 +7,7 @@ order-insensitive value hash.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -20,9 +21,12 @@ TABLES = [
 def duckdb_con(sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # driver testdata ships single files; gen_scale_corpus replicas
+        # are Spark-style directories — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
 
 

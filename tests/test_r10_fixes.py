@@ -239,3 +239,94 @@ def test_ivfpq_meta_cache_is_mutation_proof(spark, tmp_path):
     # the frozen meta still drives a working query
     q = [0.1] * 64
     assert sim.ivfpq_topk_auto(spark, path, q, k=3).count() == 3
+
+
+# ---------------------------------------------------------------------------
+# LSH lookup candidate-volume governors (VERDICT r9 next #2)
+# ---------------------------------------------------------------------------
+
+def _gov_index(spark, tmp_path):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    path = str(tmp_path / "gov_idx")
+    dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), path)
+    probe = docs.filter(F.col("doc_id") % 4 == 0)
+    return path, probe
+
+
+def test_lookup_governors_off_is_identity(spark, tmp_path):
+    """min_bands=1 / top_k=None (the defaults) reproduce the
+    ungoverned result exactly — the driver-gate query is untouched."""
+    path, probe = _gov_index(spark, tmp_path)
+    base = dedup.minhash_index_lookup(spark, path, probe, threshold=0.2)
+    gov = dedup.minhash_index_lookup(spark, path, probe, threshold=0.2,
+                                     min_bands=1, top_k=None)
+    assert sorted(base.collect()) == sorted(gov.collect())
+
+
+def test_lookup_governed_is_filtered_subset(spark, tmp_path):
+    """Governed-on returns a subset of the ungoverned result with
+    identical est_jaccard values; min_bands prunes exactly the pairs
+    with < b matching bands; top_k keeps the per-probe best k."""
+    path, probe = _gov_index(spark, tmp_path)
+    base = {(r.probe_id, r.index_id): r.est_jaccard
+            for r in dedup.minhash_index_lookup(
+                spark, path, probe, threshold=0.0).collect()}
+    got2 = {(r.probe_id, r.index_id): r.est_jaccard
+            for r in dedup.minhash_index_lookup(
+                spark, path, probe, threshold=0.0,
+                min_bands=2).collect()}
+    assert set(got2) <= set(base)
+    assert all(base[k] == v for k, v in got2.items())
+    # independent band-count recomputation: the pruned pairs are
+    # exactly those with < 2 distinct matching bands
+    meta = dedup.read_minhash_meta(spark, path)
+    pb = dedup._probe_buckets(meta, probe)
+    idx = spark.read.parquet(path)
+    nb = {(r.probe_id, r.index_id): r.nb
+          for r in idx.join(pb, on=["band", "h"])
+          .groupBy("probe_id", F.col(meta["id_col"]).alias("index_id"))
+          .agg(F.countDistinct("band").alias("nb")).collect()}
+    expect2 = {k for k, n in nb.items() if n >= 2}
+    assert set(got2) == expect2
+    # top_k: per-probe cap at the best estimates, index_id tie-break
+    k = 2
+    topk = dedup.minhash_index_lookup(spark, path, probe, threshold=0.0,
+                                      top_k=k).collect()
+    per_probe = {}
+    for r in topk:
+        per_probe.setdefault(r.probe_id, []).append(r)
+    assert all(len(v) <= k for v in per_probe.values())
+    for pid, rows in per_probe.items():
+        all_for_pid = sorted(
+            ((-est, iid) for (p, iid), est in base.items() if p == pid))
+        expect = {iid for _, iid in all_for_pid[:k]}
+        assert {r.index_id for r in rows} == expect
+
+
+def test_lookup_governor_validation(spark, tmp_path):
+    path, probe = _gov_index(spark, tmp_path)
+    with pytest.raises(ValueError, match="min_bands"):
+        dedup.minhash_index_lookup(spark, path, probe, min_bands=0)
+    with pytest.raises(ValueError, match="top_k"):
+        dedup.minhash_index_lookup(spark, path, probe, top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# kprop centroid fixture (VERDICT r9 next #1)
+# ---------------------------------------------------------------------------
+
+def test_kprop_fixture_prefix_matches_hyperplanes():
+    """The staged parquet family is bit-identical to
+    hyperplanes(64, k, seed='semdedup') for any prefix k — the
+    property that lets the DuckDB oracle re-derive Spark's cells at
+    any corpus size without a literal budget."""
+    import __spark_entry__ as se
+
+    for k in (16, 200, 2048):
+        assert se._kprop_centroids(k) == sim.hyperplanes(
+            64, k, seed="semdedup")
+    import pyarrow.parquet as papq
+
+    t = papq.read_table(se._kprop_centroid_path())
+    assert t.num_rows == se._KPROP_CAP
+    assert t.column("cid").to_pylist() == list(range(se._KPROP_CAP))
