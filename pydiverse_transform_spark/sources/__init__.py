@@ -58,15 +58,41 @@ def read_table(spark: SparkSession, table_name: str,
 
 
 def read_jdbc(spark: SparkSession, url: str, dbtable: str,
-              name: str | None = None, **options) -> Table:
-    df = (
+              name: str | None = None, *,
+              partition_column: str | None = None,
+              lower_bound=None, upper_bound=None,
+              num_partitions: int | None = None, **options) -> Table:
+    """JDBC source.  Without partitioning options the read is ONE
+    task pulling the whole table through a single connection — fine
+    for dimension-sized tables, a bottleneck for anything big.  Pass
+    ``partition_column`` (a numeric/date/timestamp column) together
+    with ``lower_bound`` / ``upper_bound`` / ``num_partitions`` and
+    Spark issues ``num_partitions`` range-predicated queries in
+    parallel, one connection per task (the bounds only steer stride
+    computation — rows outside them are still read, into the edge
+    partitions).  All four must be given together (Spark's own JDBC
+    contract).  Any extra ``**options`` (driver, fetchsize,
+    sessionInitStatement, predicates via ``.option``-style keys) pass
+    straight through."""
+    part = {"partitionColumn": partition_column,
+            "lowerBound": lower_bound, "upperBound": upper_bound,
+            "numPartitions": num_partitions}
+    given = {k: v for k, v in part.items() if v is not None}
+    if given and len(given) < 4:
+        missing = sorted(set(part) - set(given))
+        raise ValueError(
+            "partitioned JDBC read needs partition_column, lower_bound,"
+            f" upper_bound AND num_partitions together — missing "
+            f"{missing}")
+    reader = (
         spark.read.format("jdbc")
         .option("url", url)
         .option("dbtable", dbtable)
         .options(**options)
-        .load()
     )
-    return Table(df, name or dbtable.split(".")[-1])
+    for k, v in given.items():
+        reader = reader.option(k, str(v))
+    return Table(reader.load(), name or dbtable.split(".")[-1])
 
 
 def from_pandas(spark: SparkSession, pdf, name: str | None = None) -> Table:
