@@ -157,6 +157,9 @@ def main():
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("pdt-bench")
         .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.warehouse.dir",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".tmp_stream", "warehouse"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "16g")
@@ -213,6 +216,23 @@ def main():
         "queries": timings,
         "sf": sf_val,
     }
+    vs_prev = _vs_prev(timings, total, sf_val)
+    if vs_prev and "ratios" in vs_prev:
+        # r10 (VERDICT r9 nit #3): the per-query vs-prev ratios must
+        # land in the driver's PARSED block, not only the tail string.
+        # The headline line has a hard budget (the driver tail-captures
+        # 2000 chars and parses the last line), so the ratios ride as
+        # an array aligned with sorted(shared query names) — ~6 chars
+        # each instead of ~28 keyed; the keyed table is in the
+        # BENCH_DIAG_latest.json sidecar (committed per round).
+        shared = sorted(vs_prev["ratios"])
+        payload["vs_prev"] = {
+            "prev_round": vs_prev["round"],
+            "total_ratio_shared": vs_prev.get("total_ratio_shared"),
+            "n_shared": vs_prev.get("n_shared"),
+            "ratios_aligned_with_sorted_shared_queries":
+                [vs_prev["ratios"][q] for q in shared],
+        }
     diag = {
         "runs_per_query": 3,
         "sentinel": {"start": sentinel_start, "end": sentinel_end},
@@ -223,7 +243,6 @@ def main():
                 spreads[int(len(spreads) * 0.9)], 3) if spreads else None,
         },
     }
-    vs_prev = _vs_prev(timings, total, sf_val)
     if vs_prev is not None:
         diag["vs_prev"] = vs_prev
     try:

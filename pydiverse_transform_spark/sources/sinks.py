@@ -69,6 +69,9 @@ def write_jdbc(table: Table, url: str, dbtable: str, *,
     store (Derby/H2/SQLite) only works in local mode; on a cluster use
     a networked url.  ``mode="overwrite"`` drops and recreates the
     table (add truncate=true to keep the DDL)."""
+    from . import _quiet_derby
+
+    _quiet_derby(table.to_spark().sparkSession, url)
     (table.to_spark().write.format("jdbc")
      .option("url", url).option("dbtable", dbtable)
      .options(**options).mode(mode).save())

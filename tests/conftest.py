@@ -15,6 +15,11 @@ def make_spark(app="pdt-tests"):
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '4')}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", "8")
+        # keep catalog-table staging out of the repo root (r9 nit #1)
+        .config("spark.sql.warehouse.dir",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+                    ".tmp_stream", "warehouse"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "4g")

@@ -28,6 +28,10 @@ def main():
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.warehouse.dir",
+                os.path.join(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))), ".tmp_stream",
+                    "warehouse"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
