@@ -71,7 +71,8 @@ def main():
         docs = spark.read.parquet(src)
         corpus = docs.filter(F.col("doc_id") % mod != 0)
         inc = docs.filter(F.col("doc_id") % mod == 0)
-        path = f"/tmp/bench_mhidx_{tag}"
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".scratch", f"bench_mhidx_{tag}")
         shutil.rmtree(path, ignore_errors=True)
         t0 = time.time()
         dedup.write_minhash_index(corpus, path)
@@ -85,6 +86,21 @@ def main():
             "build_sec": t_build,
             "lookup_sec": mn3(lambda: dedup.minhash_index_lookup(
                 spark, path, inc, threshold=0.45).count()),
+            # r10 governors (VERDICT r9 next #2): same probe with the
+            # candidate-volume bounds on — the number that must stay
+            # bounded when near-dup density, not corpus size, explodes
+            # the raw candidate count
+            "lookup_governed_sec": mn3(
+                lambda: dedup.minhash_index_lookup(
+                    spark, path, inc, threshold=0.45, min_bands=2,
+                    top_k=10).count()),
+            "candidates_raw": dedup.minhash_index_lookup(
+                spark, path, inc, threshold=0.0).count(),
+            "candidates_min_bands2": dedup.minhash_index_lookup(
+                spark, path, inc, threshold=0.0, min_bands=2).count(),
+            "hits_governed": dedup.minhash_index_lookup(
+                spark, path, inc, threshold=0.45, min_bands=2,
+                top_k=10).count(),
             "filter_new_sec": mn3(lambda: dedup.neardup_filter_new(
                 spark, path, inc, threshold=0.45).count()),
         }

@@ -1,0 +1,142 @@
+"""Three-decade scaling curve (r10, VERDICT r9 next #4): time the
+slope watch-list at sf0.1 / sf1 / sf10 / sf100 and report per-decade
+slopes.  The r9 two-decade sweep flattened every watch query except
+q_semdedup_kprop, whose sf1->sf10 slope (9x/decade) was the ORACLE's
+k-cap pinning k at 256; r10 lifts the cap via the parquet-staged
+centroid family, so this sweep is the gate's evidence that the true
+k=n/100 operating point holds (r9 done-criterion: sf1->sf10 slope
+<= 3x/decade, plus a third decade for the rest of the list).
+
+Per-query corpus coverage is declared explicitly: the sf100 replicas
+cover the TPC-H tables + documents + embeddings (events were not
+re-generated at factor 1000, so the asof/interval/sessionize family
+stops at sf10 — their second-decade slopes were already job-floor
+shaped in SCALE_BENCH_r09).
+
+q_minhash_index_lookup note: the REGISTRY query rebuilds the LSH index
+inside the query (the oracle must see a deterministic index), so its
+wall-clock is build (one linear corpus map pass) + lookup; at large sf
+the linear build dominates and the composite slope tends to 10x/decade
+by arithmetic.  The scale claim that matters — lookup stays ~flat
+against a PERSISTED index — is measured with build/scan/verify
+separated in scripts/bench_minhash_index.py (MINHASH_INDEX_r10.json).
+
+Usage: python scripts/bench_sf100.py [out_json]   # run SOLO
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+SFS = {
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": "/root/repo/.scratch/sf1",
+    "sf10": "/root/repo/.scratch/sf10",
+    "sf100": "/root/repo/.scratch/sf100",
+}
+
+# query -> SF tags to run (ordered small -> large)
+COVERAGE = {
+    "q03_shipping_priority": ["sf0.1", "sf1", "sf10", "sf100"],
+    "q13_customer_distribution": ["sf0.1", "sf1", "sf10", "sf100"],
+    "q_semdedup_kprop": ["sf0.1", "sf1", "sf10", "sf100"],
+    "q_substring_dedup": ["sf0.1", "sf1", "sf10", "sf100"],
+    "q_minhash_index_lookup": ["sf0.1", "sf1", "sf10", "sf100"],
+    "q_cosine_topk": ["sf0.1", "sf1", "sf10", "sf100"],
+    "q_temperature_mix": ["sf0.1", "sf1", "sf10", "sf100"],
+    # events were not regenerated at factor 1000 — two decades only
+    "q_asof_join": ["sf0.1", "sf1", "sf10"],
+    "q_interval_join": ["sf0.1", "sf1", "sf10"],
+}
+
+_DECADES = [("sf0.1", "sf1", "slope_01_to_1"),
+            ("sf1", "sf10", "slope_1_to_10"),
+            ("sf10", "sf100", "slope_10_to_100")]
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+    from bench import _load_sentinel
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bench-sf100")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    sent_start = _load_sentinel()
+
+    def run(name, sf_dir, n_runs=2):
+        best = None
+        for _ in range(n_runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    # warm the session (codegen/classloading) once on a small query
+    qs["q03_shipping_priority"](spark, SFS["sf0.1"]).write \
+        .format("noop").mode("overwrite").save()
+
+    result = {}
+    for name, tags in COVERAGE.items():
+        row = {}
+        for tag in tags:
+            sf_dir = SFS[tag]
+            if not os.path.isdir(sf_dir):
+                row[tag] = None
+                continue
+            row[tag] = run(name, sf_dir)
+        for lo, hi, key in _DECADES:
+            if row.get(lo) and row.get(hi):
+                row[key] = round(row[hi] / row[lo], 2)
+        result[name] = row
+        print(f"  {name}: {row}", file=sys.stderr)
+
+    sent_end = _load_sentinel()
+    payload = {
+        "metric": "three_decade_scaling",
+        "note": ("min-of-2 per (query, sf), noop sink, cache cleared "
+                 "between runs; sf1/sf10/sf100 corpora are "
+                 "gen_scale_corpus replicas (self-contained per-replica "
+                 "TPC-H keys, word-permuted documents, fresh-id "
+                 "embeddings).  q_semdedup_kprop runs the TRUE k=n/100 "
+                 "operating point at every sf (r10 lifted the oracle "
+                 "k-cap 256 -> 32768: k = 20 / 200 / 2000 / 20000 per "
+                 "decade).  q_minhash_index_lookup is build+lookup "
+                 "composite (see module doc; persisted-index lookup "
+                 "attribution lives in MINHASH_INDEX_r10.json)."),
+        "cpus": int(CPUS),
+        "sentinel": {"start": sent_start, "end": sent_end},
+        "queries": result,
+    }
+    spark.stop()
+    line = json.dumps(payload)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    sys.stdout.flush()
+    print(line)
+
+
+if __name__ == "__main__":
+    main()
