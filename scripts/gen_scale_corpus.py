@@ -145,7 +145,16 @@ def _gen_tpch(spark, F, src, out, factor):
         spark.read.parquet(f"{src}/{t}.parquet").write \
             .mode("overwrite").parquet(f"{out}/{t}.parquet")
     for t, keys in _TPCH_KEYS.items():
-        df = spark.read.parquet(f"{src}/{t}.parquet").withColumn(
+        # repartition the SMALL source BEFORE exploding: the explode
+        # multiplies rows factor-x, so partitioning afterwards shuffles
+        # the full post-explode volume through however few tasks the
+        # source file had (at factor 1000 lineitem that is one task
+        # writing a ~25 GB shuffle — observed wedged for 25+ min in
+        # r10).  Partitioning the pre-explode rows costs a shuffle of
+        # the ORIGINAL table only and the explode + write then run
+        # factor-parallel with no further exchange.
+        df = spark.read.parquet(f"{src}/{t}.parquet") \
+            .repartition(int(CPUS)).withColumn(
             "__replica",
             F.explode(F.sequence(F.lit(0), F.lit(factor - 1))),
         )
@@ -155,7 +164,7 @@ def _gen_tpch(spark, F, src, out, factor):
                 F.col(k).cast("long")
                 + F.col("__replica").cast("long") * F.lit(_TPCH_KEY_STRIDE),
             )
-        df.drop("__replica").repartition(int(CPUS)).write \
+        df.drop("__replica").write \
             .mode("overwrite").parquet(f"{out}/{t}.parquet")
 
 
