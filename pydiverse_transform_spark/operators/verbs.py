@@ -930,8 +930,11 @@ def collect(table: Table, target=None) -> Table:
     recomputable from lineage after executor loss on a real cluster.
 
     ``target`` is accepted for API parity with the reference (which can
-    collect into a Polars/DuckDB table); Spark storage is the only
-    backend here, so only the default/Spark target is valid."""
+    collect into a Polars/DuckDB table and run SUBSEQUENT verbs there);
+    Spark storage is the only pipeline backend here, so only the
+    default/Spark target is valid.  To hand the materialized result to
+    DuckDB use ``export(DuckDb())`` — it returns a live
+    ``duckdb.DuckDBPyRelation`` for downstream duckdb-side work."""
     from pyspark import StorageLevel
 
     from ..targets import Spark as SparkTarget
@@ -941,7 +944,8 @@ def collect(table: Table, target=None) -> Table:
     ):
         raise TypeError(
             f"collect target {target!r} is not supported on the Spark "
-            "backend; use export() to materialize into pandas/polars/arrow"
+            "backend; use export() to materialize into pandas/polars/"
+            "arrow, or export(DuckDb()) for a duckdb relation"
         )
     df = table._df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()  # materialize now (collect is the explicit eager verb)

@@ -7,7 +7,8 @@ from pyspark.sql import functions as F
 from .plans.compile import phys
 
 __all__ = ["Pandas", "Polars", "Arrow", "Dict", "DictOfLists", "ListOfRows",
-           "ListOfDicts", "Scalar", "Spark", "DuckDb", "SqlAlchemy",
+           "ListOfDicts", "Scalar", "Spark", "DuckDb", "DuckDbRelation",
+           "SqlAlchemy",
            "export_to"]
 
 
@@ -44,10 +45,53 @@ ListOfDicts = ListOfRows
 
 
 class DuckDb(Target):
-    """API-compat shim (reference backend/targets.py:22): this engine
-    executes on Spark only.  Accepted by ``collect``/``export`` solely to
-    give reference users a typed, actionable error instead of an
-    AttributeError."""
+    """Export into an in-process DuckDB relation
+    (reference backend/targets.py:22, where ``DuckDb`` selects DuckDB as
+    the engine for subsequent operations after ``collect``).
+
+    On this engine the pipeline itself always executes on Spark;
+    ``export(DuckDb())`` materializes the result via Arrow (zero-copy
+    into DuckDB) and returns a ``duckdb.DuckDBPyRelation``, so a
+    migrating user lands in DuckDB-land with the full duckdb relational
+    / SQL API available downstream — the same hand-off point the
+    reference's ``collect(DuckDb())`` provides.
+
+    ``connection=`` reuses a caller's ``duckdb.DuckDBPyConnection`` (the
+    result is also registered there under ``relation_name``, default the
+    table's name, for ``con.sql(...)`` access) and the raw
+    ``DuckDBPyRelation`` is returned; without it a fresh in-memory
+    connection is created, and because a DuckDBPyRelation does NOT keep
+    its connection alive, the return value is a ``DuckDbRelation`` proxy
+    that owns the private connection and delegates every relation
+    method/operator (``.connection`` / ``.relation`` expose the parts)."""
+
+    def __init__(self, connection=None, *, relation_name: str | None = None):
+        self.connection = connection
+        self.relation_name = relation_name
+
+
+class DuckDbRelation:
+    """A duckdb.DuckDBPyRelation plus the private in-memory connection
+    backing it (which would otherwise be garbage-collected out from
+    under the relation).  Transparently delegates to the relation."""
+
+    __slots__ = ("connection", "relation")
+
+    def __init__(self, connection, relation):
+        self.connection = connection
+        self.relation = relation
+
+    def __getattr__(self, item):
+        return getattr(self.relation, item)
+
+    def __repr__(self):
+        return repr(self.relation)
+
+    def __str__(self):
+        return str(self.relation)
+
+    def __len__(self):
+        return self.relation.shape[0]
 
 
 class SqlAlchemy(Target):
@@ -94,11 +138,25 @@ def export_to(table, target):
                 "Scalar export requires exactly one row and one column"
             )
         return rows[0][0]
-    if isinstance(target, (DuckDb, SqlAlchemy)):
+    if isinstance(target, DuckDb):
+        import re
+
+        import duckdb
+
+        private = target.connection is None
+        con = target.connection or duckdb.connect()
+        tbl = df.toArrow()
+        name = target.relation_name or getattr(table, "_name", None) or "t"
+        # duckdb identifiers: keep it registerable without quoting games
+        name = re.sub(r"\W", "_", name) or "t"
+        con.register(name, tbl)
+        rel = con.sql(f'SELECT * FROM "{name}"')
+        return DuckDbRelation(con, rel) if private else rel
+    if isinstance(target, SqlAlchemy):
         raise TypeError(
-            f"{type(target).__name__} is a SQL-backend selector of the "
-            "reference engine; this engine executes on Spark. Read SQL "
-            "sources with read_jdbc/read_table and write with "
-            "save_as_table or to_spark().write.jdbc"
+            "SqlAlchemy is a SQL-backend selector of the reference "
+            "engine; this engine executes on Spark. Read SQL sources "
+            "with read_jdbc/read_table and write with save_as_table, "
+            "write_jdbc, or to_spark().write.jdbc"
         )
     raise TypeError(f"unknown export target {target!r}")

@@ -190,10 +190,50 @@ def test_list_of_dicts_and_backend_shims(spark):
     t = pdt.Table({"a": [1, 2]}, "t")
     rows = t >> pdt.export(pdt.ListOfDicts)
     assert rows == [{"a": 1}, {"a": 2}]
-    with _pytest.raises(TypeError, match="Spark"):
-        t >> pdt.export(pdt.DuckDb)
     with _pytest.raises(TypeError, match="read_jdbc"):
         t >> pdt.export(pdt.SqlAlchemy(None))
+
+
+def test_duckdb_export_target(spark):
+    """export(DuckDb()) is a real hand-off into DuckDB (r10; the
+    reference's collect(DuckDb()) engine switch,
+    reference backend/targets.py:22): the Spark result lands zero-copy
+    via Arrow as a live duckdb relation."""
+    import gc
+
+    import duckdb
+
+    import pydiverse_transform_spark as pdt
+    from pydiverse_transform_spark.targets import DuckDb, DuckDbRelation
+
+    t = pdt.Table({"a": [4, 2, 1, 4], "b": ["l", "g", "uu", "r"]}, "demo")
+    rel = t >> pdt.mutate(z=t.a * 2) >> pdt.export(DuckDb())
+    # private connection: proxy owns it, survives GC, delegates the
+    # full relation API
+    assert isinstance(rel, DuckDbRelation)
+    gc.collect()
+    assert rel.aggregate("sum(z) as s").fetchall() == [(22,)]
+    assert rel.filter("a > 1").df().shape == (3, 3)
+    # the result is also registered on the connection under the table
+    # name, so con.sql() works
+    assert rel.connection.sql("select count(*) from demo").fetchall() \
+        == [(4,)]
+    # caller-supplied connection: raw relation, registered under
+    # relation_name
+    con = duckdb.connect()
+    rel2 = t >> pdt.export(DuckDb(con, relation_name="mytab"))
+    assert isinstance(rel2, duckdb.DuckDBPyRelation)
+    assert con.sql("select sum(a) from mytab").fetchall() == [(11,)]
+    # collect() still only supports the Spark pipeline backend, but the
+    # error routes users to export(DuckDb())
+    with _pytest_raises_typeerror_match("DuckDb"):
+        t >> pdt.collect(DuckDb())
+
+
+def _pytest_raises_typeerror_match(match):
+    import pytest as _pytest
+
+    return _pytest.raises(TypeError, match=match)
 
 
 def test_string_max_length_lattice():
