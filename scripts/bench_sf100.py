@@ -8,10 +8,8 @@ k=n/100 operating point holds (r9 done-criterion: sf1->sf10 slope
 <= 3x/decade, plus a third decade for the rest of the list).
 
 Per-query corpus coverage is declared explicitly: the sf100 replicas
-cover the TPC-H tables + documents + embeddings (events were not
-re-generated at factor 1000, so the asof/interval/sessionize family
-stops at sf10 — their second-decade slopes were already job-floor
-shaped in SCALE_BENCH_r09).
+cover the TPC-H tables + documents + embeddings + (new in r10) events,
+so the asof/interval time-join family gets the third decade too.
 
 q_minhash_index_lookup note: the REGISTRY query rebuilds the LSH index
 inside the query (the oracle must see a deterministic index), so its
@@ -51,9 +49,10 @@ COVERAGE = {
     "q_minhash_index_lookup": ["sf0.1", "sf1", "sf10", "sf100"],
     "q_cosine_topk": ["sf0.1", "sf1", "sf10", "sf100"],
     "q_temperature_mix": ["sf0.1", "sf1", "sf10", "sf100"],
-    # events were not regenerated at factor 1000 — two decades only
-    "q_asof_join": ["sf0.1", "sf1", "sf10"],
-    "q_interval_join": ["sf0.1", "sf1", "sf10"],
+    # r10: events regenerated at factor 1000 too (~2 GB) — full three
+    # decades for the time-join family as well
+    "q_asof_join": ["sf0.1", "sf1", "sf10", "sf100"],
+    "q_interval_join": ["sf0.1", "sf1", "sf10", "sf100"],
 }
 
 _DECADES = [("sf0.1", "sf1", "slope_01_to_1"),
