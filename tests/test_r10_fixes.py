@@ -312,21 +312,178 @@ def test_lookup_governor_validation(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# kprop centroid fixture (VERDICT r9 next #1)
+# kprop quantizer (VERDICT r9 next #1, revised after the sf100 sweep)
 # ---------------------------------------------------------------------------
 
-def test_kprop_fixture_prefix_matches_hyperplanes():
-    """The staged parquet family is bit-identical to
-    hyperplanes(64, k, seed='semdedup') for any prefix k — the
-    property that lets the DuckDB oracle re-derive Spark's cells at
-    any corpus size without a literal budget."""
+def test_kprop_plane_count_tracks_corpus():
+    """p = clamp(ceil(log2(n/100)), 4, 15) keeps k = 2^p ~ n/100 at
+    every benchmark scale — the SCALE_KNOBS sizing rule with no
+    literal budget (p*64 plane components embed in both engines)."""
     import __spark_entry__ as se
 
-    for k in (16, 200, 2048):
-        assert se._kprop_centroids(k) == sim.hyperplanes(
-            64, k, seed="semdedup")
-    import pyarrow.parquet as papq
+    assert se._kprop_n_planes(200) == 4          # sf0.01 -> 16 cells
+    assert se._kprop_n_planes(2_000) == 5        # sf0.1  -> 32
+    assert se._kprop_n_planes(20_000) == 8       # sf1    -> 256
+    assert se._kprop_n_planes(200_000) == 11     # sf10   -> 2048
+    assert se._kprop_n_planes(2_000_000) == 15   # sf100  -> 32768
+    assert len(se._kprop_planes()) == se._KPROP_MAX_PLANES
 
-    t = papq.read_table(se._kprop_centroid_path())
-    assert t.num_rows == se._KPROP_CAP
-    assert t.column("cid").to_pylist() == list(range(se._KPROP_CAP))
+
+def test_kprop_bucket_matches_plain_python(spark):
+    """similarity.signlsh_bucket over the kprop family agrees with a
+    plain-Python fold of the same planes — the property the DuckDB
+    oracle's 2^(i-1) bit CASE expression relies on."""
+    import __spark_entry__ as se
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .limit(50)
+    planes = se._kprop_planes()[: se._kprop_n_planes(200)]
+    got = {r["vec_id"]: r["b"] for r in emb.select(
+        "vec_id", sim.signlsh_bucket(F.col("embedding"), planes)
+        .alias("b")).collect()}
+    for r in emb.collect():
+        b = 0
+        for i, pl in enumerate(planes):
+            if sum(a * float(v) for a, v in zip(pl, r["embedding"])) > 0:
+                b += 2 ** i
+        assert got[r["vec_id"]] == b
+
+
+# ---------------------------------------------------------------------------
+# cell-local component backend (r10: found by the sf100 three-decade
+# sweep — dup-saturated corpora make the pairs -> global-CC path
+# shuffle O(true pairs) ~ 1e9 edges; the cells backend solves
+# connectivity inside the per-cell Arrow batch and shuffles O(corpus))
+# ---------------------------------------------------------------------------
+
+def _emb_with_cliques(spark, n_orig=12, n_rep=6, dim=8):
+    """n_orig distinct random-ish unit vectors, each replicated n_rep
+    times with a tiny deterministic jitter — the gen_scale_corpus
+    replica structure in miniature: every original forms one
+    near-identical clique."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for _ in range(n_orig):
+        v = rng.normal(size=dim)
+        v /= np.linalg.norm(v)
+        for r in range(n_rep):
+            j = v + (rng.normal(size=dim) * 1e-3 if r else 0.0)
+            rows.append((vid, [float(x) for x in j]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _survivors(df):
+    return sorted(r["vec_id"] for r in df.select("vec_id").collect())
+
+
+def test_semdedup_cells_equals_pairs(spark):
+    emb = _emb_with_cliques(spark)
+    cents = sim.hyperplanes(8, 4, seed="cctest")
+    a = _survivors(sim.semdedup(emb, cents, threshold=0.95,
+                                component_backend="pairs"))
+    b = _survivors(sim.semdedup(emb, cents, threshold=0.95,
+                                component_backend="cells"))
+    assert a == b
+    assert 0 < len(b) < emb.count()
+
+
+def test_semdedup_cells_chain_across_slabs(spark):
+    """A cosine CHAIN (a~b, b~c, ..., but a!~c) spanning many row
+    slabs: forces the min-label propagation + pointer jumping to move
+    labels across slab boundaries over multiple sweeps — the case a
+    clique test cannot exercise.  Verified against the pairs backend
+    AND against brute-force transitive closure."""
+    import math
+
+    import numpy as np
+
+    n = 9
+    step = math.radians(14)   # cos(14°)≈0.970 >= th; cos(28°)≈0.883 < th
+    rows = [(i, [float(math.cos(i * step)), float(math.sin(i * step))])
+            for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0]]      # one cell: the whole chain is one component
+    pairs_side = _survivors(sim.semdedup(emb, cents, threshold=0.95,
+                                         component_backend="pairs"))
+    # row_block=2 → the 9-node chain spans 5 slabs
+    kernel = sim._cell_components_kernel(0.95, "vec_id", "embedding",
+                                         row_block=2)
+    import pandas as pd
+
+    pdf = pd.DataFrame({"vec_id": [r[0] for r in rows],
+                        "embedding": [r[1] for r in rows]})
+    out = kernel(pdf)
+    cells_side = sorted(set(range(n)) - set(out["node"]))
+    assert pairs_side == cells_side == [0]   # one chain, min id survives
+
+
+def test_semdedup_auto_routes_on_pair_volume(spark, monkeypatch):
+    emb = _emb_with_cliques(spark)
+    cents = sim.hyperplanes(8, 4, seed="cctest")
+    baseline = _survivors(sim.semdedup(emb, cents, threshold=0.95,
+                                       component_backend="pairs"))
+    monkeypatch.setattr(sim, "_COMPONENT_PAIR_CAP", 10)
+    routed = sim.semdedup(emb, cents, threshold=0.95)   # auto
+    plan = routed._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in plan   # cells kernel in the plan
+    assert _survivors(routed) == baseline
+    monkeypatch.setattr(sim, "_COMPONENT_PAIR_CAP", 10**18)
+    unrouted = sim.semdedup(emb, cents, threshold=0.95)
+    assert "FlatMapGroupsInPandas" not in \
+        unrouted._jdf.queryExecution().toString()
+    assert _survivors(unrouted) == baseline
+
+
+def test_semdedup_cells_edge_lanes(spark):
+    """Null vectors and NaN-component vectors survive the cells
+    backend untouched — the same unmatchable-admit contract as the
+    pairs path (null cell dropped before grouping; NaN cosine compares
+    False in numpy)."""
+    import math
+
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 1e-4]),        # a near-dup pair
+            (2, None), (3, [float("nan"), 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = _survivors(sim.semdedup(emb, [[1.0, 0.0], [0.0, 1.0]],
+                                  threshold=0.99,
+                                  component_backend="cells"))
+    assert out == [0, 2, 3]
+
+
+def test_semdedup_cells_rejects_multiprobe(spark):
+    emb = _emb_with_cliques(spark, n_orig=2, n_rep=2)
+    with pytest.raises(ValueError, match="cell-local"):
+        sim.semdedup(emb, sim.hyperplanes(8, 4), n_probe=2,
+                     component_backend="cells")
+
+
+def test_semdedup_cells_fat_cell_block_grid(spark):
+    """Fat cell (member count > cell_task_cap): the cells backend
+    routes through the salted block grid, each block kernel emits a
+    spanning-forest star, and one global CC over the forest merges
+    across blocks.  Pinned exact vs the pairs backend on a corpus
+    whose ONE cell exceeds the cap — including a chain that only
+    connects ACROSS salt blocks."""
+    import math
+
+    # 30-member clique + a 6-member chain, one cell, cap=8 -> t=5 grid
+    rows = []
+    for i in range(30):
+        rows.append((i, [1.0, float(i) * 1e-5]))
+    step = math.radians(14)
+    for i in range(6):
+        a = math.pi / 3 + i * step
+        rows.append((100 + i, [float(math.cos(a)), float(math.sin(a))]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[1.0, 0.0]]
+    a = _survivors(sim.semdedup(emb, cents, threshold=0.95,
+                                component_backend="pairs",
+                                cell_task_cap=8))
+    b = _survivors(sim.semdedup(emb, cents, threshold=0.95,
+                                component_backend="cells",
+                                cell_task_cap=8))
+    assert a == b == [0, 100]   # clique min + chain min survive
