@@ -3469,6 +3469,7 @@ def q_semdedup_kprop(spark, sf_dir):
         similarity.semdedup(
             emb, None, threshold=0.4,
             cells=similarity.signlsh_bucket(F.col("embedding"), planes),
+            vec_dim=64,
         )
         .select("vec_id").orderBy("vec_id")
     )

@@ -1460,16 +1460,28 @@ def _cell_components_kernel(threshold: float, id_col: str, vec_col: str,
         nrm = np.sqrt((X * X).sum(axis=1))
         lab = np.arange(n, dtype=np.int64)
         sentinel = np.int64(n)           # > every real label
+        # the hit matrix is similarity-threshold-fixed, only the labels
+        # change across sweeps: cache the per-slab boolean H (n² bits as
+        # bool bytes — 4 MB at the 2048 cap) so every sweep after the
+        # first costs label propagation only, not a full BLAS pass.
+        # Groups beyond the cache budget (cells-lane with the cap
+        # disabled) fall back to recomputing per sweep.
+        cache = [] if n * n <= (64 << 20) else None
         with np.errstate(divide="ignore", invalid="ignore"):
             converged = False
-            for _ in range(max_rounds):
+            for rnd in range(max_rounds):
                 prev = lab.copy()
-                for s in range(0, n, row_block):
+                for bi, s in enumerate(range(0, n, row_block)):
                     e = min(s + row_block, n)
-                    sims = np.round(
-                        (X[s:e] @ X.T) / np.outer(nrm[s:e], nrm), 6)
-                    H = sims >= threshold   # NaN compares False; self-
-                    # hits on the diagonal are harmless self-edges
+                    if cache is not None and rnd > 0:
+                        H = cache[bi]
+                    else:
+                        sims = np.round(
+                            (X[s:e] @ X.T) / np.outer(nrm[s:e], nrm), 6)
+                        H = sims >= threshold   # NaN compares False;
+                        # diagonal self-hits are harmless self-edges
+                        if cache is not None:
+                            cache.append(H)
                     cl = np.where(H, lab[None, :], sentinel).min(axis=1)
                     rmin = np.minimum(lab[s:e], cl)
                     lab[s:e] = rmin
@@ -1534,6 +1546,7 @@ def semdedup_pairs(df: DataFrame, centroids,
                    cell_task_cap: int | None = 2048,
                    pair_backend: str = "auto",
                    cells: Column | None = None,
+                   vec_dim: int | None = None,
                    _celled: DataFrame | None = None,
                    _tmap="unset") -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
@@ -1707,7 +1720,8 @@ def semdedup_pairs(df: DataFrame, centroids,
         # assignment + fat-cell probe it already ran for component-
         # backend routing, so the pairs route costs no extra pass.
         base = _celled if _celled is not None else _make_celled(
-            src, centroids, cells, vec_col, id_col, assign_method)
+            src, centroids, cells, vec_col, id_col, assign_method,
+            vec_dim=vec_dim)
         celled = base.withColumn("__norm", norm(F.col(vec_col)))
         if persist_celled:
             celled = celled.persist()
@@ -1782,7 +1796,8 @@ def semdedup_pairs(df: DataFrame, centroids,
 
 def _make_celled(src: DataFrame, centroids, cells: Column | None,
                  vec_col: str, id_col: str,
-                 assign_method: str) -> DataFrame:
+                 assign_method: str,
+                 vec_dim: int | None = None) -> DataFrame:
     """The celled projection behind SemDeDup: either the centroid-family
     argmin (:func:`assign_cells`) or a caller-supplied quantizer
     expression ``cells`` (e.g. :func:`signlsh_bucket` — which, unlike an
@@ -1795,10 +1810,23 @@ def _make_celled(src: DataFrame, centroids, cells: Column | None,
     contract matches assign_cells (null cell -> never paired, always
     survives)."""
     if cells is not None:
-        return src.withColumn(
-            "__cell",
-            F.when(F.col(vec_col).isNull(), F.lit(None)).otherwise(cells),
-        )
+        unmatchable = F.col(vec_col).isNull()
+        if vec_dim is not None:
+            # assign_cells contract: a vector whose length differs from
+            # the quantizer dim (incl. empty) gets a NULL cell — it can
+            # never pair, and the numpy kernels require rectangular
+            # batches (np.vstack raises on ragged input)
+            unmatchable = unmatchable | (F.size(F.col(vec_col))
+                                         != F.lit(int(vec_dim)))
+        out = src.withColumn(
+            "__cell", F.when(unmatchable, F.lit(None)).otherwise(cells))
+        ctype = dict(out.dtypes)["__cell"]
+        if ctype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"the cells expression must produce an integral cell id "
+                f"(got {ctype}); hash non-integral buckets, e.g. "
+                f"F.xxhash64(expr)")
+        return out
     return assign_cells(src, centroids, vec_col=vec_col,
                         out_col="__cell", id_col=id_col,
                         method=assign_method)
@@ -1826,7 +1854,8 @@ def semdedup(df: DataFrame, centroids,
              cell_task_cap: int | None = 2048,
              pair_backend: str = "auto",
              component_backend: str = "auto",
-             cells: Column | None = None) -> DataFrame:
+             cells: Column | None = None,
+             vec_dim: int | None = None) -> DataFrame:
     """End-to-end SemDeDup: within-cell cosine pairs -> connected
     components -> keep only the canonical (minimum-id) row of every
     semantic-duplicate cluster.  The non-canonical id set is tiny
@@ -1872,7 +1901,12 @@ def semdedup(df: DataFrame, centroids,
     ``p = log2(n/100)`` planes — the sign-LSH family spreads clustered
     data where an argmin over untrained random centroids collapses;
     see :func:`_make_celled`).  Pass ``centroids=None`` with it;
-    single-probe only."""
+    single-probe only.  The expression must yield an INTEGRAL cell id
+    (hash non-integral buckets), and ``vec_dim=`` should be given so
+    dimension-mismatched vectors get the NULL cell assign_cells
+    guarantees (they can never pair; the Arrow kernels need
+    rectangular batches).  An explicit ``pair_backend="sql"`` pins the
+    Python-free path — auto component routing will not override it."""
     from .dedup import connected_components
     from .util import fan_out
 
@@ -1893,21 +1927,38 @@ def semdedup(df: DataFrame, centroids,
             and cell_task_cap is not None):
         src = fan_out(df).select(F.col(id_col), F.col(vec_col))
         celled = _make_celled(src, centroids, cells, vec_col, id_col,
-                              assign_method)
+                              assign_method, vec_dim=vec_dim)
         if component_backend == "auto":
-            # one aggregate serves both routing decisions: total pair
-            # volume (component backend) and fat cells (tmap)
-            probe_counts = celled.groupBy("__cell").count().collect()
+            # ONE job serves both routing decisions, and the driver
+            # receives ONE row: total pair volume (component backend)
+            # plus the fat-cell list (collect_list drops the nulls the
+            # CASE leaves for thin cells), so a high-cardinality
+            # quantizer cannot flood the driver.  Null cells (null /
+            # dim-mismatched vectors) are excluded: they are filtered
+            # before grouping and can never pair, so counting them
+            # would let unmatchable rows drive the routing.
             cap = cell_task_cap
+            row = (celled.filter(F.col("__cell").isNotNull())
+                   .groupBy("__cell").count()
+                   .agg(F.sum(F.expr("count * (count - 1) / 2"))
+                        .alias("pv"),
+                        F.collect_list(F.when(
+                            F.col("count") > cap,
+                            F.struct(F.col("__cell"), F.col("count"))))
+                        .alias("fat"))
+                   .collect()[0])
+            probe_counts = int(row["pv"] or 0)
             fat = [(r["__cell"], -(-r["count"] // cap))
-                   for r in probe_counts if r["count"] > cap]
+                   for r in row["fat"]]
             tmap = (celled.sparkSession.createDataFrame(
                 fat, "__cell long, __t int") if fat else None)
     use_cells = component_backend == "cells"
     if probe_counts is not None:
-        pair_volume = sum(r["count"] * (r["count"] - 1) // 2
-                          for r in probe_counts)
-        use_cells = pair_volume > _COMPONENT_PAIR_CAP
+        # an explicit pair_backend="sql" pins the Python-free,
+        # oracle-exact evaluation path — auto-routing must not
+        # override it with the (half-even-rounding) kernel lane
+        use_cells = (probe_counts > _COMPONENT_PAIR_CAP
+                     and pair_backend != "sql")
 
     if use_cells:
         rows = celled.filter(F.col("__cell").isNotNull()) \
@@ -1934,12 +1985,10 @@ def semdedup(df: DataFrame, centroids,
             # equals CC over all edges, and every true pair appears in
             # >= 1 block), so the global CC input is <= sum over cells
             # of members x t — O(corpus), never O(pairs)
-            from .dedup import connected_components as _cc
-
             star = _numpy_block_frames(rows, tmap, id_col) \
                 .groupBy("__cell", "__bi", "__bj") \
                 .applyInPandas(kernel, schema)
-            comp = _cc(
+            comp = connected_components(
                 star.select(F.col("comp").alias("id_a"),
                             F.col("node").alias("id_b")),
                 "id_a", "id_b", max_iter=max_iter)
@@ -1953,6 +2002,7 @@ def semdedup(df: DataFrame, centroids,
                            cell_task_cap=cell_task_cap,
                            pair_backend=pair_backend,
                            cells=cells,
+                           vec_dim=vec_dim,
                            _celled=celled,
                            _tmap=tmap if probe_counts is not None
                            else "unset")

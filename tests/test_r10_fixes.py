@@ -487,3 +487,56 @@ def test_semdedup_cells_fat_cell_block_grid(spark):
                                 component_backend="cells",
                                 cell_task_cap=8))
     assert a == b == [0, 100]   # clique min + chain min survive
+
+
+def test_semdedup_cells_dim_mismatch_lane(spark):
+    """vec_dim= gives dimension-mismatched (incl. empty) vectors the
+    NULL cell assign_cells guarantees — they survive instead of
+    crashing the rectangular-batch Arrow kernel (review fix r10)."""
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 1e-4]),
+            (2, [1.0]),            # wrong dim
+            (3, []),               # empty
+            (4, None)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    cells = sim.signlsh_bucket(F.col("embedding"), sim.hyperplanes(2, 3))
+    out = _survivors(sim.semdedup(emb, None, threshold=0.99, cells=cells,
+                                  vec_dim=2, component_backend="cells"))
+    assert out == [0, 2, 3, 4]
+
+
+def test_semdedup_cells_rejects_non_integral_cells(spark):
+    emb = spark.createDataFrame([(0, [1.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="integral"):
+        sim.semdedup(emb, None, threshold=0.9, vec_dim=2,
+                     cells=F.lit("bucket-a"), component_backend="cells")
+
+
+def test_semdedup_sql_pin_beats_auto_routing(spark, monkeypatch):
+    """pair_backend='sql' pins the Python-free oracle-exact path: the
+    auto component routing must not swap in the kernel lane, and null
+    vectors must not inflate the routing probe (review fixes r10)."""
+    emb = _emb_with_cliques(spark)
+    nulls = spark.createDataFrame([(1000 + i, None) for i in range(20)],
+                                  emb.schema)
+    both = emb.unionByName(nulls)
+    cents = sim.hyperplanes(8, 4, seed="cctest")
+    monkeypatch.setattr(sim, "_COMPONENT_PAIR_CAP", 10)
+    pinned = sim.semdedup(both, cents, threshold=0.95, pair_backend="sql")
+    assert "FlatMapGroupsInPandas" not in \
+        pinned._jdf.queryExecution().toString()
+    baseline = _survivors(sim.semdedup(emb, cents, threshold=0.95,
+                                       component_backend="pairs"))
+    assert _survivors(pinned) == sorted(
+        baseline + [1000 + i for i in range(20)])
+    # nulls alone must not push the probe over the cap: with only the
+    # 20 null rows as "volume", auto stays on the pairs route
+    monkeypatch.setattr(sim, "_COMPONENT_PAIR_CAP", 20 * 19 // 2 - 1)
+    only_nulls_matter = sim.semdedup(
+        nulls.unionByName(emb.limit(2)), cents, threshold=0.95)
+    assert "FlatMapGroupsInPandas" not in \
+        only_nulls_matter._jdf.queryExecution().toString()
