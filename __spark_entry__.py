@@ -3352,6 +3352,35 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+@_q(_semdedup_sql(0.4, n_cells=64))
+def q_semdedup_cells(spark, sf_dir):
+    """SemDeDup forced onto the CELL-LOCAL component backend (r11,
+    VERDICT r10 next #2): same quantizer family / threshold / oracle as
+    q_semdedup, but connectivity is solved INSIDE the per-cell Arrow
+    kernel (extras/similarity.py _cell_components_kernel: blocked-BLAS
+    cosines + min-label propagation + pointer jumping) instead of
+    materializing the pair relation for global connected components —
+    the route auto picks above ~4M projected pairs (O(corpus) shuffle
+    at any duplication density; sf100 pairs-route host-death -> 64.7 s,
+    SCALE_BENCH_r10.json).  At oracle scale factors auto routes to the
+    pairs path, so this row PINS component_backend='cells' to give the
+    kernel a driver-hash correctness row (it previously had pytest
+    backend-equality evidence only).  Threshold 0.4 sits away from the
+    half-even/half-up 5e-7 rounding boundary the kernel docstring
+    documents, so both backends agree bit-for-bit here (asserted
+    against the pairs lane in tests/test_r11_fixes.py)."""
+    from pydiverse_transform_spark.extras import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = similarity.hyperplanes(64, 64, seed="semdedup")
+    return (
+        similarity.semdedup(emb, cents, threshold=0.4,
+                            assign_method="numpy",
+                            component_backend="cells")
+        .select("vec_id").orderBy("vec_id")
+    )
+
+
 # q_semdedup_kprop quantizer (r10, VERDICT r9 next #1): k must GROW
 # with the corpus (k ~ n/100) and the cells must be re-derivable by the
 # DuckDB oracle.  The r9 oracle embedded every argmin centroid as a SQL

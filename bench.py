@@ -148,6 +148,75 @@ def _load_sentinel() -> dict:
     return out
 
 
+# Contamination gate (r11, VERDICT r10 next #3): r10's committed
+# headline ran at start loadavg 9.8 / p90 run spread 1.21 and recorded
+# 11 spurious per-query "regressions" that the quiet-host re-run
+# contradicted.  The bench now judges its OWN sentinel and, when the
+# host is loaded, retries the whole measurement once after a cooldown
+# — the committed artifact then either carries a quiet-host headline
+# or says "contaminated" in the machine-readable verdict field.
+SPREAD_P90_MAX = 1.15
+COOLDOWN_SEC = 45.0
+
+
+def _load_thresh() -> float:
+    # a 1-min loadavg above ~cores/8 before the bench even starts means
+    # significant neighbor load (r10's 9.8 on a 32-core host qualified;
+    # a truly quiet host sits near 0-2)
+    return max(2.0, (os.cpu_count() or 8) / 8)
+
+
+def _sentinel_verdict(sentinel_start: dict, p90: float | None) -> dict:
+    reasons = []
+    load = (sentinel_start.get("loadavg") or [0.0])[0]
+    if load > _load_thresh():
+        reasons.append(
+            f"start loadavg {load} > {_load_thresh():.1f}")
+    if p90 is not None and p90 > SPREAD_P90_MAX:
+        reasons.append(f"p90 run spread {p90:.3f} > {SPREAD_P90_MAX}")
+    return {"verdict": "contaminated" if reasons else "quiet",
+            "reasons": reasons}
+
+
+def _measure(spark, qs) -> dict:
+    """One full measurement pass: sentinel, min-of-3 per query,
+    sentinel again.  min of 3 runs per query: run 1 pays one-off
+    codegen/JIT compile (amortized to nothing over a 100-TB job),
+    later runs are the steady-state per-query cost; min-of-3 damps
+    same-host load noise (r6 advice: min-of-2 left an unattributable
+    1.11x driver drift)."""
+    sentinel_start = _load_sentinel()
+    timings: dict[str, float] = {}
+    spreads: list[float] = []
+    for name in BENCH_QUERIES:
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        # 2nd-best / best among post-warmup-capable runs = pure noise
+        # measure (both runs are steady-state candidates)
+        if runs[0] > 0:
+            spreads.append(runs[1] / runs[0])
+    sentinel_end = _load_sentinel()
+    spreads.sort()
+    p90 = (round(spreads[int(len(spreads) * 0.9)], 3)
+           if spreads else None)
+    return {
+        "timings": timings,
+        "total": round(sum(timings.values()), 3),
+        "sentinel_start": sentinel_start,
+        "sentinel_end": sentinel_end,
+        "median_spread": (round(spreads[len(spreads) // 2], 3)
+                          if spreads else None),
+        "p90_spread": p90,
+        "sentinel_verdict": _sentinel_verdict(sentinel_start, p90),
+    }
+
+
 def main():
     from pyspark.sql import SparkSession
 
@@ -173,37 +242,39 @@ def main():
     qs["q01_pricing_summary"](spark, SF_DIR).write.format("noop") \
         .mode("overwrite").save()
 
-    sentinel_start = _load_sentinel()
+    # if the host is already loaded, don't even burn the first attempt:
+    # cool down once up front (the retry below still guards the case
+    # where load arrives mid-run and shows up as spread)
+    pre = _load_sentinel()
+    if (pre.get("loadavg") or [0.0])[0] > _load_thresh():
+        print(f"BENCH_GATE start loadavg {pre.get('loadavg')} above "
+              f"{_load_thresh():.1f}; cooling down {COOLDOWN_SEC:.0f}s",
+              file=sys.stderr)
+        time.sleep(COOLDOWN_SEC)
 
-    # min of 3 runs per query: run 1 pays one-off codegen/JIT compile
-    # (amortized to nothing over a 100-TB job), later runs are the
-    # steady-state per-query cost; min-of-3 damps same-host load noise
-    # (r6 advice: min-of-2 left an unattributable 1.11x driver drift).
-    timings: dict[str, float] = {}
-    spreads: list[float] = []
-    for name in BENCH_QUERIES:
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        timings[name] = round(runs[0], 3)
-        # 2nd-best / best among post-warmup-capable runs = pure noise
-        # measure (both runs are steady-state candidates)
-        if runs[0] > 0:
-            spreads.append(runs[1] / runs[0])
+    attempts = [_measure(spark, qs)]
+    if attempts[0]["sentinel_verdict"]["verdict"] == "contaminated":
+        print("BENCH_GATE attempt 1 contaminated "
+              f"({attempts[0]['sentinel_verdict']['reasons']}); "
+              f"retrying after {COOLDOWN_SEC:.0f}s", file=sys.stderr)
+        time.sleep(COOLDOWN_SEC)
+        attempts.append(_measure(spark, qs))
 
-    sentinel_end = _load_sentinel()
+    # headline = the quiet attempt if one exists, else the faster one
+    # (still marked contaminated so the artifact is honest about it)
+    quiet = [a for a in attempts
+             if a["sentinel_verdict"]["verdict"] == "quiet"]
+    best = quiet[0] if quiet else min(attempts, key=lambda a: a["total"])
+    timings = best["timings"]
+    total = best["total"]
+    sentinel_start = best["sentinel_start"]
+    sentinel_end = best["sentinel_end"]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
-    total = round(sum(timings.values()), 3)
-    spreads.sort()
     # The headline metric line must stay SMALL: the driver tail-captures
     # stdout and parses the last line as JSON, and r7's line (with
     # sentinel/noise/vs_prev inlined) overflowed the capture, leaving the
@@ -215,6 +286,12 @@ def main():
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # machine-readable host-contamination verdict (r11): "quiet"
+        # means the committed headline is the defensible number;
+        # "contaminated" means both attempts ran on a loaded host and
+        # cross-round comparisons should use the sidecar diagnostics
+        "sentinel_verdict": best["sentinel_verdict"]["verdict"],
+        "bench_attempts": len(attempts),
     }
     vs_prev = _vs_prev(timings, total, sf_val)
     if vs_prev and "ratios" in vs_prev:
@@ -237,11 +314,20 @@ def main():
         "runs_per_query": 3,
         "sentinel": {"start": sentinel_start, "end": sentinel_end},
         "noise": {
-            "median_run_spread": round(
-                spreads[len(spreads) // 2], 3) if spreads else None,
-            "p90_run_spread": round(
-                spreads[int(len(spreads) * 0.9)], 3) if spreads else None,
+            "median_run_spread": best["median_spread"],
+            "p90_run_spread": best["p90_spread"],
         },
+        "sentinel_verdict": best["sentinel_verdict"],
+        "attempts": [
+            {"total": a["total"],
+             "sentinel_verdict": a["sentinel_verdict"],
+             "p90_run_spread": a["p90_spread"],
+             "sentinel_start": a["sentinel_start"]}
+            for a in attempts
+        ],
+        "gate": {"load_thresh": _load_thresh(),
+                 "spread_p90_max": SPREAD_P90_MAX,
+                 "cooldown_sec": COOLDOWN_SEC},
     }
     if vs_prev is not None:
         diag["vs_prev"] = vs_prev

@@ -1535,6 +1535,12 @@ def _numpy_block_frames(rows: DataFrame, tmap: DataFrame,
         b.filter(F.col("__bi") != F.col("__bj")))
 
 
+# "caller did not hand anything down" marker for semdedup()'s private
+# hand-off parameters (None is a meaningful value there: "probe ran,
+# found no fat cell")
+_UNSET = object()
+
+
 def semdedup_pairs(df: DataFrame, centroids,
                    threshold: float = 0.95,
                    vec_col: str = "embedding",
@@ -1548,7 +1554,7 @@ def semdedup_pairs(df: DataFrame, centroids,
                    cells: Column | None = None,
                    vec_dim: int | None = None,
                    _celled: DataFrame | None = None,
-                   _tmap="unset") -> DataFrame:
+                   _tmap=_UNSET) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
     semantic near-duplicates are pairs in the SAME quantizer cell with
@@ -1725,7 +1731,7 @@ def semdedup_pairs(df: DataFrame, centroids,
         celled = base.withColumn("__norm", norm(F.col(vec_col)))
         if persist_celled:
             celled = celled.persist()
-        if not isinstance(_tmap, str):
+        if _tmap is not _UNSET:
             tmap = _tmap
         else:
             tmap = (_fat_cell_tmap(celled, cell_task_cap)
@@ -1810,6 +1816,27 @@ def _make_celled(src: DataFrame, centroids, cells: Column | None,
     contract matches assign_cells (null cell -> never paired, always
     survives)."""
     if cells is not None:
+        if vec_dim is None:
+            # the NULL-cell guard for dim-mismatched vectors is not
+            # optional: without it a mismatched/empty vector null-pads
+            # through the custom expression into a REAL bucket and the
+            # Arrow kernels crash on the ragged batch (np.vstack).
+            # Derive the dim from the first non-null vector (one
+            # limit-1 probe job) and tell the caller how to avoid it.
+            import warnings
+
+            row = (src.filter(F.col(vec_col).isNotNull())
+                   .select(F.size(F.col(vec_col)).alias("d")).first())
+            if row is not None:
+                vec_dim = int(row["d"])
+                warnings.warn(
+                    f"semdedup(cells=...) without vec_dim=: derived "
+                    f"the quantizer dim ({vec_dim}) from the first "
+                    f"non-null vector via an eager limit-1 probe job; "
+                    f"pass vec_dim= explicitly to skip the probe (and "
+                    f"note foreachBatch callers pay it per batch)",
+                    stacklevel=3,
+                )
         unmatchable = F.col(vec_col).isNull()
         if vec_dim is not None:
             # assign_cells contract: a vector whose length differs from
@@ -1919,6 +1946,12 @@ def semdedup(df: DataFrame, centroids,
             "component_backend='cells' requires n_probe=1: multi-probe "
             "visitor edges cross cells, so components are not "
             "cell-local; use component_backend='pairs'")
+    if component_backend == "cells" and pair_backend == "sql":
+        raise ValueError(
+            "component_backend='cells' evaluates cosines inside the "
+            "Arrow kernel (half-even rounding), which contradicts the "
+            "pair_backend='sql' pin (Python-free, half-up / "
+            "oracle-exact); drop one of the two")
 
     celled = tmap = None
     probe_counts = None
@@ -2005,7 +2038,7 @@ def semdedup(df: DataFrame, centroids,
                            vec_dim=vec_dim,
                            _celled=celled,
                            _tmap=tmap if probe_counts is not None
-                           else "unset")
+                           else _UNSET)
     comp = connected_components(pairs, "id_a", "id_b",
                                 max_iter=max_iter)
     losers = comp.filter(F.col("node") != F.col("comp")) \

@@ -93,6 +93,18 @@ class DuckDbRelation:
     def __len__(self):
         return self.relation.shape[0]
 
+    # Python resolves special methods on the type, never through
+    # __getattr__, so the protocols the docstring promises must be
+    # forwarded explicitly.
+    def __getitem__(self, item):
+        return self.relation[item]
+
+    def __iter__(self):
+        return iter(self.relation.fetchall())
+
+    def __contains__(self, item):
+        return item in self.relation.columns
+
 
 class SqlAlchemy(Target):
     """API-compat shim (reference backend/targets.py:25).  For SQL
@@ -146,9 +158,32 @@ def export_to(table, target):
         private = target.connection is None
         con = target.connection or duckdb.connect()
         tbl = df.toArrow()
-        name = target.relation_name or getattr(table, "_name", None) or "t"
-        # duckdb identifiers: keep it registerable without quoting games
-        name = re.sub(r"\W", "_", name) or "t"
+        if target.relation_name is not None:
+            # a caller-supplied name is used verbatim: reject rather
+            # than silently rewrite, and never clobber an existing view
+            # on a caller's connection
+            name = target.relation_name
+            if re.search(r"\W", name) or not name:
+                raise ValueError(
+                    f"relation_name {name!r} is not a plain identifier "
+                    "([A-Za-z0-9_]+); pass a valid name instead"
+                )
+            if not private:
+                existing = con.sql(
+                    "SELECT 1 FROM duckdb_views() WHERE view_name = ?"
+                    " LIMIT 1",
+                    params=[name],
+                ).fetchone()
+                if existing:
+                    raise ValueError(
+                        f"relation_name {name!r} already names a view on "
+                        "the supplied connection; choose another name or "
+                        "unregister it first"
+                    )
+        else:
+            name = getattr(table, "_name", None) or "t"
+            # derived default names: keep registerable without quoting games
+            name = re.sub(r"\W", "_", name) or "t"
         con.register(name, tbl)
         rel = con.sql(f'SELECT * FROM "{name}"')
         return DuckDbRelation(con, rel) if private else rel
