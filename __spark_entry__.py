@@ -4276,6 +4276,114 @@ def q_asof_join_scalable(spark, sf_dir):
     )
 
 
+def _event_log_staged(spark, sf_dir) -> str:
+    """Stage (idempotently, per call) the bucketed sorted event-log
+    layout for ``sf_dir`` — events bucketed by user_id, files sorted by
+    (user_id, ts, event_prio) with purchase=0 < click=1 so the
+    inclusive as-of tie order is physical — and return the catalog
+    table name.  Shared by q_asof_join_presorted and
+    q_sessionize_presorted; the scale sweep stages once per sf and
+    times the layout separately (SCALE_BENCH_r11 event_log_layout)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+
+    tag = (os.path.basename(sf_dir.rstrip("/"))
+           .replace(".", "_").replace("-", "_"))
+    name = f"ev_log_{tag}"
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".tmp_stream", f"evlog_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    df = ev.load_events(spark, sf_dir)
+    prio = (F.when(F.col("event_type") == "purchase", 0)
+            .when(F.col("event_type") == "click", 1))
+    ev.write_event_log(df, name, by="user_id", on="ts",
+                       priority=prio, buckets=32, path=base)
+    return name
+
+
+@_q("""
+SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_right,
+       round(r.value, 6) AS purchase_value
+FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events
+                WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def q_asof_join_presorted(spark, sf_dir):
+    """As-of join over the SORTED EVENT-LOG layout (r11, VERDICT r10
+    next #6): both sides live in the same events table, so the staged
+    bucketed-sorted layout (events.write_event_log) lets
+    asof.asof_join_colocated run Scan -> Filter -> Window with NO
+    Exchange and NO Sort — q_asof_join's union + window pays one
+    shuffle+sort of |clicks|+|purchases| rows per run, this lane pays
+    the sort once at ingest and amortizes it over every downstream
+    time-ordered query.  Same DuckDB ASOF JOIN oracle; the sort-free
+    plan is pinned in tests/test_event_log_layout.py and the sf10/sf100
+    wall-clock comparison lives in SCALE_BENCH_r11.json."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+    from pydiverse_transform_spark.extras.asof import asof_join_colocated
+
+    t = ev.read_event_log(spark, _event_log_staged(spark, sf_dir))
+    res = asof_join_colocated(t, on="ts", by=["user_id"],
+                              side_col="event_prio", payload=["value"])
+    return res.select(
+        "event_id", "user_id", "ts", "ts_right",
+        F.round(F.col("value_right"), 6).alias("purchase_value"),
+    )
+
+
+@_q("""
+WITH base AS (
+  SELECT user_id, epoch_us(ts::TIMESTAMP) AS us FROM events
+), tagged AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), sess AS (
+  SELECT user_id, us,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM tagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(us) AS session_start_us, max(us) AS session_end_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""")
+def q_sessionize_presorted(spark, sf_dir):
+    """Sessionization over the SORTED EVENT-LOG layout (r11): the
+    gap-window runs directly on the bucketed-sorted scan — no Exchange
+    (bucketing satisfies the per-user distribution), no Sort (file
+    order satisfies the window order), and even the per-session
+    aggregate reuses the bucket partitioning (user_id is a subset of
+    the grouping keys) — the whole query is ONE stage, zero shuffles.
+    Same oracle as q_sessionize_scalable (whose two-level shape is the
+    answer when the layout is NOT pre-sorted / a user is pathologically
+    hot); plan pinned in tests/test_event_log_layout.py."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import events as ev
+
+    t = ev.read_event_log(spark, _event_log_staged(spark, sf_dir))
+    s = ev.sessionize(t, "user_id", "ts", gap_minutes=30)
+    return (
+        s.select("user_id", "session_id",
+                 ev.epoch_us(F.col("ts")).alias("__us"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("__us").alias("session_start_us"),
+             F.max("__us").alias("session_end_us"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 @_q("""
 SELECT l.event_id, r.event_id AS error_id, l.user_id, l.ts
 FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events

@@ -38,7 +38,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["asof_join", "asof_join_scalable"]
+__all__ = ["asof_join", "asof_join_scalable", "asof_join_colocated"]
 
 _SIDE = "__asof_is_left__"
 _MATCHED_ON = "__asof_matched_on__"
@@ -148,6 +148,68 @@ def asof_join(
     sel.extend(
         F.col(f"{_PAYLOAD}.{c}").alias(out_names[c]) for c in payload_cols
     )
+    return out.select(*sel)
+
+
+def asof_join_colocated(
+    events: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    *,
+    side_col: str,
+    payload: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join where BOTH sides are row-subsets of the SAME table —
+    the event-log case (clicks matched to the user's latest preceding
+    purchase, both living in ``events``).  ``asof_join`` tags and
+    UNIONS two scans; the union's output ordering/partitioning is
+    unknown to Spark, so the window behind it always re-shuffles and
+    re-sorts.  This variant runs the same carry-forward window over ONE
+    scan: when ``events`` is a :func:`events.write_event_log` layout
+    (bucketed by ``by``, files sorted by ``(by, on, side_col)``), the
+    plan is Scan -> Filter -> Window — NO Exchange, NO Sort, fully
+    map-side at any scale (plan pinned in
+    tests/test_event_log_layout.py; on an unsorted input it degrades
+    gracefully to the ordinary one-shuffle window).
+
+    ``side_col`` is the stored tie-break column: 0 = right side (the
+    rows whose state is carried forward), 1 = left side (the rows that
+    receive it), anything else / NULL = not participating.  0 < 1 makes
+    a right row at EQUAL ``on`` sort before its left reader, which is
+    exactly the inclusive (``right.on <= left.on``) backward semantics
+    — and it must be a real column, not a derived expression, because
+    the window can only skip its sort when it orders by the columns the
+    files are physically sorted by.  Forward direction needs the
+    mirrored layout (descending ``on``); use ``asof_join`` for that.
+
+    Output: the left rows with all ``events`` columns except
+    ``side_col``, plus ``on + suffix`` (the matched right timestamp,
+    NULL = no match) and each payload column as ``name + suffix``
+    (payload columns also exist on left rows — the suffixed copy is the
+    MATCHED right row's value)."""
+    by = list(by or [])
+    side = F.col(side_col)
+    pay = F.when(
+        side == 0,
+        F.struct(F.col(on).alias(_MATCHED_ON),
+                 *[F.col(c) for c in payload]),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(F.col(on).asc(), side.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        events.filter(side.isin(0, 1))
+        .withColumn(_PAYLOAD, F.last(pay, ignorenulls=True).over(w))
+        .filter(side == 1)
+    )
+    keep = [c for c in events.columns if c != side_col]
+    sel = [F.col(c) for c in keep]
+    sel.append(F.col(f"{_PAYLOAD}.{_MATCHED_ON}").alias(on + suffix))
+    sel.extend(F.col(f"{_PAYLOAD}.{c}").alias(c + suffix)
+               for c in payload)
     return out.select(*sel)
 
 

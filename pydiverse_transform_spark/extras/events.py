@@ -19,7 +19,7 @@ US_PER_MIN = 60_000_000
 
 __all__ = ["load_events", "epoch_us", "sessionize", "sessionize_scalable",
            "tumbling_agg", "ntz_from_epoch_us", "time_partition_col",
-           "write_time_partitioned"]
+           "write_time_partitioned", "write_event_log", "read_event_log"]
 
 
 def _div(a: Column, b: Column) -> Column:
@@ -242,3 +242,67 @@ def write_time_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def write_event_log(df: DataFrame, table_name: str, *,
+                    by: str = "user_id", on: str = "ts",
+                    priority: Column | None = None,
+                    priority_col: str = "event_prio",
+                    buckets: int = 32, mode: str = "overwrite",
+                    path: str | None = None) -> None:
+    """Materialize the SORTED EVENT-LOG layout (r11): a bucketed catalog
+    table — ``bucketBy(buckets, by)`` + ``sortBy(by, on[, priority])``
+    with exactly ONE file per bucket — so every per-key time-ordered
+    operator over it (window, sessionize, co-located as-of join) runs
+    with NO Exchange (the bucketing satisfies the window's clustered
+    distribution) and NO Sort (the file order satisfies the window
+    order).  Pay the sort once at ingest, amortize it over every
+    downstream query — at 100 TB the events table is written once a day
+    and windowed hundreds of times, so this is the layout a production
+    event pipeline wants (plan proof: tests/test_event_log_layout.py;
+    scale numbers: SCALE_BENCH_r11.json event_log_layout block).
+
+    The one-file-per-bucket guarantee comes from ``repartition(buckets,
+    by)`` ahead of the bucketed write: Spark's repartition hash and its
+    bucket hash are the same Murmur3 family over the same expression, so
+    each task holds exactly one bucket's rows and writes one file —
+    the layout :func:`read_event_log` needs for the scan to report its
+    sort order.
+
+    ``priority`` (optional) is materialized as ``priority_col`` and
+    appended to the sort key: a SMALL INT encoding which event kinds
+    must win ties at equal (by, on) — e.g. state-updating events (0)
+    before state-reading events (1), the tie order the inclusive
+    as-of join needs (see :func:`asof.asof_join_colocated`).  It must
+    be a real stored column (not re-derived at read time) because the
+    downstream window can only skip its sort when it orders by the
+    exact columns the files are sorted by.
+
+    ``path`` makes the table EXTERNAL at that location (keeps staging
+    out of the repo/warehouse root); bucketing requires a catalog table
+    (Spark restriction), hence ``saveAsTable`` and not a path-only
+    parquet write."""
+    sort_cols = [by, on]
+    if priority is not None:
+        df = df.withColumn(priority_col, priority.cast("int"))
+        sort_cols.append(priority_col)
+    w = (df.repartition(buckets, F.col(by))
+         .write.mode(mode)
+         .bucketBy(buckets, by).sortBy(*sort_cols))
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def read_event_log(spark: SparkSession, table_name: str) -> DataFrame:
+    """Open a :func:`write_event_log` table so downstream windows can
+    elide their Exchange AND Sort.  Spark reports a bucketed scan's
+    sort order only behind
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` (off by
+    default since 3.0 because multi-file buckets would need a merge-
+    sort to honor it — SPARK-28595); the writer's one-file-per-bucket
+    guarantee is exactly the layout where enabling it is free, so this
+    reader turns it on for the session."""
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    return spark.table(table_name)

@@ -182,6 +182,69 @@ def main():
                         comp[hi][metric] / comp[lo][metric], 2)
         result["q_minhash_index_lookup"]["components"] = comp
 
+    # --- sorted event-log layout (r11, VERDICT r10 next #6) ---------
+    # Stage the bucketed-sorted events table once per sf (stage_sec),
+    # then time the sort-free operators against it vs their
+    # layout-agnostic twins on the plain parquet — the claim is that
+    # paying the sort once at ingest beats paying a shuffle+sort per
+    # query, and that the gap widens with data size (q_asof_join's
+    # unsorted row above is the asof comparison point).
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from pydiverse_transform_spark.extras import events as ev
+    from pydiverse_transform_spark.extras.asof import asof_join_colocated
+
+    def mn2(fn):
+        best = None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    def _sess_agg(s):
+        return (s.select("user_id", "session_id",
+                         ev.epoch_us(F.col("ts")).alias("__us"))
+                .groupBy("user_id", "session_id")
+                .agg(F.min("__us").alias("session_start_us"),
+                     F.max("__us").alias("session_end_us"),
+                     F.count(F.lit(1)).alias("n_events")))
+
+    evlayout = {"note": "stage_sec = one-time bucketed-sorted write "
+                        "(32 buckets, sorted user_id/ts/prio); *_presorted "
+                        "run over the staged table (plan: no Exchange, no "
+                        "Sort — tests/test_event_log_layout.py); "
+                        "asof_unsorted comparison point is the "
+                        "q_asof_join row above; sessionize_unsorted_sec "
+                        "is the plain window on raw parquet"}
+    for tag in ["sf0.1", "sf1", "sf10", "sf100"]:
+        sf_dir = SFS[tag]
+        if not os.path.isdir(sf_dir):
+            continue
+        t0 = time.perf_counter()
+        name = entry_mod._event_log_staged(spark, sf_dir)
+        row = {"stage_sec": round(time.perf_counter() - t0, 3)}
+        t = ev.read_event_log(spark, name)
+        row["asof_presorted_sec"] = mn2(
+            lambda: asof_join_colocated(
+                t, on="ts", by=["user_id"], side_col="event_prio",
+                payload=["value"])
+            .select("event_id", "user_id", "ts", "ts_right",
+                    F.round(F.col("value_right"), 6)
+                    .alias("purchase_value")))
+        row["sessionize_presorted_sec"] = mn2(
+            lambda: _sess_agg(ev.sessionize(t, "user_id", "ts", 30)))
+        row["sessionize_unsorted_sec"] = mn2(
+            lambda: _sess_agg(ev.sessionize(
+                ev.load_events(spark, sf_dir), "user_id", "ts", 30)))
+        if result.get("q_asof_join", {}).get(tag):
+            row["asof_unsorted_sec"] = result["q_asof_join"][tag]
+        evlayout[tag] = row
+        print(f"  event_log_layout[{tag}]: {row}", file=sys.stderr)
+    result["event_log_layout"] = evlayout
+
     sent_end = _load_sentinel()
     payload = {
         "metric": "three_decade_scaling",
