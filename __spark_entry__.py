@@ -5408,6 +5408,41 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+@_q(f"""
+WITH probe AS (
+  SELECT DISTINCT unnest({_shingle_sql('text')}) AS psh
+  FROM documents WHERE doc_id % 97 = 0
+),
+doc_sh AS (
+  SELECT doc_id, unnest({_shingle_sql('text')}) AS psh FROM documents
+),
+bad AS (SELECT DISTINCT doc_id FROM doc_sh JOIN probe USING (psh))
+SELECT count(*) AS n_clean, CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+""")
+def q_decontaminate_bloom(spark, sf_dir):
+    """Same decontamination semantics through the Bloom-prefilter lane
+    (extras/bloom.py, r11): the probe shingle set becomes an
+    ~1.2-byte/key bitmap broadcast as ONE row; the corpus-side
+    membership test is a codegen conjunction of element_at bit probes
+    (map-only, no false negatives), and only the ~fpp surviving
+    candidate shingles reach the exact verify semi-join — the lane for
+    probe sets too large to broadcast as a JVM hash relation.  The
+    verify join removes every false positive, so the oracle is the
+    exact-decontamination SQL, byte-identical results."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 97 == 0)
+    clean = dedup.decontaminate(docs, probe, method="bloom", fpp=0.01)
+    return clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 @_q(r"""
 SELECT doc_id,
        regexp_replace(
@@ -6559,6 +6594,81 @@ def q_compacted_scan(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_chars").alias("total_chars"))
         .orderBy("lang")
+    )
+
+
+@_q("""
+WITH b AS (
+  SELECT min(user_id) AS umn, max(user_id) AS umx,
+         min(epoch_us(ts)) AS tmn, max(epoch_us(ts)) AS tmx
+  FROM events
+)
+SELECT count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       count(DISTINCT event_type) AS n_types
+FROM events, b
+WHERE user_id BETWEEN umn + (umx - umn) * 45 // 100
+                  AND umn + (umx - umn) * 55 // 100
+  AND ts BETWEEN make_timestamp(tmn + (tmx - tmn) * 45 // 100)
+             AND make_timestamp(tmn + (tmx - tmn) * 55 // 100)
+""")
+def q_zorder_scan(spark, sf_dir):
+    """Z-order clustered layout round-trip (sources/sinks.py
+    write_zorder, r11): events re-written Morton-interleaved on
+    (user_id, ts), then a 2-D box predicate (middle ~10% of each key
+    range) aggregated over the layout.  Layout is content-neutral, so
+    the oracle runs the same box over the RAW table.  The query
+    asserts the layout actually prunes — row groups whose (user_id,
+    ts) envelopes miss the box, measured from parquet footer stats,
+    must be a strict minority — so a silently unclustered write fails
+    the row, not just the benchmark."""
+    import datetime
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.sources.sinks import (
+        rowgroup_pruning_stats,
+        zorder_key,
+    )
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".tmp_stream", "zorder_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    zdf, _ = zorder_key(ev, ["user_id", "ts"], bits=8)
+    (
+        zdf.repartitionByRange(16, "__z").sortWithinPartitions("__z")
+        .drop("__z").write.mode("overwrite").parquet(out)
+    )
+
+    r = ev.agg(
+        F.min("user_id").alias("umn"), F.max("user_id").alias("umx"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("tmn"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("tmx"),
+    ).collect()[0]
+    lo_u = r.umn + (r.umx - r.umn) * 45 // 100
+    hi_u = r.umn + (r.umx - r.umn) * 55 // 100
+    epoch = datetime.datetime(1970, 1, 1)
+    lo_t = epoch + datetime.timedelta(
+        microseconds=r.tmn + (r.tmx - r.tmn) * 45 // 100)
+    hi_t = epoch + datetime.timedelta(
+        microseconds=r.tmn + (r.tmx - r.tmn) * 55 // 100)
+
+    stats = rowgroup_pruning_stats(
+        out, {"user_id": (lo_u, hi_u), "ts": (lo_t, hi_t)})
+    assert stats["row_groups_read"] * 2 <= stats["row_groups_total"], (
+        f"z-order layout did not prune: {stats}")
+
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id").between(lo_u, hi_u)
+               & F.col("ts").between(F.lit(lo_t), F.lit(hi_t)))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("event_id").cast("long").alias("id_sum"),
+             F.countDistinct("event_type").alias("n_types"))
     )
 
 

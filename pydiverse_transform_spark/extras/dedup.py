@@ -698,15 +698,36 @@ def neardup_dedup(df: DataFrame, text_col: str = "text",
 def contaminated_ids(df: DataFrame, probe: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      *, k: int = 3,
-                     probe_text_col: str | None = None) -> DataFrame:
+                     probe_text_col: str | None = None,
+                     method: str = "broadcast",
+                     fpp: float = 0.01) -> DataFrame:
     """ids of corpus documents sharing at least one k-word shingle with
     ``probe`` (benchmark/eval-set decontamination).
 
-    The probe's distinct shingle set is tiny relative to the corpus, so
-    Catalyst broadcasts it and the semi-join never shuffles the corpus:
-    at 100 TB this is one map-side pass over the documents (explode +
-    broadcast hash semi-join + partial-distinct on the id)."""
+    ``method="broadcast"`` (default): the probe's distinct shingle set
+    is broadcast as a hash relation and the semi-join never shuffles
+    the corpus: at 100 TB this is one map-side pass over the documents
+    (explode + broadcast hash semi-join + partial-distinct on the id).
+    Right while the probe fits a broadcast (~100+ bytes/shingle as a
+    JVM hash relation).
+
+    ``method="bloom"``: for probe sets too large to broadcast as a
+    hash relation (a full eval-suite can reach 10^7..10^8 distinct
+    shingles — gigabytes as strings, ~1.2 bytes/key as a Bloom bitmap
+    at fpp=0.01).  The corpus-side prefilter stays map-only (one-row
+    bitmap broadcast + codegen bit tests, no false negatives); only
+    the ~fpp surviving candidate shingle rows reach the exact verify
+    semi-join, which Catalyst/AQE plans as a shuffle of CANDIDATES —
+    never the corpus — against the probe.  Results are identical to
+    the exact method (the verify join removes every false positive).
+    """
     from pyspark.sql.functions import broadcast
+
+    from .bloom import bloom_build, bloom_filter_hits
+
+    if method not in ("broadcast", "bloom"):
+        raise ValueError(
+            f"method must be 'broadcast' or 'bloom', got {method!r}")
 
     doc_sh = shingled(df, text_col, id_col, k).select(
         id_col, F.explode("__sh").alias("__psh")
@@ -719,6 +740,17 @@ def contaminated_ids(df: DataFrame, probe: DataFrame,
         )
         .distinct()
     )
+    if method == "bloom":
+        bloom = bloom_build(probe_sh, "__psh", fpp=fpp)
+        doc_sh = bloom_filter_hits(doc_sh, bloom, "__psh")
+        # exact verify over survivors only — NO broadcast hint: at
+        # bloom-scale probes the planner must be free to shuffle the
+        # (small) candidate set instead of broadcasting the probe.
+        return (
+            doc_sh.join(probe_sh, "__psh", "left_semi")
+            .select(id_col)
+            .distinct()
+        )
     return (
         doc_sh.join(broadcast(probe_sh), "__psh", "left_semi")
         .select(id_col)
@@ -729,11 +761,14 @@ def contaminated_ids(df: DataFrame, probe: DataFrame,
 def decontaminate(df: DataFrame, probe: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   *, k: int = 3,
-                  probe_text_col: str | None = None) -> DataFrame:
+                  probe_text_col: str | None = None,
+                  method: str = "broadcast",
+                  fpp: float = 0.01) -> DataFrame:
     """Drop every corpus document that shares a k-word shingle with the
     probe set (anti-join against :func:`contaminated_ids`)."""
     bad = contaminated_ids(df, probe, text_col, id_col, k=k,
-                           probe_text_col=probe_text_col)
+                           probe_text_col=probe_text_col,
+                           method=method, fpp=fpp)
     return df.join(bad, on=id_col, how="left_anti")
 
 

@@ -17,8 +17,9 @@ from ..table import Table
 
 __all__ = ["write_parquet", "write_csv", "write_json", "write_orc",
            "write_jdbc", "save_as_table", "write_time_partitioned",
-           "write_sorted", "compact_parquet", "dataset_manifest",
-           "write_manifest"]
+           "write_sorted", "write_zorder", "zorder_key",
+           "rowgroup_pruning_stats", "compact_parquet",
+           "dataset_manifest", "write_manifest"]
 
 
 def _writer(table: Table, mode: str, partition_by, **options):
@@ -171,6 +172,168 @@ def write_sorted(table: Table, path: str, sort_by, *,
         .write.mode(mode).options(**options).parquet(path)
     )
     return table
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton-curve) clustered layout.  write_sorted gives tight
+# min/max footer stats on ONE key; a 2-D predicate (user AND time, key
+# AND date...) on a single-sorted layout still reads every row group
+# that matches the FIRST key.  Interleaving the bits of rank-bucketed
+# keys makes every row group a small hyper-rectangle in key space, so
+# parquet row-group/page stats prune on EVERY z-ordered dimension at
+# once — the standard clustered-layout trick (Morton 1966; the same
+# layout Delta/Iceberg expose as OPTIMIZE ... ZORDER BY), built here
+# from public Spark primitives: approxQuantile boundaries (driver-side,
+# 2^bits scalars per dim — meta-sized), a log-depth codegen
+# binary-search bucketizer, bit interleave as integer arithmetic, one
+# repartitionByRange on the z-value.  Layout-only: row CONTENT is
+# untouched, so any query over the layout equals the same query over
+# the raw table (the oracle contract for q_zorder_scan).
+# ---------------------------------------------------------------------------
+
+
+def _zq_bounds(df, name: str, bits: int) -> list:
+    """Distinct interior quantile boundaries of ``df[name]`` cast to
+    double (2^bits - 1 requested; duplicates collapse on skew)."""
+    probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+    qs = df.stat.approxQuantile(name, probs, 1.0 / (1 << (bits + 2)))
+    return sorted(set(qs))
+
+
+def _zq_bucket(col, bounds: list):
+    """Log-depth binary-search bucket index (0..len(bounds)) as a
+    nested when-tree — codegen-friendly, no higher-order functions."""
+    from pyspark.sql import functions as F
+
+    def rec(lo: int, hi: int):
+        # invariant: value belongs to bucket in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(col <= F.lit(bounds[mid]), rec(lo, mid))
+            .otherwise(rec(mid + 1, hi))
+        )
+
+    if not bounds:
+        return F.lit(0)
+    return rec(0, len(bounds))
+
+
+def zorder_key(df, by: list[str], *, bits: int = 8):
+    """``(df + __z column, meta)``: the Morton interleave of the
+    rank-bucketed ``by`` columns.  ``bits`` per dimension; total z-bits
+    = ``bits * len(by)`` (capped at 60 so the arithmetic stays in one
+    long, far beyond any useful file count).  Numeric / timestamp /
+    date columns only — ranks come from approxQuantile."""
+    from pyspark.sql import functions as F
+
+    if not isinstance(by, (list, tuple)) or len(by) < 1:
+        raise ValueError("by must be a non-empty list of column names")
+    d = len(by)
+    if bits * d > 60:
+        raise ValueError(f"bits*len(by) = {bits * d} exceeds 60")
+    dtypes = dict(df.dtypes)
+
+    def as_double(c: str):
+        t = dtypes.get(c, "")
+        if t.startswith("timestamp"):
+            # NTZ has no direct numeric cast; the session timezone is
+            # pinned to UTC engine-wide, so the micros are stable
+            return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+        if t == "date":
+            return F.unix_date(F.col(c)).cast("double")
+        return F.col(c).cast("double")
+
+    casted = df.select(
+        "*",
+        *[as_double(c).alias(f"__zq{i}") for i, c in enumerate(by)],
+    )
+    meta = {"by": list(by), "bits": bits, "bounds": {}}
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(by):
+        bounds = _zq_bounds(casted, f"__zq{i}", bits)
+        meta["bounds"][c] = bounds
+        bucket = _zq_bucket(F.col(f"__zq{i}"), bounds).cast("long")
+        for b in range(bits):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long"))
+            z = z.bitwiseOR(F.shiftleft(bit, b * d + i))
+    out = casted.withColumn("__z", z).drop(
+        *[f"__zq{i}" for i in range(d)])
+    return out, meta
+
+
+@verb
+def write_zorder(table: Table, path: str, by, *,
+                 bits: int = 8, num_files: int | None = None,
+                 mode: str = "overwrite", **options) -> Table:
+    """Z-order-clustered parquet sink: one range shuffle on the Morton
+    key (repartitionByRange samples the z distribution, so files get
+    balanced, non-overlapping z ranges) + in-partition sort, then plain
+    writes.  Every output row group covers a small rectangle of the
+    ``by`` key space, so re-reads with predicates on ANY subset of the
+    z-ordered columns skip row groups via footer stats — the multi-key
+    complement of :func:`write_sorted`.  Layout proof + pruning
+    measurement: tests/test_zorder.py and
+    :func:`rowgroup_pruning_stats`."""
+    if not isinstance(by, (list, tuple)):
+        by = [by]
+    names = [table._cols[table._resolve_uuid(c)].name for c in by]
+    zdf, _ = zorder_key(table.to_spark(), names, bits=bits)
+    if num_files is not None:
+        ranged = zdf.repartitionByRange(num_files, "__z")
+    else:
+        ranged = zdf.repartitionByRange("__z")
+    (
+        ranged.sortWithinPartitions("__z").drop("__z")
+        .write.mode(mode).options(**options).parquet(path)
+    )
+    return table
+
+
+def rowgroup_pruning_stats(path: str, predicates: dict) -> dict:
+    """Measure parquet row-group min/max pruning for a conjunction of
+    range predicates ``{col: (lo, hi)}`` (inclusive; None = open end)
+    WITHOUT running a query: walks every row group's footer stats with
+    pyarrow and counts the groups whose [min, max] envelope intersects
+    every predicate — exactly the set a stats-pruning reader must
+    read.  Local-filesystem paths (tests/bench evidence; production
+    readers get the same skipping from Spark's parquet filter
+    pushdown)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        _glob.glob(os.path.join(path, "*.parquet"))
+        or _glob.glob(os.path.join(path, "**", "*.parquet"),
+                      recursive=True)
+    )
+    total = kept = 0
+    rows_total = rows_kept = 0
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        idx = {md.schema.column(j).name: j
+               for j in range(md.num_columns)}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            total += 1
+            rows_total += rg.num_rows
+            hit = True
+            for col, (lo, hi) in predicates.items():
+                st = rg.column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats -> not prunable, must read
+                if (hi is not None and st.min > hi) or (
+                        lo is not None and st.max < lo):
+                    hit = False
+                    break
+            if hit:
+                kept += 1
+                rows_kept += rg.num_rows
+    return {"row_groups_total": total, "row_groups_read": kept,
+            "rows_total": rows_total, "rows_read_upper_bound": rows_kept,
+            "n_files": len(files)}
 
 
 # ---------------------------------------------------------------------------
