@@ -255,6 +255,15 @@ def zorder_key(df, by: list[str], *, bits: int = 8):
         bounds = _zq_bounds(casted, f"__zq{i}", bits)
         meta["bounds"][c] = bounds
         bucket = _zq_bucket(F.col(f"__zq{i}"), bounds).cast("long")
+        # low-cardinality dims collapse to few quantile buckets; spread
+        # the surviving indices across the FULL 2^bits range so the
+        # dimension still drives the interleave's high bits (otherwise
+        # its top bits are constant zero and the z-order degenerates to
+        # a single-key sort on the other dimensions)
+        n_b = len(bounds) + 1
+        if n_b < (1 << bits) and n_b > 1:
+            bucket = (bucket * F.lit(((1 << bits) - 1) // (n_b - 1))
+                      ).cast("long")
         for b in range(bits):
             bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1).cast("long"))
             z = z.bitwiseOR(F.shiftleft(bit, b * d + i))
