@@ -2946,16 +2946,88 @@ def _align_to_index_schema(spark, index_path: str, df: DataFrame,
     return df
 
 
+# one task may spend at most ~this many interpreted probe x index
+# cosine evaluations before the Arrow/BLAS lane takes over — the same
+# interpreted-pair-work budget as semdedup's cell_task_cap (2048^2),
+# and the index-side rows one BLAS task handles per salted block
+_HIT_PAIR_BUDGET = 4_000_000
+_HIT_IDX_BLOCK = 65_536
+
+
+def _hit_pairs_numpy_kernel(threshold: float, row_block: int = 2048):
+    """applyInPandas kernel: cross cosines between the probe side
+    (``__side`` 0) and index side (``__side`` 1) of one (cell, salt
+    block), emitting (__pid, __iid) pairs with rounded cosine >=
+    threshold.  One BLAS matmul per ``row_block`` probe rows instead
+    of one interpreted Catalyst ArrayAggregate per PAIR — the
+    streaming-ingest twin of :func:`_pairs_numpy_kernel` (r11: the
+    sf100 stream-recovery soak measured the interpreted lane at ~10
+    min per 1000-vector micro-batch against a 2M-vector index; this
+    kernel does the same 31M cosines in seconds).  The sim matrix is
+    blocked so peak memory is row_block x n_index, never n².  NaN
+    cosines compare False in numpy — the same unmatchable-arrival
+    guard the SQL lane spells as ``~isnan(cos)``.  Rounding caveat as
+    documented on :func:`_pairs_numpy_kernel` (np.round is half-even,
+    Spark round is half-up; exact 5e-7-boundary cosines may differ —
+    the auto router keeps oracle-scale runs on the SQL lane)."""
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame({"__pid": [], "__iid": []})
+
+    def _stack(frame):
+        ids = frame["__id"].to_numpy()
+        X = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in frame["__v"]])
+        return ids, X, np.sqrt((X * X).sum(axis=1))
+
+    def fn(pdf):
+        a = pdf[pdf["__side"] == 0]
+        b = pdf[pdf["__side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ia, Xa, na = _stack(a)
+        ib, Xb, nb = _stack(b)
+        out = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s in range(0, len(ia), row_block):
+                e = min(s + row_block, len(ia))
+                sims = np.round(
+                    (Xa[s:e] @ Xb.T) / np.outer(na[s:e], nb), 6)
+                r, c = np.nonzero(sims >= threshold)
+                if len(r):
+                    out.append(pd.DataFrame(
+                        {"__pid": ia[s:e][r], "__iid": ib[c]}))
+        return pd.concat(out) if out else empty
+
+    return fn
+
+
 def _embedding_hit_pairs(spark, index_path: str, meta: dict,
-                         probed: DataFrame,
-                         threshold: float) -> DataFrame | None:
+                         probed: DataFrame, threshold: float,
+                         pair_backend: str = "auto") -> DataFrame | None:
     """(__pid, __iid) pairs between an exploded probe frame
     (``__pid``, ``__pv``, ``cell``) and the index: the distinct probed
     cells (at most k values) are collected and pushed as a LITERAL
     partition filter into the index scan — static pruning — then exact
     cosine gates the candidates.  None when the probe produced no
-    cells (all-null increment)."""
+    cells (all-null increment).
+
+    ``pair_backend`` mirrors semdedup's knob: ``"sql"`` evaluates the
+    candidate cosines as Catalyst expressions (Python-free, oracle
+    round semantics), ``"numpy"`` runs one Arrow/BLAS kernel per
+    (cell, salt block), ``"auto"`` routes by the PROJECTED pair count
+    (per-cell probe x index row products, two bounded count folds):
+    above ``_HIT_PAIR_BUDGET`` the interpreted lane is the hot-path
+    tax r9 measured at ~4 µs/pair, so the kernel takes over; fat cells
+    are salted into ``ceil(n_idx / _HIT_IDX_BLOCK)`` blocks (index
+    rows partitioned by id hash, probes replicated per block — exact,
+    every pair in exactly one block) so one popular cell cannot
+    serialize the batch."""
     vec_col, id_col = meta["vec_col"], meta["id_col"]
+    if pair_backend not in ("auto", "sql", "numpy"):
+        raise ValueError(f"pair_backend must be 'auto', 'sql' or "
+                         f"'numpy', got {pair_backend!r}")
     cells = sorted(r["cell"] for r in
                    probed.select("cell").distinct().collect())
     if not cells:
@@ -2970,6 +3042,63 @@ def _embedding_hit_pairs(spark, index_path: str, meta: dict,
         idx = idx.filter(F.col("cell").isin(cells))
     idx = idx.select(F.col(id_col).alias("__iid"),
                      F.col(vec_col).alias("__iv"), "cell")
+
+    backend = pair_backend
+    icnt = None
+    if backend == "auto":
+        # both folds are bounded by the probed cell count (<= k rows)
+        pcnt = {r["cell"]: r["n"] for r in
+                probed.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        icnt = {r["cell"]: r["n"] for r in
+                idx.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+        projected = sum(n * icnt.get(c, 0) for c, n in pcnt.items())
+        backend = "numpy" if projected > _HIT_PAIR_BUDGET else "sql"
+
+    if backend == "numpy":
+        if icnt is None:
+            icnt = {r["cell"]: r["n"] for r in
+                    idx.groupBy("cell")
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+        tmap = spark.createDataFrame(
+            [(c, max(1, -(-n // _HIT_IDX_BLOCK)))
+             for c, n in icnt.items()] or [(cells[0], 1)],
+            f"cell {idx.schema['cell'].dataType.simpleString()}, "
+            "__t int")
+        dim = meta.get("dim") or len(meta["centroids"][0])
+        # probe side: only kernel-stackable vectors can match anyway
+        # (the SQL lane nulls their cosine out) — replicate each probe
+        # into every salt block of its cell
+        a = (
+            probed.filter(_matchable_vec("__pv")
+                          & (F.size("__pv") == dim))
+            .join(F.broadcast(tmap), on="cell", how="inner")
+            .select("cell",
+                    F.explode(F.expr("sequence(0, __t - 1)"))
+                    .alias("__blk"),
+                    F.col("__pid").alias("__id"),
+                    F.col("__pv").alias("__v"),
+                    F.lit(0).alias("__side"))
+        )
+        # index side: each row in exactly one block of its cell
+        b = (
+            idx.join(F.broadcast(tmap), on="cell", how="inner")
+            .select("cell",
+                    F.pmod(F.xxhash64("__iid"), F.col("__t"))
+                    .cast("int").alias("__blk"),
+                    F.col("__iid").alias("__id"),
+                    F.col("__iv").alias("__v"),
+                    F.lit(1).alias("__side"))
+        )
+        pid_t = probed.schema["__pid"].dataType.simpleString()
+        iid_t = idx.schema["__iid"].dataType.simpleString()
+        kernel = _hit_pairs_numpy_kernel(threshold)
+        return (
+            a.unionByName(b).groupBy("cell", "__blk")
+            .applyInPandas(kernel, f"__pid {pid_t}, __iid {iid_t}")
+        )
+
     # NaN guard (r9): Spark predicates treat NaN as LARGER than any
     # value, so a NaN cosine (NaN-component probe x indexed vector)
     # would count as a hit and silently DROP the arrival; a NaN cosine
@@ -2995,7 +3124,8 @@ def _matchable_vec(vec_col: str):
 def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
                          threshold: float = 0.9, n_probe: int = 2,
                          probe_margin: float | str | None = "auto",
-                         admit: bool = False) -> DataFrame:
+                         admit: bool = False,
+                         pair_backend: str = "auto") -> DataFrame:
     """Semantic ingest dedup — SemDeDup for INCREMENTS against a
     persisted :func:`write_ivfpq` index: drop arriving vectors whose
     cosine against ANY indexed vector reaches ``threshold``; return the
@@ -3061,7 +3191,8 @@ def embedding_filter_new(spark, index_path: str, new_vecs: DataFrame, *,
         probed = probed.persist()
     try:
         hits = _embedding_hit_pairs(spark, index_path, meta, probed,
-                                    threshold)
+                                    threshold,
+                                    pair_backend=pair_backend)
         if hits is not None:
             hit_ids = hits.select(
                 F.col("__pid").alias(id_col)).distinct()

@@ -520,7 +520,8 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
                            admit: bool = True,
                            maintain_every: int | None = None,
                            available_now: bool = False,
-                           trigger_seconds: int | None = None):
+                           trigger_seconds: int | None = None,
+                           pair_backend: str = "auto"):
     """Micro-batch SEMANTIC ingest dedup against a persisted IVF-PQ
     index (``extras.similarity.write_ivfpq``): the embedding twin of
     :func:`neardup_ingest_stream`.  Every batch assigns arriving
@@ -558,7 +559,16 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
     this stream repairs it automatically (journal-recovery preamble at
     construction).  A DIFFERENT process that reads the index first
     should call ``extras.similarity.ivfpq_recover(spark, index_path)``
-    manually."""
+    manually.
+
+    ``pair_backend`` (r11): how each batch's candidate cosines are
+    evaluated — ``"auto"`` (default) routes to an Arrow/BLAS kernel
+    when the projected probe x index pair count exceeds the
+    interpreted-work budget (the sf100 soak measured the Catalyst
+    expression lane at ~10 min per 1000-vector batch against a
+    2M-vector index; the kernel does the same work in seconds),
+    ``"sql"`` pins the Python-free expression lane, ``"numpy"`` pins
+    the kernel.  See ``extras.similarity._embedding_hit_pairs``."""
     from pyspark.sql import functions as F
 
     from ..extras.similarity import (_align_to_index_schema,
@@ -605,7 +615,8 @@ def semantic_ingest_stream(stream_vecs: DataFrame, index_path: str,
                  F.explode("__cells").alias("cell")).persist()
         try:
             hits = _embedding_hit_pairs(spark, index_path, meta,
-                                        probed, threshold)
+                                        probed, threshold,
+                                        pair_backend=pair_backend)
             if hits is not None:
                 batch_ids = batch_df.select(
                     F.col(id_col).alias("__iid"))

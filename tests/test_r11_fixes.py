@@ -187,3 +187,99 @@ def test_plan_audit_baseline_matches_committed_artifact():
         expect = {k: m[k] for k in tpa.GATED}
         expect.update(tpa.RATIFIED.get(q, {}))
         assert tpa.BASELINE[q] == expect, q
+
+
+# ---------------------------------------------------------------------------
+# streaming-ingest hit pairs: Arrow/BLAS lane (r11 — the sf100 stream
+# soak measured the interpreted Catalyst cosine join at ~10 min per
+# 1000-vector batch against a 2M-vector index; _embedding_hit_pairs now
+# auto-routes to a per-(cell, salt-block) BLAS kernel past the
+# interpreted-pair budget, same posture as semdedup's pair_backend)
+# ---------------------------------------------------------------------------
+
+def _hitpairs_fixture(spark, tmp_path):
+    import numpy as np
+
+    base = str(tmp_path / "hp_idx")
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(400, 16)).astype(float)
+    # plant exact near-dups: vectors 300..319 duplicate 0..19
+    vecs[300:320] = vecs[0:20]
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in vecs[300 + i]])
+         for i in range(100)],
+        "vec_id long, embedding array<double>")
+    cents = sim.hyperplanes(16, 4, seed="hitpairs")
+    cbs = sim.pq_codebooks(16, m=4, k=8)
+    sim.write_ivfpq(corpus, base, cents, cbs, residual=True,
+                    store_vectors=True)
+    return base, probes
+
+
+def _hits(spark, base, probes, backend):
+    out = sim.embedding_filter_new(
+        spark, base, probes, threshold=0.99, n_probe=4,
+        probe_margin=None, admit=False, pair_backend=backend)
+    return sorted(r["vec_id"] for r in out.select("vec_id").collect())
+
+
+def test_hit_pairs_numpy_equals_sql(spark, tmp_path):
+    base, probes = _hitpairs_fixture(spark, tmp_path)
+    s = _hits(spark, base, probes, "sql")
+    n = _hits(spark, base, probes, "numpy")
+    assert s == n
+    # the planted duplicates (probes 1000..1019) must be dropped
+    assert set(range(1000, 1020)).isdisjoint(s)
+    assert len(s) == 80
+
+
+def test_hit_pairs_auto_routes_by_budget(spark, tmp_path, monkeypatch):
+    base, probes = _hitpairs_fixture(spark, tmp_path)
+    meta = sim.read_ivfpq_meta(spark, base)
+    probed = sim.assign_cells_multi(
+        probes, meta["centroids"], n_probe=4, vec_col="embedding",
+        out_col="__cells", probe_margin=None,
+    ).select(F.col("vec_id").alias("__pid"),
+             F.col("embedding").alias("__pv"),
+             F.explode("__cells").alias("cell"))
+    small = sim._embedding_hit_pairs(spark, base, meta, probed, 0.99)
+    assert "FlatMapGroupsInPandas" not in \
+        small._jdf.queryExecution().executedPlan().toString()
+    monkeypatch.setattr(sim, "_HIT_PAIR_BUDGET", 10)
+    big = sim._embedding_hit_pairs(spark, base, meta, probed, 0.99)
+    assert "FlatMapGroupsInPandas" in \
+        big._jdf.queryExecution().executedPlan().toString()
+    key = lambda r: (r["__pid"], r["__iid"])  # noqa: E731
+    assert sorted(map(key, small.collect())) == \
+        sorted(map(key, big.collect()))
+
+
+def test_hit_pairs_numpy_fat_cell_salting(spark, tmp_path, monkeypatch):
+    base, probes = _hitpairs_fixture(spark, tmp_path)
+    ref = _hits(spark, base, probes, "sql")
+    # force every cell through the salted block grid
+    monkeypatch.setattr(sim, "_HIT_IDX_BLOCK", 16)
+    assert _hits(spark, base, probes, "numpy") == ref
+
+
+def test_hit_pairs_numpy_edge_probes_survive(spark, tmp_path):
+    # NaN-component / dim-mismatched / null probes must SURVIVE in both
+    # lanes (no exact cosine can reach the threshold against them)
+    base, _ = _hitpairs_fixture(spark, tmp_path)
+    bad = spark.createDataFrame(
+        [(1, [float("nan")] * 16), (2, [1.0] * 5), (3, None)],
+        "vec_id long, embedding array<double>")
+    for backend in ("sql", "numpy"):
+        out = sim.embedding_filter_new(
+            spark, base, bad, threshold=0.5, n_probe=4,
+            probe_margin=None, admit=False, pair_backend=backend)
+        assert sorted(r["vec_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_hit_pairs_bad_backend_rejected(spark, tmp_path):
+    base, probes = _hitpairs_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="pair_backend"):
+        _hits(spark, base, probes, "blas")
