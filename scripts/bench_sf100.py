@@ -27,13 +27,25 @@ slopes — so the gate artifact itself shows which component grows
 instead of deferring to the separate soak
 (scripts/bench_minhash_index.py, MINHASH_INDEX_r10.json).
 
+MEASUREMENT ISOLATION (r11): every (query, sf) phase runs in its OWN
+interpreter/JVM via subprocess.  The first single-JVM r11 sweep showed
+2-4x inflated sf100 rows with flat isolated re-runs — a 48 GB heap
+accumulated over ~30 measurements fights the OS page cache for the
+16 GB corpus working set, so "min of 2" took two COLD reads (q03
+sf100: 58.7 s in-sweep vs 15.1 s isolated-warm, sessionize_presorted
+60 s vs 9.0 s).  Fresh processes keep the heap small per measurement
+while the page cache survives across phases — the number a single-job
+user would see.
+
 Usage: python scripts/bench_sf100.py [out_json]   # run SOLO
+Internal: python scripts/bench_sf100.py --one <kind>:<arg>:<tag>
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -68,16 +80,12 @@ _DECADES = [("sf0.1", "sf1", "slope_01_to_1"),
             ("sf10", "sf100", "slope_10_to_100")]
 
 
-def main():
-    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+def _spark(app):
     from pyspark.sql import SparkSession
 
-    import __spark_entry__ as entry_mod
-    from bench import _load_sentinel
-
-    spark = (
+    s = (
         SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("bench-sf100")
+        .appName(app)
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
@@ -85,124 +93,82 @@ def main():
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    spark.sparkContext.setLogLevel("ERROR")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _mn2(spark, fn):
+    best = None
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 3)
+
+
+# ---------------------------------------------------------------------------
+# phase bodies (each runs in its own interpreter)
+# ---------------------------------------------------------------------------
+
+def phase_query(name: str, tag: str):
+    import __spark_entry__ as entry_mod
+
+    spark = _spark(f"sf100-{name}-{tag}")
     qs = entry_mod.queries()
-    sent_start = _load_sentinel()
+    # warm codegen/classloading on the small sf so the timed runs
+    # measure the query, not the first-job session tax
+    qs[name](spark, SFS["sf0.1"]).write.format("noop") \
+        .mode("overwrite").save()
+    sec = _mn2(spark, lambda: qs[name](spark, SFS[tag]))
+    spark.stop()
+    print(json.dumps({"sec": sec}))
 
-    def run(name, sf_dir, n_runs=2):
-        best = None
-        for _ in range(n_runs):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop") \
-                .mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        return round(best, 3)
 
-    # warm the session (codegen/classloading) once on a small query
-    qs["q03_shipping_priority"](spark, SFS["sf0.1"]).write \
-        .format("noop").mode("overwrite").save()
+def phase_minhash(tag: str):
+    import shutil
 
-    result = {}
-    for name, tags in COVERAGE.items():
-        row = {}
-        for tag in tags:
-            sf_dir = SFS[tag]
-            if not os.path.isdir(sf_dir):
-                row[tag] = None
-                continue
-            row[tag] = run(name, sf_dir)
-        for lo, hi, key in _DECADES:
-            if row.get(lo) and row.get(hi):
-                row[key] = round(row[hi] / row[lo], 2)
-        result[name] = row
-        print(f"  {name}: {row}", file=sys.stderr)
+    from pyspark.sql import functions as F
 
-    # --- q_minhash_index_lookup per-component attribution (r11) -----
-    # The composite number above rebuilds the index every run by
-    # construction (the oracle must replay it); decompose it with the
-    # registry's EXACT corpus/probe split so the gate artifact shows
-    # which component grows: build once per sf, then time the
-    # persisted-index lookup (ungoverned and governed, min-of-2, noop
-    # sink like every other row).
-    if "q_minhash_index_lookup" in result:
-        import shutil
+    from pydiverse_transform_spark.extras import dedup
 
-        from pyspark.sql import functions as F
+    spark = _spark(f"sf100-mhidx-{tag}")
+    sf_dir = SFS[tag]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    probe = docs.filter(F.col("doc_id") % 4 == 0)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".scratch", f"mhidx_scale_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.perf_counter()
+    dedup.write_minhash_index(corpus, path)
+    row = {"build_sec": round(time.perf_counter() - t0, 3)}
 
-        from pydiverse_transform_spark.extras import dedup
+    def lk(**kw):
+        return _mn2(spark, lambda: dedup.minhash_index_lookup(
+            spark, path, probe, threshold=0.2, **kw))
 
-        comp = {"split": "corpus doc_id % 4 != 0, probe % 4 == 0 "
-                         "(identical to the registry query); "
-                         "threshold 0.2; governed = min_bands=2, "
-                         "top_k=3 (identical to "
-                         "q_minhash_lookup_governed)"}
+    row["lookup_sec"] = lk()
+    row["lookup_governed_sec"] = lk(min_bands=2, top_k=3)
+    shutil.rmtree(path, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(row))
 
-        def lk(path, probe, **kw):
-            best = None
-            for _ in range(2):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                dedup.minhash_index_lookup(spark, path, probe,
-                                           threshold=0.2, **kw) \
-                    .write.format("noop").mode("overwrite").save()
-                el = time.perf_counter() - t0
-                best = el if best is None else min(best, el)
-            return round(best, 3)
 
-        for tag in COVERAGE["q_minhash_index_lookup"]:
-            sf_dir = SFS[tag]
-            if not os.path.isdir(sf_dir):
-                continue
-            docs = spark.read.parquet(
-                os.path.join(sf_dir, "documents.parquet"))
-            corpus = docs.filter(F.col("doc_id") % 4 != 0)
-            probe = docs.filter(F.col("doc_id") % 4 == 0)
-            path = os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".scratch",
-                f"mhidx_scale_{tag}")
-            shutil.rmtree(path, ignore_errors=True)
-            t0 = time.perf_counter()
-            dedup.write_minhash_index(corpus, path)
-            row = {"build_sec": round(time.perf_counter() - t0, 3),
-                   "lookup_sec": lk(path, probe),
-                   "lookup_governed_sec": lk(path, probe, min_bands=2,
-                                             top_k=3)}
-            comp[tag] = row
-            shutil.rmtree(path, ignore_errors=True)
-            print(f"  q_minhash_index_lookup[{tag}]: {row}",
-                  file=sys.stderr)
-        for metric in ("build_sec", "lookup_sec", "lookup_governed_sec"):
-            for lo, hi, key in _DECADES:
-                if comp.get(lo, {}).get(metric) \
-                        and comp.get(hi, {}).get(metric):
-                    comp.setdefault("slopes", {}).setdefault(
-                        metric, {})[key] = round(
-                        comp[hi][metric] / comp[lo][metric], 2)
-        result["q_minhash_index_lookup"]["components"] = comp
+def phase_evlog(tag: str):
+    from pyspark.sql import functions as F
 
-    # --- sorted event-log layout (r11, VERDICT r10 next #6) ---------
-    # Stage the bucketed-sorted events table once per sf (stage_sec),
-    # then time the sort-free operators against it vs their
-    # layout-agnostic twins on the plain parquet — the claim is that
-    # paying the sort once at ingest beats paying a shuffle+sort per
-    # query, and that the gap widens with data size (q_asof_join's
-    # unsorted row above is the asof comparison point).
-    from pyspark.sql import functions as F  # noqa: F811
-
+    import __spark_entry__ as entry_mod
     from pydiverse_transform_spark.extras import events as ev
     from pydiverse_transform_spark.extras.asof import asof_join_colocated
 
-    def mn2(fn):
-        best = None
-        for _ in range(2):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn().write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        return round(best, 3)
+    spark = _spark(f"sf100-evlog-{tag}")
+    sf_dir = SFS[tag]
+    t0 = time.perf_counter()
+    name = entry_mod._event_log_staged(spark, sf_dir)
+    row = {"stage_sec": round(time.perf_counter() - t0, 3)}
+    t = ev.read_event_log(spark, name)
 
     def _sess_agg(s):
         return (s.select("user_id", "session_id",
@@ -212,6 +178,99 @@ def main():
                      F.max("__us").alias("session_end_us"),
                      F.count(F.lit(1)).alias("n_events")))
 
+    row["asof_presorted_sec"] = _mn2(
+        spark,
+        lambda: asof_join_colocated(
+            t, on="ts", by=["user_id"], side_col="event_prio",
+            payload=["value"])
+        .select("event_id", "user_id", "ts", "ts_right",
+                F.round(F.col("value_right"), 6)
+                .alias("purchase_value")))
+    row["sessionize_presorted_sec"] = _mn2(
+        spark, lambda: _sess_agg(ev.sessionize(t, "user_id", "ts", 30)))
+    row["sessionize_unsorted_sec"] = _mn2(
+        spark, lambda: _sess_agg(ev.sessionize(
+            ev.load_events(spark, sf_dir), "user_id", "ts", 30)))
+    spark.stop()
+    print(json.dumps(row))
+
+
+# ---------------------------------------------------------------------------
+# coordinator
+# ---------------------------------------------------------------------------
+
+def _run_phase(spec: str) -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", spec],
+        capture_output=True, text=True)
+    if p.returncode != 0:
+        return {"error": (p.stderr or "")[-400:]}
+    last = (p.stdout.strip().splitlines() or ["{}"])[-1]
+    try:
+        return json.loads(last)
+    except json.JSONDecodeError:
+        return {"error": f"unparseable phase output: {last[-200:]}"}
+
+
+def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        kind, arg, tag = sys.argv[2].split(":")
+        if kind == "q":
+            phase_query(arg, tag)
+        elif kind == "mh":
+            phase_minhash(tag)
+        elif kind == "ev":
+            phase_evlog(tag)
+        else:
+            raise SystemExit(f"unknown phase kind {kind!r}")
+        return
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    from bench import _load_sentinel
+
+    sent_start = _load_sentinel()
+    result = {}
+    for name, tags in COVERAGE.items():
+        row = {}
+        for tag in tags:
+            if not os.path.isdir(SFS[tag]):
+                row[tag] = None
+                continue
+            r = _run_phase(f"q:{name}:{tag}")
+            row[tag] = r.get("sec", r)
+        for lo, hi, key in _DECADES:
+            if isinstance(row.get(lo), float) and isinstance(
+                    row.get(hi), float):
+                row[key] = round(row[hi] / row[lo], 2)
+        result[name] = row
+        print(f"  {name}: {row}", file=sys.stderr, flush=True)
+
+    # --- q_minhash_index_lookup per-component attribution (r11) -----
+    comp = {"split": "corpus doc_id % 4 != 0, probe % 4 == 0 "
+                     "(identical to the registry query); threshold "
+                     "0.2; governed = min_bands=2, top_k=3 (identical "
+                     "to q_minhash_lookup_governed); NOTE the probe is "
+                     "a quarter of the CORPUS (1.25M docs at sf100), "
+                     "so lookup cost grows with probe volume times "
+                     "candidate density by construction — the "
+                     "constant-increment lookup curve lives in "
+                     "MINHASH_INDEX (bench_minhash_index.py)"}
+    for tag in COVERAGE["q_minhash_index_lookup"]:
+        if not os.path.isdir(SFS[tag]):
+            continue
+        comp[tag] = _run_phase(f"mh:-:{tag}")
+        print(f"  q_minhash_index_lookup[{tag}]: {comp[tag]}",
+              file=sys.stderr, flush=True)
+    for metric in ("build_sec", "lookup_sec", "lookup_governed_sec"):
+        for lo, hi, key in _DECADES:
+            if comp.get(lo, {}).get(metric) \
+                    and comp.get(hi, {}).get(metric):
+                comp.setdefault("slopes", {}).setdefault(
+                    metric, {})[key] = round(
+                    comp[hi][metric] / comp[lo][metric], 2)
+    result["q_minhash_index_lookup"]["components"] = comp
+
+    # --- sorted event-log layout (r11, VERDICT r10 next #6) ---------
     evlayout = {"note": "stage_sec = one-time bucketed-sorted write "
                         "(32 buckets, sorted user_id/ts/prio); *_presorted "
                         "run over the staged table (plan: no Exchange, no "
@@ -220,44 +279,32 @@ def main():
                         "q_asof_join row above; sessionize_unsorted_sec "
                         "is the plain window on raw parquet"}
     for tag in ["sf0.1", "sf1", "sf10", "sf100"]:
-        sf_dir = SFS[tag]
-        if not os.path.isdir(sf_dir):
+        if not os.path.isdir(SFS[tag]):
             continue
-        t0 = time.perf_counter()
-        name = entry_mod._event_log_staged(spark, sf_dir)
-        row = {"stage_sec": round(time.perf_counter() - t0, 3)}
-        t = ev.read_event_log(spark, name)
-        row["asof_presorted_sec"] = mn2(
-            lambda: asof_join_colocated(
-                t, on="ts", by=["user_id"], side_col="event_prio",
-                payload=["value"])
-            .select("event_id", "user_id", "ts", "ts_right",
-                    F.round(F.col("value_right"), 6)
-                    .alias("purchase_value")))
-        row["sessionize_presorted_sec"] = mn2(
-            lambda: _sess_agg(ev.sessionize(t, "user_id", "ts", 30)))
-        row["sessionize_unsorted_sec"] = mn2(
-            lambda: _sess_agg(ev.sessionize(
-                ev.load_events(spark, sf_dir), "user_id", "ts", 30)))
-        if result.get("q_asof_join", {}).get(tag):
+        row = _run_phase(f"ev:-:{tag}")
+        if isinstance(result.get("q_asof_join", {}).get(tag), float):
             row["asof_unsorted_sec"] = result["q_asof_join"][tag]
         evlayout[tag] = row
-        print(f"  event_log_layout[{tag}]: {row}", file=sys.stderr)
+        print(f"  event_log_layout[{tag}]: {row}", file=sys.stderr,
+              flush=True)
     result["event_log_layout"] = evlayout
 
     sent_end = _load_sentinel()
     payload = {
         "metric": "three_decade_scaling",
         "note": ("min-of-2 per (query, sf), noop sink, cache cleared "
-                 "between runs; sf1/sf10/sf100 corpora are "
-                 "gen_scale_corpus replicas (self-contained per-replica "
-                 "TPC-H keys, word-permuted documents, fresh-id "
-                 "embeddings).  q_semdedup_kprop runs the TRUE k~n/100 "
-                 "operating point at every sf (r10: sign-LSH quantizer, "
-                 "k = 2^clamp(ceil(log2(n/100)),4,15) = 32 / 256 / 2048 "
-                 "/ 32768 cells per decade; its workload is itself "
-                 "superlinear — replica cliques grow pair volume 100x "
-                 "per decade — so judge its slope per PAIR).  "
+                 "between runs, EACH (query, sf) IN A FRESH "
+                 "INTERPRETER/JVM (see module docstring: a long-lived "
+                 "48 GB heap fights the page cache for the sf100 "
+                 "working set and inflates rows 2-4x); sf1/sf10/sf100 "
+                 "corpora are gen_scale_corpus replicas (self-contained "
+                 "per-replica TPC-H keys, word-permuted documents, "
+                 "fresh-id embeddings).  q_semdedup_kprop runs the TRUE "
+                 "k~n/100 operating point at every sf (r10: sign-LSH "
+                 "quantizer, k = 2^clamp(ceil(log2(n/100)),4,15) = 32 / "
+                 "256 / 2048 / 32768 cells per decade; its workload is "
+                 "itself superlinear — replica cliques grow pair volume "
+                 "100x per decade — so judge its slope per PAIR).  "
                  "q_minhash_index_lookup is a build+lookup composite "
                  "by construction; its 'components' block attributes "
                  "it per sf (index built once, persisted-index lookup "
@@ -266,7 +313,6 @@ def main():
         "sentinel": {"start": sent_start, "end": sent_end},
         "queries": result,
     }
-    spark.stop()
     line = json.dumps(payload)
     if out_path:
         with open(out_path, "w") as f:
