@@ -1,7 +1,8 @@
 """Bloom-prefilter decontamination scale evidence (r11): at
 sf1/sf10/sf100 documents (50k / 500k / 5M docs), run decontaminate
-with a LARGE probe set (every doc_id % 5 == 0 — 20% of the corpus, so
-the probe's distinct-shingle set is millions of strings, the regime
+with a LARGE probe set (every doc_id % 50 == 0 — 2% of the corpus, so
+the probe's distinct-shingle set reaches ~10M strings at sf100 (a
+multi-GB JVM hash relation vs a 12 MB bitmap), the regime
 the bloom lane exists for) through both methods and record:
 
 - wall-clock (min of 2, noop-materialized) for broadcast vs bloom;
@@ -56,13 +57,13 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    results = {"sentinel_start": _load_sentinel(), "probe": "doc_id % 5 = 0"}
+    results = {"sentinel_start": _load_sentinel(), "probe": "doc_id % 50 = 0"}
     for tag, sf_dir in SFS.items():
         if not os.path.isdir(sf_dir):
             print(f"  {tag}: corpus missing, skipped", flush=True)
             continue
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        probe = docs.filter(F.col("doc_id") % 5 == 0)
+        probe = docs.filter(F.col("doc_id") % 50 == 0)
         row = {"n_docs": docs.count()}
 
         # size the trade: distinct probe shingles + payload bytes
@@ -89,7 +90,8 @@ def main():
                 out = dedup.decontaminate(docs, probe, method=method)
                 agg = out.agg(
                     F.count(F.lit(1)).alias("n"),
-                    F.sum("doc_id").cast("long").alias("s")).collect()[0]
+                    F.coalesce(F.sum("doc_id"), F.lit(0))
+                    .cast("long").alias("s")).collect()[0]
                 times.append(time.time() - t0)
             checks[method] = (int(agg["n"]), int(agg["s"]))
             row[f"decontaminate_{method}_sec"] = round(min(times), 3)
@@ -98,6 +100,65 @@ def main():
         assert row["results_equal"], f"{tag}: {checks}"
         results[tag] = row
         print(f"  {tag}: {json.dumps(row)}", flush=True)
+
+    # --- id-scale block: the regime the bloom lane exists for --------
+    # The documents corpus's 3-word shingle space SATURATES (~30k
+    # distinct shingles at any sf — synthetic small-vocabulary text),
+    # so a doc-sampled probe can never produce the 10^7-key member set
+    # the bitmap trade targets.  Real tables provide one: member =
+    # every event id of 10% of users at sf100 (~10M bigint keys),
+    # probe = ALL 100M events.  Three lanes, identical results
+    # required: explicit broadcast semi-join (the hash relation the
+    # bitmap replaces), plain shuffled semi-join (what the planner
+    # does when the member side is too big to broadcast), and bloom
+    # prefilter (map-only over the 100M side) + exact verify semi-join
+    # over the ~fpp survivors.
+    sf100 = SFS.get("sf100")
+    if sf100 and os.path.isdir(sf100):
+        from pyspark.sql.functions import broadcast
+
+        from pydiverse_transform_spark.extras.bloom import (
+            bloom_filter_hits,
+        )
+
+        ev = spark.read.parquet(f"{sf100}/events.parquet")
+        member = (ev.filter(F.col("user_id") % 10 == 0)
+                  .select("event_id").distinct())
+        n_member = member.count()
+        row = {"n_events": ev.count(), "n_member_ids": n_member}
+        bf = bloom_build(member, "event_id", n_items=n_member,
+                         fpp=0.01)
+        row["bloom_bitmap_bytes"] = bf.n_bytes
+        row["member_payload_bytes_min"] = n_member * 8  # raw longs
+
+        def mn2(make):
+            times = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                agg = make().agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("event_id"), F.lit(0))
+                    .cast("long").alias("s")).collect()[0]
+                times.append(time.time() - t0)
+            return round(min(times), 3), (int(agg["n"]), int(agg["s"]))
+
+        checks = {}
+        row["semi_broadcast_sec"], checks["b"] = mn2(
+            lambda: ev.join(broadcast(member), "event_id",
+                            "left_semi"))
+        row["semi_shuffle_sec"], checks["s"] = mn2(
+            lambda: ev.join(member.hint("shuffle_hash"), "event_id",
+                            "left_semi"))
+        row["bloom_prefilter_verify_sec"], checks["f"] = mn2(
+            lambda: bloom_filter_hits(ev, bf, "event_id")
+            .join(member.hint("shuffle_hash"), "event_id",
+                  "left_semi"))
+        row["results_equal"] = len(set(checks.values())) == 1
+        assert row["results_equal"], checks
+        row["n_hits"] = checks["b"][0]
+        results["id_scale_sf100"] = row
+        print(f"  id_scale_sf100: {json.dumps(row)}", flush=True)
 
     results["sentinel_end"] = _load_sentinel()
     if out_path:
