@@ -384,6 +384,8 @@ def compact_parquet(spark, path, out_path: str, *,
                     partition_by: list[str] | None = None,
                     shuffle: bool = False,
                     dedup_cols: list[str] | None = None,
+                    zorder_by: list[str] | None = None,
+                    zorder_bits: int = 8,
                     mode: str = "error") -> dict:
     """Compact a small-file parquet dataset into ~``target_file_bytes``
     files at ``out_path`` (the standard maintenance pass after a
@@ -417,6 +419,19 @@ def compact_parquet(spark, path, out_path: str, *,
     sizing still uses the pre-dedup listing bytes, so heavily
     duplicated inputs compact into slightly undersized files.
 
+    ``zorder_by`` re-CLUSTERS while compacting (the OPTIMIZE ... ZORDER
+    BY maintenance shape): output files get balanced, non-overlapping
+    Morton-key ranges via :func:`zorder_key` + one range shuffle, so
+    the compacted layout additionally prunes row groups on every
+    z-ordered column (see :func:`write_zorder`).  Single-dimension
+    pruning sharpness scales with file count (each file pins
+    ~log2(n_files)/n_dims high bits per dimension), so very aggressive
+    compaction trades away clustering granularity — at 100 TB both
+    knobs are large and this is moot, but tiny datasets compacted to a
+    handful of files prune mostly on the full box.  Mutually exclusive
+    with ``partition_by``/``shuffle`` (each prescribes its own
+    physical layout).
+
     In-place compaction is refused: Spark cannot atomically overwrite a
     path it is reading; write to ``out_path`` and swap at the catalog /
     directory level.  Returns {files_before, bytes, n_files_target}."""
@@ -440,6 +455,19 @@ def compact_parquet(spark, path, out_path: str, *,
         df = df.unionByName(spark.read.parquet(p))
     if dedup_cols:
         df = df.dropDuplicates(dedup_cols)
+    if zorder_by:
+        if partition_by or shuffle:
+            raise ValueError(
+                "compact_parquet: zorder_by is mutually exclusive with "
+                "partition_by/shuffle — each prescribes its own layout")
+        zdf, _ = zorder_key(df, list(zorder_by), bits=zorder_bits)
+        (
+            zdf.repartitionByRange(n_target, "__z")
+            .sortWithinPartitions("__z").drop("__z")
+            .write.mode(mode).parquet(out_path)
+        )
+        return {"files_before": len(files), "bytes": total,
+                "n_files_target": n_target}
     if partition_by:
         from pyspark.sql import functions as F
 

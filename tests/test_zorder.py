@@ -139,3 +139,37 @@ def test_geometry_guard(spark, events):
         zorder_key(events, ["user_id", "ts"], bits=31)
     with pytest.raises(ValueError, match="non-empty"):
         zorder_key(events, [], bits=8)
+
+
+def test_compact_with_zorder(spark, events, tmp_path):
+    from pydiverse_transform_spark.sources.sinks import compact_parquet
+
+    frag = str(tmp_path / "frag")
+    out = str(tmp_path / "zc")
+    events.repartition(24).write.mode("overwrite").parquet(frag)
+    # tiny target so the small fixture still yields enough output
+    # files/row groups for pruning to be observable
+    stats = compact_parquet(spark, frag, out,
+                            target_file_bytes=4 << 10,
+                            zorder_by=["user_id", "ts"])
+    assert stats["files_before"] >= 24
+    back = spark.read.parquet(out)
+    assert back.exceptAll(events).count() == 0
+    assert events.exceptAll(back).count() == 0
+    lo_u, hi_u, lo_t, hi_t = _box(events)
+    s = rowgroup_pruning_stats(
+        out, {"user_id": (lo_u, hi_u), "ts": (lo_t, hi_t)})
+    assert s["row_groups_read"] * 2 <= s["row_groups_total"], s
+
+
+def test_compact_zorder_rejects_conflicting_layouts(spark, events,
+                                                    tmp_path):
+    import pytest as _pytest
+
+    from pydiverse_transform_spark.sources.sinks import compact_parquet
+
+    frag = str(tmp_path / "frag2")
+    events.limit(100).write.mode("overwrite").parquet(frag)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        compact_parquet(spark, frag, str(tmp_path / "x"),
+                        zorder_by=["user_id"], shuffle=True)
