@@ -2391,7 +2391,17 @@ def write_ivfpq(df: DataFrame, path: str,
     :func:`ivfpq_topk_auto` can query the index from its path alone.
 
     One map-only pass over the corpus; no shuffle beyond the write's
-    own file layout."""
+    own file layout.
+
+    Skew check (r11): after the write, the per-cell histogram (one
+    footer-count aggregate over the partition column, bounded by
+    n_cells rows) is inspected and a ``NonStandardWarning``-style
+    ``UserWarning`` fires when one cell holds >20% of the corpus or
+    >10x the average — untrained/random centroids on clustered data
+    produce exactly this shape (r10: 840k of 2M vectors in one cell;
+    r11 soak: 561k of 2M), and every downstream reader then pays a
+    fat-cell task.  The index still writes (the BLAS lanes survive
+    skew); the warning names the fix (:func:`kmeans_fit`)."""
     coded = ivfpq_encode(df, centroids, codebooks, vec_col=vec_col,
                          residual=residual,
                          store_vectors=store_vectors)
@@ -2399,6 +2409,28 @@ def write_ivfpq(df: DataFrame, path: str,
     if write_meta:
         write_ivfpq_meta(df.sparkSession, path, centroids, codebooks,
                          residual, store_vectors, vec_col, id_col)
+    hist = (df.sparkSession.read.parquet(path)
+            .groupBy("cell").count().collect())
+    counts = [int(r["count"]) for r in hist]
+    if counts:
+        total, biggest = sum(counts), max(counts)
+        avg = total / max(1, len(centroids))
+        if total >= 1000 and (biggest > 0.2 * total
+                              or biggest > 10 * avg):
+            import warnings
+
+            # the index stays usable — lookups auto-route fat cells to
+            # the salted BLAS lanes — but the quantizer isn't quantizing
+            warnings.warn(
+                f"write_ivfpq: the largest of {len(counts)} occupied "
+                f"cells holds {biggest} of {total} vectors "
+                f"({100 * biggest / total:.0f}%; cell average "
+                f"{avg:.0f}) — the coarse quantizer is not spreading "
+                "this corpus (untrained/random centroids on clustered "
+                "data?). Train centroids with kmeans_fit("
+                "spherical=True) or raise n_cells; every reader of "
+                "this index pays the fat cell otherwise.",
+                UserWarning, stacklevel=2)
 
 
 IVFPQ_META_FILE = "_ivfpq_meta.json"

@@ -283,3 +283,46 @@ def test_hit_pairs_bad_backend_rejected(spark, tmp_path):
     base, probes = _hitpairs_fixture(spark, tmp_path)
     with pytest.raises(ValueError, match="pair_backend"):
         _hits(spark, base, probes, "blas")
+
+
+def test_write_ivfpq_warns_on_fat_cell(spark, tmp_path):
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # clustered corpus: 1500 copies of one tight cluster + 100 spread
+    base = rng.normal(size=16)
+    vecs = [base + rng.normal(scale=0.01, size=16) for _ in range(1500)]
+    vecs += [rng.normal(size=16) for _ in range(100)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    cents = sim.hyperplanes(16, 8, seed="fatwarn")
+    cbs = sim.pq_codebooks(16, m=4, k=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sim.write_ivfpq(df, str(tmp_path / "fat"), cents, cbs)
+    assert any("quantizer is not spreading" in str(x.message)
+               for x in w), [str(x.message) for x in w]
+
+
+def test_write_ivfpq_no_warning_when_spread(spark, tmp_path):
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    vecs = [[float(x) for x in rng.normal(size=16)] for _ in range(2000)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    # centroids sampled from the data itself: Voronoi cells stay
+    # reasonably balanced (the shape trained kmeans_fit converges to)
+    cents = [vecs[i] for i in range(0, 2000, 250)]
+    cbs = sim.pq_codebooks(16, m=4, k=8)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sim.write_ivfpq(df, str(tmp_path / "ok"), cents, cbs)
+    assert not any("quantizer is not spreading" in str(x.message)
+                   for x in w), [str(x.message) for x in w]
