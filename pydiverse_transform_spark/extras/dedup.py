@@ -695,6 +695,18 @@ def neardup_dedup(df: DataFrame, text_col: str = "text",
     return df.join(dupes, on=id_col, how="left_anti")
 
 
+# contaminated_ids(method="auto") crossover: probe TEXT bytes
+# (Catalyst plan estimate) above which the distinct-shingle hash
+# relation stops being broadcast-friendly and the Bloom lane takes
+# over.  Each text byte yields ~k overlapping word-shingles of ~k
+# words each, and a JVM hash relation costs ~100+ bytes/string key —
+# 32 MiB of probe text is already a multi-hundred-MB relation, well
+# past the point where shipping it to every executor beats a 4 MB
+# bitmap (r12 BLOOM_BENCH: bloom wins its first committed point in
+# this regime).
+_BLOOM_AUTO_PROBE_BYTES = 32 << 20
+
+
 def contaminated_ids(df: DataFrame, probe: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      *, k: int = 3,
@@ -720,14 +732,32 @@ def contaminated_ids(df: DataFrame, probe: DataFrame,
     semi-join, which Catalyst/AQE plans as a shuffle of CANDIDATES —
     never the corpus — against the probe.  Results are identical to
     the exact method (the verify join removes every false positive).
+    The probe's shingle relation is persisted for the call (r12): the
+    bitmap build (count + bit-word aggregate) and the exact verify all
+    read the SAME materialized shingles instead of re-exploding the
+    probe text three times.
+
+    ``method="auto"``: routes on Catalyst's free size estimate of the
+    probe plan — ``broadcast`` while the probe text fits
+    ``_BLOOM_AUTO_PROBE_BYTES`` (the distinct-shingle hash relation is
+    then comfortably under Spark's broadcast comfort zone; r11 bench:
+    broadcast beat bloom at every such point), ``bloom`` above it
+    (where the hash relation is the multi-GB regime the bitmap
+    exists for).
     """
     from pyspark.sql.functions import broadcast
 
     from .bloom import bloom_build, bloom_filter_hits
+    from .util import plan_size_bytes
 
-    if method not in ("broadcast", "bloom"):
+    if method not in ("auto", "broadcast", "bloom"):
         raise ValueError(
-            f"method must be 'broadcast' or 'bloom', got {method!r}")
+            f"method must be 'auto', 'broadcast' or 'bloom', "
+            f"got {method!r}")
+    if method == "auto":
+        method = ("broadcast"
+                  if plan_size_bytes(probe) <= _BLOOM_AUTO_PROBE_BYTES
+                  else "bloom")
 
     doc_sh = shingled(df, text_col, id_col, k).select(
         id_col, F.explode("__sh").alias("__psh")
@@ -741,6 +771,12 @@ def contaminated_ids(df: DataFrame, probe: DataFrame,
         .distinct()
     )
     if method == "bloom":
+        # shingle the probe ONCE: bloom_build's n_items count
+        # materializes the cache, the bit-word aggregate and the exact
+        # verify below then read it.  Stays persisted until the caller
+        # finishes executing the returned (lazy) verify join — Spark
+        # evicts LRU, so there is no correct earlier unpersist point.
+        probe_sh = probe_sh.persist()
         bloom = bloom_build(probe_sh, "__psh", fpp=fpp)
         doc_sh = bloom_filter_hits(doc_sh, bloom, "__psh")
         # exact verify over survivors only — NO broadcast hint: at
@@ -1199,51 +1235,67 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
             F.lit(0), lambda acc, x: acc + x,
         ).cast("double") / F.lit(float(meta["n_hashes"]))
     )
-    cand = idx.join(pb, on=["band", "h"], how="inner")
+    # est depends ONLY on the two signature arrays already present on
+    # every joined bucket row, and every bucket row of one
+    # (probe, index) pair carries the SAME two signatures — so the
+    # estimator runs MAP-SIDE, pre-aggregation (r12).  A pair that
+    # fails the threshold fails it on every one of its rows, so the
+    # threshold filter is map-side too, and the dedup/governor shuffle
+    # then carries only (probe_id, index_id, band, est) for PASSING
+    # pairs — one double instead of two 16-long signature arrays, and
+    # the 576k-candidate tail (MINHASH_INDEX_r09) never reaches the
+    # exchange at all.  The estimator work this duplicates across a
+    # pair's <= bands rows is n_hashes integer compares per row —
+    # noise next to the shuffle bytes it saves (r11's governed path
+    # shipped both sigs through groupBy and lost 1.5x to ungoverned).
+    cand = (
+        idx.join(pb, on=["band", "h"], how="inner")
+        .select("probe_id",
+                F.col(meta["id_col"]).alias("index_id"),
+                "band", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
     if min_bands > 1:
         # candidate-volume governor (r10): a pair must collide in
-        # >= min_bands DISTINCT bands before any estimator work.  The
-        # aggregation replaces dropDuplicates (same single shuffle with
-        # map-side partial combine — no extra exchange) and prunes the
-        # low-evidence tail that dominates verify cost on dup-saturated
-        # corpora (MINHASH_INDEX_r09: 576k candidates from a 2.5k-doc
-        # probe).  countDistinct, not count: at-least-once replayed
-        # appends duplicate bucket ROWS, which must not fake band
-        # evidence.
+        # >= min_bands DISTINCT bands.  size(collect_set(band)), not
+        # countDistinct: countDistinct mixed with another aggregate
+        # compiles to an Expand (row duplication + two-phase agg);
+        # collect_set is one ObjectHashAggregate pass, and bands is
+        # small (<= n_hashes values).  DISTINCT bands, not rows:
+        # at-least-once replayed appends duplicate bucket ROWS, which
+        # must not fake band evidence.
         cand = (
-            cand.select("probe_id",
-                        F.col(meta["id_col"]).alias("index_id"),
-                        "band", "__psig", "sig")
-            .groupBy("probe_id", "index_id")
-            .agg(F.first("__psig").alias("__psig"),
-                 F.first("sig").alias("sig"),
-                 F.countDistinct("band").alias("__nb"))
+            cand.groupBy("probe_id", "index_id")
+            .agg(F.first("est_jaccard").alias("est_jaccard"),
+                 F.size(F.collect_set("band")).alias("__nb"))
             .filter(F.col("__nb") >= min_bands)
         )
     else:
-        cand = (
-            cand.select("probe_id",
-                        F.col(meta["id_col"]).alias("index_id"),
-                        "__psig", "sig")
-            .dropDuplicates(["probe_id", "index_id"])
-        )
-    out = (
-        cand.withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("probe_id", "index_id", "est_jaccard")
-    )
+        cand = cand.dropDuplicates(["probe_id", "index_id"])
+    out = cand.select("probe_id", "index_id", "est_jaccard")
     if top_k is not None:
         # per-probe early exit: keep only the top_k best estimates per
-        # probe doc (deterministic tie-break on index_id).  The window
-        # partitions on probe_id, so the shuffle it adds carries only
-        # rows that already passed min_bands + threshold.
-        from pyspark.sql import Window
-
-        w = (Window.partitionBy("probe_id")
-             .orderBy(F.col("est_jaccard").desc(),
-                      F.col("index_id").asc()))
-        out = (out.withColumn("__rn", F.row_number().over(w))
-               .filter(F.col("__rn") <= top_k).drop("__rn"))
+        # probe doc (deterministic tie-break on index_id).  Aggregate
+        # top-k — slice(sort_array(collect_list(struct)), 1, k) — not a
+        # row_number window: the window's partition-wide sort exchange
+        # on the candidate relation was exactly what made r11's
+        # governed path slower than ungoverned; the aggregate is one
+        # hash aggregation over rows that already passed
+        # min_bands + threshold.  Struct comparison is field-order
+        # lexicographic, so (-est, index_id) sorts best-est-first with
+        # ascending id ties.
+        out = (
+            out.groupBy("probe_id")
+            .agg(F.slice(
+                F.sort_array(F.collect_list(F.struct(
+                    (-F.col("est_jaccard")).alias("__negsim"),
+                    F.col("index_id").alias("index_id"),
+                    F.col("est_jaccard").alias("est_jaccard")))),
+                1, top_k).alias("__top"))
+            .select("probe_id", F.explode("__top").alias("__t"))
+            .select("probe_id", F.col("__t.index_id").alias("index_id"),
+                    F.col("__t.est_jaccard").alias("est_jaccard"))
+        )
     return out
 
 

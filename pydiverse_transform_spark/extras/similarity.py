@@ -2373,13 +2373,43 @@ def ivfpq_encode(df: DataFrame, centroids: list[list[float]],
     return coded
 
 
+def _cell_footer_histogram(path: str) -> list[int]:
+    """Per-cell row counts for a ``partitionBy("cell")`` parquet layout,
+    read from file FOOTERS only (pyarrow metadata; no Spark job, no
+    data pages).  Returns [] when the path isn't a local directory
+    with ``cell=...`` children (remote filesystems: the caller skips
+    the skew check rather than paying a scan)."""
+    import glob as _glob
+    import os as _os
+
+    local = path[7:] if path.startswith("file://") else path
+    if not _os.path.isdir(local):
+        return []
+    counts: list[int] = []
+    for d in sorted(_glob.glob(_os.path.join(local, "cell=*"))):
+        if not _os.path.isdir(d):
+            continue
+        try:
+            import pyarrow.parquet as _pq
+
+            n = sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in _glob.glob(_os.path.join(d, "*.parquet"))
+            )
+        except Exception:
+            return []
+        counts.append(int(n))
+    return counts
+
+
 def write_ivfpq(df: DataFrame, path: str,
                 centroids: list[list[float]],
                 codebooks: list[list[list[float]]],
                 vec_col: str = "embedding", id_col: str = "vec_id",
                 residual: bool = True,
                 store_vectors: bool = True,
-                write_meta: bool = True) -> None:
+                write_meta: bool = True,
+                skew_check: bool = True) -> None:
     """Materialize an IVF-PQ index: rows are assigned to their L2-argmin
     coarse cell (:func:`kmeans_cell`), PQ-encoded — classically on the
     RESIDUAL vector v - centroid[cell], which centers each cell's data
@@ -2393,15 +2423,21 @@ def write_ivfpq(df: DataFrame, path: str,
     One map-only pass over the corpus; no shuffle beyond the write's
     own file layout.
 
-    Skew check (r11): after the write, the per-cell histogram (one
-    footer-count aggregate over the partition column, bounded by
-    n_cells rows) is inspected and a ``NonStandardWarning``-style
-    ``UserWarning`` fires when one cell holds >20% of the corpus or
-    >10x the average — untrained/random centroids on clustered data
-    produce exactly this shape (r10: 840k of 2M vectors in one cell;
-    r11 soak: 561k of 2M), and every downstream reader then pays a
-    fat-cell task.  The index still writes (the BLAS lanes survive
-    skew); the warning names the fix (:func:`kmeans_fit`)."""
+    Skew check (r11, recalibrated + de-scanned r12): after the write,
+    the per-cell histogram is derived from the parquet FOOTER row
+    counts under each ``cell=...`` partition dir (pyarrow metadata
+    walk — no Spark scan job, and only rows this write produced are
+    counted).  A ``UserWarning`` fires when one cell holds >10x the
+    average or >max(20%, 3/k) of the corpus — the 3/k term keeps the
+    absolute-share rule from over-firing at small k, where even a
+    perfectly trained quantizer legitimately parks ~30% of a uniform
+    corpus in its biggest L2 Voronoi cell (k=8 repro: top cell
+    606/2000).  Untrained/random centroids on clustered data produce
+    the warned shape (r10: 840k of 2M vectors in one cell; r11 soak:
+    561k of 2M), and every downstream reader then pays a fat-cell
+    task.  The index still writes (the BLAS lanes survive skew); the
+    warning names the fix (:func:`kmeans_fit`).  ``skew_check=False``
+    skips the footer walk entirely (non-local paths, hot loops)."""
     coded = ivfpq_encode(df, centroids, codebooks, vec_col=vec_col,
                          residual=residual,
                          store_vectors=store_vectors)
@@ -2409,13 +2445,13 @@ def write_ivfpq(df: DataFrame, path: str,
     if write_meta:
         write_ivfpq_meta(df.sparkSession, path, centroids, codebooks,
                          residual, store_vectors, vec_col, id_col)
-    hist = (df.sparkSession.read.parquet(path)
-            .groupBy("cell").count().collect())
-    counts = [int(r["count"]) for r in hist]
+    counts = _cell_footer_histogram(path) if skew_check else []
     if counts:
         total, biggest = sum(counts), max(counts)
-        avg = total / max(1, len(centroids))
-        if total >= 1000 and (biggest > 0.2 * total
+        k = max(1, len(centroids))
+        avg = total / k
+        share_cap = max(0.2, 3.0 / k)
+        if total >= 1000 and (biggest > share_cap * total
                               or biggest > 10 * avg):
             import warnings
 
@@ -2986,7 +3022,8 @@ _HIT_PAIR_BUDGET = 4_000_000
 _HIT_IDX_BLOCK = 65_536
 
 
-def _hit_pairs_numpy_kernel(threshold: float, row_block: int = 2048):
+def _hit_pairs_numpy_kernel(threshold: float, row_block: int = 2048,
+                            col_block: int = 2048):
     """applyInPandas kernel: cross cosines between the probe side
     (``__side`` 0) and index side (``__side`` 1) of one (cell, salt
     block), emitting (__pid, __iid) pairs with rounded cosine >=
@@ -2996,7 +3033,12 @@ def _hit_pairs_numpy_kernel(threshold: float, row_block: int = 2048):
     sf100 stream-recovery soak measured the interpreted lane at ~10
     min per 1000-vector micro-batch against a 2M-vector index; this
     kernel does the same 31M cosines in seconds).  The sim matrix is
-    blocked so peak memory is row_block x n_index, never n².  NaN
+    blocked on BOTH axes (r12): peak memory is row_block x col_block
+    floats (default 2048x2048 = 32 MB — semdedup's per-block pair
+    budget), never row_block x n_index, which at the salted-block
+    ceiling of ``_HIT_IDX_BLOCK`` index rows would be a ~1 GiB
+    allocation per task and a plausible Python-worker OOM on exactly
+    the fat-cell path the salting exists to serve.  NaN
     cosines compare False in numpy — the same unmatchable-arrival
     guard the SQL lane spells as ``~isnan(cos)``.  Rounding caveat as
     documented on :func:`_pairs_numpy_kernel` (np.round is half-even,
@@ -3024,12 +3066,16 @@ def _hit_pairs_numpy_kernel(threshold: float, row_block: int = 2048):
         with np.errstate(divide="ignore", invalid="ignore"):
             for s in range(0, len(ia), row_block):
                 e = min(s + row_block, len(ia))
-                sims = np.round(
-                    (Xa[s:e] @ Xb.T) / np.outer(na[s:e], nb), 6)
-                r, c = np.nonzero(sims >= threshold)
-                if len(r):
-                    out.append(pd.DataFrame(
-                        {"__pid": ia[s:e][r], "__iid": ib[c]}))
+                for cs in range(0, len(ib), col_block):
+                    ce = min(cs + col_block, len(ib))
+                    sims = np.round(
+                        (Xa[s:e] @ Xb[cs:ce].T)
+                        / np.outer(na[s:e], nb[cs:ce]), 6)
+                    r, c = np.nonzero(sims >= threshold)
+                    if len(r):
+                        out.append(pd.DataFrame(
+                            {"__pid": ia[s:e][r],
+                             "__iid": ib[cs:ce][c]}))
         return pd.concat(out) if out else empty
 
     return fn

@@ -222,15 +222,28 @@ def _zq_bucket(col, bounds: list):
 
 def zorder_key(df, by: list[str], *, bits: int = 8):
     """``(df + __z column, meta)``: the Morton interleave of the
-    rank-bucketed ``by`` columns.  ``bits`` per dimension; total z-bits
-    = ``bits * len(by)`` (capped at 60 so the arithmetic stays in one
-    long, far beyond any useful file count).  Numeric / timestamp /
-    date columns only — ranks come from approxQuantile."""
+    rank-bucketed ``by`` columns.  ``bits`` per dimension, capped at
+    12: the bucketizer requests ``2^bits - 1`` approxQuantile probes
+    and compiles a when-tree with up to ``2^bits`` leaves PER
+    DIMENSION, so the per-dim cost is the real limit — 12 bits = 4096
+    rank buckets per dimension, already far finer than any
+    file/row-group layout resolves, while bits=20+ would mean a
+    million-probe quantile job and a million-node Catalyst plan long
+    before the 60-bit interleave arithmetic cap bites.  Total z-bits =
+    ``bits * len(by)`` <= 60 so the interleave stays in one long.
+    Numeric / timestamp / date columns only — ranks come from
+    approxQuantile."""
     from pyspark.sql import functions as F
 
     if not isinstance(by, (list, tuple)) or len(by) < 1:
         raise ValueError("by must be a non-empty list of column names")
     d = len(by)
+    if not 1 <= bits <= 12:
+        raise ValueError(
+            f"bits must be in 1..12, got {bits}: 2^bits quantile "
+            "probes and when-tree leaves are built PER DIMENSION, so "
+            "larger values explode the driver plan for no extra "
+            "file-level clustering resolution")
     if bits * d > 60:
         raise ValueError(f"bits*len(by) = {bits * d} exceeds 60")
     dtypes = dict(df.dtypes)

@@ -114,3 +114,37 @@ def test_bloom_deterministic(spark, member):
     ra = a.df.collect()[0]["__bf"]
     rb = b.df.collect()[0]["__bf"]
     assert ra == rb
+
+
+def test_contaminated_ids_auto_routes(spark, sf_dir, monkeypatch):
+    """method="auto" picks broadcast for a small probe and bloom past
+    the crossover (forced here by shrinking the crossover constant to
+    zero); both routes return the exact answer."""
+    import pydiverse_transform_spark.extras.bloom as bl
+    from pydiverse_transform_spark.extras import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    probe = docs.filter(F.col("doc_id") % 53 == 0)
+    exact = contaminated_ids(docs, probe).select("doc_id")
+
+    routed = []
+    orig_build = bl.bloom_build
+
+    def spy(*a, **kw):
+        routed.append("bloom")
+        return orig_build(*a, **kw)
+
+    monkeypatch.setattr(bl, "bloom_build", spy)
+
+    # small probe: auto must NOT build a bloom filter
+    a = contaminated_ids(docs, probe, method="auto").select("doc_id")
+    assert a.exceptAll(exact).count() == 0
+    assert exact.exceptAll(a).count() == 0
+    assert routed == [], "small probe must take the broadcast lane"
+
+    # crossover forced to 0: auto must take the bloom lane, exactly
+    monkeypatch.setattr(dd, "_BLOOM_AUTO_PROBE_BYTES", 0)
+    b = contaminated_ids(docs, probe, method="auto").select("doc_id")
+    assert routed == ["bloom"], "large probe must take the bloom lane"
+    assert b.exceptAll(exact).count() == 0
+    assert exact.exceptAll(b).count() == 0

@@ -135,8 +135,16 @@ def test_skewed_column_collapses_boundaries(spark):
 
 
 def test_geometry_guard(spark, events):
-    with pytest.raises(ValueError, match="60"):
+    # per-dimension plan-size cap (r12): 2^bits quantile probes and
+    # when-tree leaves per dim — a "legal 60-bit" call like bits=31 on
+    # one dim must be rejected long before the interleave cap
+    with pytest.raises(ValueError, match="1..12"):
         zorder_key(events, ["user_id", "ts"], bits=31)
+    with pytest.raises(ValueError, match="1..12"):
+        zorder_key(events, ["ts"], bits=20)
+    # 6 dims x 12 bits = 72 > 60: the interleave cap still guards
+    with pytest.raises(ValueError, match="60"):
+        zorder_key(events, ["ts"] * 6, bits=12)
     with pytest.raises(ValueError, match="non-empty"):
         zorder_key(events, [], bits=8)
 
