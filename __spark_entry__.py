@@ -6672,6 +6672,89 @@ def q_zorder_scan(spark, sf_dir):
     )
 
 
+@_q("""
+WITH b AS (
+  SELECT min(user_id) AS umn, max(user_id) AS umx,
+         min(epoch_us(ts)) AS tmn, max(epoch_us(ts)) AS tmx
+  FROM events
+)
+SELECT count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       count(DISTINCT event_type) AS n_types
+FROM events, b
+WHERE user_id BETWEEN umn + (umx - umn) * 45 // 100
+                  AND umn + (umx - umn) * 55 // 100
+  AND ts BETWEEN make_timestamp(tmn + (tmx - tmn) * 45 // 100)
+             AND make_timestamp(tmn + (tmx - tmn) * 55 // 100)
+""")
+def q_compact_zorder(spark, sf_dir):
+    """compact_parquet(zorder_by=) maintenance pass (sources/sinks.py,
+    r11 lane, driver row r12): events scattered into many small files
+    (a streaming sink's debris shape), then compacted AND re-clustered
+    on (user_id, ts) in one pass — the OPTIMIZE ... ZORDER BY shape.
+    Asserts the rewrite actually compacted (fewer files than the
+    debris) and actually clustered (the same 2-D box as q_zorder_scan
+    must prune row groups by footer stats), then aggregates over the
+    compacted layout.  Layout is content-neutral, so the oracle runs
+    the same box over the RAW table."""
+    import datetime
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.sources.sinks import (
+        compact_parquet,
+        rowgroup_pruning_stats,
+    )
+
+    base = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".tmp_stream",
+        "czo_" + os.path.basename(sf_dir.rstrip("/")),
+    )
+    debris, out = base + "_in", base + "_out"
+    shutil.rmtree(debris, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(64).write.mode("overwrite").parquet(debris)
+
+    compact_parquet(spark, debris, out,
+                    zorder_by=["user_id", "ts"], zorder_bits=8,
+                    # small target so sf0.01 still yields enough files
+                    # for per-file z-ranges to prune single row groups
+                    target_file_bytes=32 << 10, mode="overwrite")
+    n_in = len(_glob.glob(os.path.join(debris, "*.parquet")))
+    n_out = len(_glob.glob(os.path.join(out, "*.parquet")))
+    assert 0 < n_out < n_in, (n_in, n_out)
+
+    r = ev.agg(
+        F.min("user_id").alias("umn"), F.max("user_id").alias("umx"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("tmn"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("tmx"),
+    ).collect()[0]
+    lo_u = r.umn + (r.umx - r.umn) * 45 // 100
+    hi_u = r.umn + (r.umx - r.umn) * 55 // 100
+    epoch = datetime.datetime(1970, 1, 1)
+    lo_t = epoch + datetime.timedelta(
+        microseconds=r.tmn + (r.tmx - r.tmn) * 45 // 100)
+    hi_t = epoch + datetime.timedelta(
+        microseconds=r.tmn + (r.tmx - r.tmn) * 55 // 100)
+
+    stats = rowgroup_pruning_stats(
+        out, {"user_id": (lo_u, hi_u), "ts": (lo_t, hi_t)})
+    assert stats["row_groups_read"] * 2 <= stats["row_groups_total"], (
+        f"compacted z-order layout did not prune: {stats}")
+
+    return (
+        spark.read.parquet(out)
+        .where(F.col("user_id").between(lo_u, hi_u)
+               & F.col("ts").between(F.lit(lo_t), F.lit(hi_t)))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("event_id").cast("long").alias("id_sum"),
+             F.countDistinct("event_type").alias("n_types"))
+    )
+
+
 @_q(r"""
 WITH RECURSIVE vars AS (
   SELECT pos - 1 AS pos, coalesce(var_samp(v), 0.0) AS var

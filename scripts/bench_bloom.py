@@ -52,6 +52,10 @@ def main():
         # at every sf (that IS the method under test); 1g ceiling keeps
         # it honest-but-runnable locally
         .config("spark.sql.autoBroadcastJoinThreshold", str(1 << 30))
+        # the shingle-scale block's broadcast lane collects a ~10M-row
+        # probe relation through the driver; the default 1g result cap
+        # would fail the lane before it could lose honestly
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -159,6 +163,83 @@ def main():
         row["n_hits"] = checks["b"][0]
         results["id_scale_sf100"] = row
         print(f"  id_scale_sf100: {json.dumps(row)}", flush=True)
+
+    # --- shingle-scale block (r12): the DESIGN regime ----------------
+    # The corpus's own shingle space saturates (~30k distinct), so the
+    # 10^7-shingle probe the bloom docstring targets is built
+    # synthetically: 100k eval docs of 102 globally-unique words each
+    # => ~10M distinct 3-word shingles that do NOT occur in the corpus
+    # (the realistic decontamination shape: an eval suite is mostly
+    # absent from the pretraining corpus), plus 50 real corpus docs so
+    # the verify join has true hits to keep exact.  The broadcast lane
+    # must build and ship a 10M-string hash relation (~GB); the bloom
+    # lane ships a ~12 MB bitmap and map-side-prunes the exploded
+    # corpus shingles before any shuffle.
+    if sf100 and os.path.isdir(sf100):
+        docs = spark.read.parquet(f"{sf100}/documents.parquet")
+        n_probe_docs = 100_000
+        syn = spark.range(n_probe_docs).select(
+            (F.col("id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(0), F.lit(101)),
+                lambda i: F.concat(F.lit("ev"),
+                                   (F.col("id") * 102 + i)))
+            ).alias("text"))
+        probe_path = os.path.join(os.path.dirname(sf100),
+                                  "bloom_probe_sf100.parquet")
+        syn.unionByName(
+            docs.orderBy("doc_id").limit(50)
+            .select((F.col("doc_id") + F.lit(2_000_000_000))
+                    .alias("doc_id"), "text")) \
+            .write.mode("overwrite").parquet(probe_path)
+        # read the probe BACK from parquet: an eval suite is a file in
+        # practice, and Catalyst's sizeInBytes (what method="auto"
+        # routes on) is file-size-accurate for scans but cannot size
+        # range-generated strings
+        probe = spark.read.parquet(probe_path)
+        row = {"n_docs": docs.count(), "n_probe_docs": n_probe_docs + 50}
+
+        probe_sh = (
+            probe.select(F.explode(
+                dedup.word_shingles(F.col("text"), 3)).alias("s"))
+            .distinct()
+        )
+        sz = probe_sh.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("s")).alias("bytes")).collect()[0]
+        row["probe_shingles"] = int(sz["n"])
+        row["probe_string_bytes"] = int(sz["bytes"])
+        bf = bloom_build(probe_sh, "s", n_items=int(sz["n"]), fpp=0.01)
+        row["bloom_bitmap_bytes"] = bf.n_bytes
+        row["bloom_n_hashes"] = bf.n_hashes
+
+        from pydiverse_transform_spark.extras.dedup import (
+            _BLOOM_AUTO_PROBE_BYTES,
+        )
+        from pydiverse_transform_spark.extras.util import plan_size_bytes
+
+        row["auto_routes_bloom"] = bool(
+            plan_size_bytes(probe) > _BLOOM_AUTO_PROBE_BYTES)
+
+        checks = {}
+        for method in ("broadcast", "bloom"):
+            times = []
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                out = dedup.decontaminate(docs, probe, method=method)
+                agg = out.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(F.sum("doc_id"), F.lit(0))
+                    .cast("long").alias("s")).collect()[0]
+                times.append(time.time() - t0)
+            checks[method] = (int(agg["n"]), int(agg["s"]))
+            row[f"decontaminate_{method}_sec"] = round(min(times), 3)
+        row["results_equal"] = checks["broadcast"] == checks["bloom"]
+        row["n_clean"] = checks["broadcast"][0]
+        assert row["results_equal"], f"shingle_scale: {checks}"
+        results["shingle_scale_sf100"] = row
+        print(f"  shingle_scale_sf100: {json.dumps(row)}", flush=True)
 
     results["sentinel_end"] = _load_sentinel()
     if out_path:

@@ -151,6 +151,20 @@ def phase_minhash(tag: str):
 
     row["lookup_sec"] = lk()
     row["lookup_governed_sec"] = lk(min_bands=2, top_k=3)
+    # fixed-size probe (r12, VERDICT r11 next #6): the registry probe
+    # is corpus/4 BY CONSTRUCTION, so the raw lookup row grows with
+    # probe volume x candidate density; this row pins the probe at the
+    # first 3000 probe ids per sf so the flat-lookup claim (cost ~ one
+    # index scan + candidate work, independent of corpus growth beyond
+    # it) is self-evidencing in THIS artifact.  The id cut is computed
+    # outside the timer; the timed filter is a pushed-down range scan.
+    cut = [r[0] for r in probe.select("doc_id").orderBy("doc_id")
+           .limit(3000).collect()][-1]
+    fixed = probe.filter(F.col("doc_id") <= cut)
+    row["fixed_probe_docs"] = fixed.count()
+    row["lookup_fixed_sec"] = _mn2(
+        spark, lambda: dedup.minhash_index_lookup(
+            spark, path, fixed, threshold=0.2))
     shutil.rmtree(path, ignore_errors=True)
     spark.stop()
     print(json.dumps(row))
@@ -191,6 +205,18 @@ def phase_evlog(tag: str):
     row["sessionize_unsorted_sec"] = _mn2(
         spark, lambda: _sess_agg(ev.sessionize(
             ev.load_events(spark, sf_dir), "user_id", "ts", 30)))
+    # residual-cost attribution (r12, VERDICT r11 next #9): where do
+    # sessionize_presorted's seconds go, given the asof twin reads the
+    # SAME layout far faster?  scan_only = the layout read alone;
+    # window_only = read + lag/cumsum windows (no session aggregate);
+    # full - window_only = the session groupBy's increment.  The asof
+    # twin emits one row per event with NO stacked window state, so
+    # its gap to window_only is the lag+running-sum compute itself.
+    row["sessionize_scan_only_sec"] = _mn2(
+        spark, lambda: t.select("user_id", "ts"))
+    row["sessionize_window_only_sec"] = _mn2(
+        spark, lambda: ev.sessionize(t, "user_id", "ts", 30)
+        .select("user_id", "session_id"))
     spark.stop()
     print(json.dumps(row))
 
@@ -252,16 +278,20 @@ def main():
                      "to q_minhash_lookup_governed); NOTE the probe is "
                      "a quarter of the CORPUS (1.25M docs at sf100), "
                      "so lookup cost grows with probe volume times "
-                     "candidate density by construction — the "
-                     "constant-increment lookup curve lives in "
-                     "MINHASH_INDEX (bench_minhash_index.py)"}
+                     "candidate density by construction; "
+                     "lookup_fixed_sec (r12) pins the probe at the "
+                     "first 3000 probe ids per sf so the flat-lookup "
+                     "claim is self-evidencing here — the "
+                     "constant-increment soak curve additionally "
+                     "lives in MINHASH_INDEX (bench_minhash_index.py)"}
     for tag in COVERAGE["q_minhash_index_lookup"]:
         if not os.path.isdir(SFS[tag]):
             continue
         comp[tag] = _run_phase(f"mh:-:{tag}")
         print(f"  q_minhash_index_lookup[{tag}]: {comp[tag]}",
               file=sys.stderr, flush=True)
-    for metric in ("build_sec", "lookup_sec", "lookup_governed_sec"):
+    for metric in ("build_sec", "lookup_sec", "lookup_governed_sec",
+                   "lookup_fixed_sec"):
         for lo, hi, key in _DECADES:
             if comp.get(lo, {}).get(metric) \
                     and comp.get(hi, {}).get(metric):
