@@ -1257,17 +1257,30 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
     )
     if min_bands > 1:
         # candidate-volume governor (r10): a pair must collide in
-        # >= min_bands DISTINCT bands.  size(collect_set(band)), not
-        # countDistinct: countDistinct mixed with another aggregate
-        # compiles to an Expand (row duplication + two-phase agg);
-        # collect_set is one ObjectHashAggregate pass, and bands is
-        # small (<= n_hashes values).  DISTINCT bands, not rows:
-        # at-least-once replayed appends duplicate bucket ROWS, which
-        # must not fake band evidence.
+        # >= min_bands DISTINCT bands.  est_jaccard is constant across
+        # a pair's rows, so it rides in the GROUP KEY, and the band
+        # evidence is a BITMASK aggregate — bit_count(bit_or(1 <<
+        # band)) — whenever the index has <= 64 bands (every practical
+        # geometry; n_hashes caps bands).  One exchange, one codegen
+        # hash aggregation with map-side partial combine: r12 measured
+        # the alternatives on the sf100 dup-saturated corpus (281M
+        # passing candidate rows, 45.9M governed pairs) —
+        # collect_set+first is an ObjectHashAggregate (~+50 s of
+        # per-group set objects), countDistinct compiles to a second
+        # full exchange of the deduped relation (~+70 s); the bitmask
+        # runs at ungoverned parity (166.9 s vs 163.7-191.6 s).
+        # DISTINCT bands, not row count: at-least-once replayed
+        # appends duplicate bucket ROWS, which must not fake band
+        # evidence — bit_or is idempotent on replays by construction.
+        if int(meta["bands"]) <= 64:
+            nb = F.bit_count(F.bit_or(F.call_function(
+                "shiftleft", F.lit(1).cast("long"),
+                F.col("band").cast("int"))))
+        else:
+            nb = F.countDistinct("band")
         cand = (
-            cand.groupBy("probe_id", "index_id")
-            .agg(F.first("est_jaccard").alias("est_jaccard"),
-                 F.size(F.collect_set("band")).alias("__nb"))
+            cand.groupBy("probe_id", "index_id", "est_jaccard")
+            .agg(nb.alias("__nb"))
             .filter(F.col("__nb") >= min_bands)
         )
     else:
@@ -1275,27 +1288,18 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
     out = cand.select("probe_id", "index_id", "est_jaccard")
     if top_k is not None:
         # per-probe early exit: keep only the top_k best estimates per
-        # probe doc (deterministic tie-break on index_id).  Aggregate
-        # top-k — slice(sort_array(collect_list(struct)), 1, k) — not a
-        # row_number window: the window's partition-wide sort exchange
-        # on the candidate relation was exactly what made r11's
-        # governed path slower than ungoverned; the aggregate is one
-        # hash aggregation over rows that already passed
-        # min_bands + threshold.  Struct comparison is field-order
-        # lexicographic, so (-est, index_id) sorts best-est-first with
-        # ascending id ties.
-        out = (
-            out.groupBy("probe_id")
-            .agg(F.slice(
-                F.sort_array(F.collect_list(F.struct(
-                    (-F.col("est_jaccard")).alias("__negsim"),
-                    F.col("index_id").alias("index_id"),
-                    F.col("est_jaccard").alias("est_jaccard")))),
-                1, top_k).alias("__top"))
-            .select("probe_id", F.explode("__top").alias("__t"))
-            .select("probe_id", F.col("__t.index_id").alias("index_id"),
-                    F.col("__t.est_jaccard").alias("est_jaccard"))
-        )
+        # probe doc (deterministic tie-break on index_id).  A
+        # row_number window whose filter Spark 4 rewrites to a
+        # WindowGroupLimit (partial per-map-task top-k BEFORE the
+        # exchange), so only ~top_k rows per (probe, task) reach the
+        # shuffle; input is already min_bands + threshold survivors.
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy("probe_id")
+             .orderBy(F.col("est_jaccard").desc(),
+                      F.col("index_id").asc()))
+        out = (out.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= top_k).drop("__rn"))
     return out
 
 
