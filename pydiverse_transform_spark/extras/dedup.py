@@ -697,14 +697,20 @@ def neardup_dedup(df: DataFrame, text_col: str = "text",
 
 # contaminated_ids(method="auto") crossover: probe TEXT bytes
 # (Catalyst plan estimate) above which the distinct-shingle hash
-# relation stops being broadcast-friendly and the Bloom lane takes
-# over.  Each text byte yields ~k overlapping word-shingles of ~k
-# words each, and a JVM hash relation costs ~100+ bytes/string key —
-# 32 MiB of probe text is already a multi-hundred-MB relation, well
-# past the point where shipping it to every executor beats a 4 MB
-# bitmap (r12 BLOOM_BENCH: bloom wins its first committed point in
-# this regime).
-_BLOOM_AUTO_PROBE_BYTES = 32 << 20
+# relation stops being BROADCASTABLE and the Bloom lane takes over.
+# This is an operability ceiling, not a perf crossover: r12's
+# BLOOM_BENCH measured broadcast beating bloom at every locally
+# runnable point INCLUDING the 10M-distinct-shingle / 287 MB-probe
+# design-regime block (113.3 vs 124.8 s) — on one box a broadcast is
+# free (same JVM) while bloom pays k hash tests per corpus shingle
+# row, so bloom's wins are exclusively (a) relations too big to
+# broadcast at all and (b) cluster networks where shipping GBs to
+# every executor is the bottleneck.  Each probe text byte yields ~1
+# word-shingle and a JVM hash relation costs ~100+ bytes/string key,
+# so 1 GiB of probe text is a multi-GB relation — brushing Spark's
+# 8 GB broadcast hard cap and typical executor headroom; past this,
+# broadcast stops being a safe plan and the ~1.2 B/key bitmap is.
+_BLOOM_AUTO_PROBE_BYTES = 1 << 30
 
 
 def contaminated_ids(df: DataFrame, probe: DataFrame,

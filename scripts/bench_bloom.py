@@ -218,8 +218,10 @@ def main():
         )
         from pydiverse_transform_spark.extras.util import plan_size_bytes
 
-        row["auto_routes_bloom"] = bool(
-            plan_size_bytes(probe) > _BLOOM_AUTO_PROBE_BYTES)
+        row["probe_plan_size_bytes"] = plan_size_bytes(probe)
+        row["auto_route"] = (
+            "bloom" if plan_size_bytes(probe) > _BLOOM_AUTO_PROBE_BYTES
+            else "broadcast")
 
         checks = {}
         for method in ("broadcast", "bloom"):
