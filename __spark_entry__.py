@@ -6718,11 +6718,21 @@ def q_compact_zorder(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev.repartition(64).write.mode("overwrite").parquet(debris)
 
+    # size the target from the DEBRIS listing so the compaction ratio
+    # is scale-invariant (r12 advice): ~total/32 per file → ~32 output
+    # files < 64 debris files at ANY sf, with a 32 KB floor so sf0.01
+    # still yields enough files for per-file z-ranges to prune.  /32
+    # not /16: the 45-55% query box straddles the TOP Morton bit of
+    # both dimensions (worst case for z-clustering — its cells scatter
+    # across the key space), and 16 files measured only 10/17 row
+    # groups pruned at sf0.1 — too coarse for the >= 2x assertion.
+    total_in = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(debris, "*.parquet")))
     compact_parquet(spark, debris, out,
                     zorder_by=["user_id", "ts"], zorder_bits=8,
-                    # small target so sf0.01 still yields enough files
-                    # for per-file z-ranges to prune single row groups
-                    target_file_bytes=32 << 10, mode="overwrite")
+                    target_file_bytes=max(32 << 10, total_in // 32),
+                    mode="overwrite")
     n_in = len(_glob.glob(os.path.join(debris, "*.parquet")))
     n_out = len(_glob.glob(os.path.join(out, "*.parquet")))
     assert 0 < n_out < n_in, (n_in, n_out)

@@ -749,7 +749,20 @@ def contaminated_ids(df: DataFrame, probe: DataFrame,
     then comfortably under Spark's broadcast comfort zone; r11 bench:
     broadcast beat bloom at every such point), ``bloom`` above it
     (where the hash relation is the multi-GB regime the bitmap
-    exists for).
+    exists for).  Stats-UNKNOWN probe plans (RDD-backed
+    ``createDataFrame`` frames, plans behind stats-erasing wide
+    transforms) route to ``bloom`` BY DESIGN: auto never broadcasts a
+    relation it cannot prove small — the conservative lane is exact
+    either way, merely slower for a genuinely tiny in-memory probe
+    (pass ``method="broadcast"`` explicitly when you know).  This
+    mirrors the UNKNOWN handling on ``_resolve_probe_strategy``.
+
+    The bloom lane persists the probe's shingle relation for the
+    call; the handle is released only by Spark's LRU eviction (there
+    is no correct earlier unpersist point — the returned join is
+    lazy), so a long-lived session issuing MANY bloom-lane calls
+    accumulates cached shingle relations until memory pressure evicts
+    them.  Harmless for correctness; storage-tab noise at worst.
     """
     from pyspark.sql.functions import broadcast
 
@@ -1263,21 +1276,28 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
     )
     if min_bands > 1:
         # candidate-volume governor (r10): a pair must collide in
-        # >= min_bands DISTINCT bands.  est_jaccard is constant across
-        # a pair's rows, so it rides in the GROUP KEY, and the band
-        # evidence is a BITMASK aggregate — bit_count(bit_or(1 <<
-        # band)) — whenever the index has <= 64 bands (every practical
-        # geometry; n_hashes caps bands).  One exchange, one codegen
-        # hash aggregation with map-side partial combine: r12 measured
-        # the alternatives on the sf100 dup-saturated corpus (281M
-        # passing candidate rows, 45.9M governed pairs) —
-        # collect_set+first is an ObjectHashAggregate (~+50 s of
-        # per-group set objects), countDistinct compiles to a second
-        # full exchange of the deduped relation (~+70 s); the bitmask
-        # runs at ungoverned parity (166.9 s vs 163.7-191.6 s).
-        # DISTINCT bands, not row count: at-least-once replayed
-        # appends duplicate bucket ROWS, which must not fake band
-        # evidence — bit_or is idempotent on replays by construction.
+        # >= min_bands DISTINCT bands.  The band evidence is a BITMASK
+        # aggregate — bit_count(bit_or(1 << band)) — whenever the
+        # index has <= 64 bands (every practical geometry; n_hashes
+        # caps bands).  One exchange, one codegen hash aggregation
+        # with map-side partial combine: r12 measured the alternatives
+        # on the sf100 dup-saturated corpus (281M passing candidate
+        # rows, 45.9M governed pairs) — collect_set+first is an
+        # ObjectHashAggregate (~+50 s of per-group set objects),
+        # countDistinct compiles to a second full exchange of the
+        # deduped relation (~+70 s); the bitmask runs at ungoverned
+        # parity (166.9 s vs 163.7-191.6 s).  DISTINCT bands, not row
+        # count: at-least-once replayed appends duplicate bucket ROWS,
+        # which must not fake band evidence — bit_or is idempotent on
+        # replays by construction.  The group key is (probe_id,
+        # index_id) ONLY, est aggregated with max() (r12 advice): an
+        # id re-appended with a DIFFERENT signature (document edited
+        # between increments) would otherwise split one pair across
+        # est-distinct groups — each can fail min_bands the pair as a
+        # whole passes, and survivors emit duplicate (probe, index)
+        # rows that top_k then counts twice.  max(est) = the pair's
+        # best evidence across its stored versions, matching the
+        # ungoverned lane below.
         if int(meta["bands"]) <= 64:
             nb = F.bit_count(F.bit_or(F.call_function(
                 "shiftleft", F.lit(1).cast("long"),
@@ -1285,12 +1305,18 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
         else:
             nb = F.countDistinct("band")
         cand = (
-            cand.groupBy("probe_id", "index_id", "est_jaccard")
-            .agg(nb.alias("__nb"))
+            cand.groupBy("probe_id", "index_id")
+            .agg(F.max("est_jaccard").alias("est_jaccard"),
+                 nb.alias("__nb"))
             .filter(F.col("__nb") >= min_bands)
         )
     else:
-        cand = cand.dropDuplicates(["probe_id", "index_id"])
+        # same hash-aggregate shape as dropDuplicates, but max(est)
+        # makes the surviving estimate DETERMINISTIC when an id holds
+        # several signatures (dropDuplicates keeps an arbitrary row);
+        # single-signature ids — the normal case — are bit-identical
+        cand = (cand.groupBy("probe_id", "index_id")
+                .agg(F.max("est_jaccard").alias("est_jaccard")))
     out = cand.select("probe_id", "index_id", "est_jaccard")
     if top_k is not None:
         # per-probe early exit: keep only the top_k best estimates per

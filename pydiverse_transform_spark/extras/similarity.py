@@ -17,9 +17,12 @@ All arithmetic is done in float64 via built-in higher-order functions
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 __all__ = ["dot", "norm", "cosine", "cosine_topk", "hyperplanes",
            "signlsh_bucket", "signlsh_topk", "query_bucket",
@@ -2377,13 +2380,33 @@ def _cell_footer_histogram(path: str) -> list[int]:
     """Per-cell row counts for a ``partitionBy("cell")`` parquet layout,
     read from file FOOTERS only (pyarrow metadata; no Spark job, no
     data pages).  Returns [] when the path isn't a local directory
-    with ``cell=...`` children (remote filesystems: the caller skips
-    the skew check rather than paying a scan)."""
+    with ``cell=...`` children (remote filesystems, pyarrow-less
+    hosts: the caller skips the skew check rather than paying a scan
+    — a debug log line records the silent downgrade, r12 advice).
+    ``file:`` URIs are parsed with urllib, so all three Spark/Hadoop
+    spellings — ``file:/p``, ``file://p``, ``file:///p`` — resolve to
+    the same local path."""
     import glob as _glob
     import os as _os
 
-    local = path[7:] if path.startswith("file://") else path
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        p = urlparse(path)
+        # file:/path (no netloc) and file:///path both leave the path
+        # component; file://host/path would name a remote host — only
+        # empty/localhost netlocs are local
+        if p.netloc not in ("", "localhost"):
+            _log.debug("cell skew check skipped: non-local file URI "
+                       "%r", path)
+            return []
+        local = url2pathname(p.path)
+    else:
+        local = path
     if not _os.path.isdir(local):
+        _log.debug("cell skew check skipped: %r is not a local "
+                   "directory", path)
         return []
     counts: list[int] = []
     for d in sorted(_glob.glob(_os.path.join(local, "cell=*"))):
@@ -2397,6 +2420,8 @@ def _cell_footer_histogram(path: str) -> list[int]:
                 for f in _glob.glob(_os.path.join(d, "*.parquet"))
             )
         except Exception:
+            _log.debug("cell skew check skipped: footer read failed "
+                       "under %r", d, exc_info=True)
             return []
         counts.append(int(n))
     return counts
