@@ -2851,6 +2851,59 @@ def q_minhash_lookup_governed(spark, sf_dir):
 
 
 @_q(f"""
+WITH {_minhash_sides_sql()},
+cand AS (
+  SELECT p.doc_id AS probe_id, c.doc_id AS index_id,
+         any_value(p.sig) AS psig, any_value(c.sig) AS csig,
+         count(DISTINCT p.band) AS nb
+  FROM p_b p JOIN c_b c ON p.band = c.band AND p.h = c.h
+  GROUP BY p.doc_id, c.doc_id
+), est_t AS (
+  SELECT probe_id, index_id,
+         round(len(list_filter(range(1, 17),
+                               i -> psig[i] = csig[i])) / 16.0, 6)
+           AS est_jaccard
+  FROM cand WHERE nb >= 2
+), ranked AS (
+  SELECT probe_id, index_id, est_jaccard,
+         row_number() OVER (PARTITION BY probe_id
+                            ORDER BY est_jaccard DESC, index_id) AS rn
+  FROM est_t WHERE est_jaccard >= 0.2
+)
+SELECT probe_id, index_id, est_jaccard FROM ranked WHERE rn <= 100
+ORDER BY probe_id, index_id
+""")
+def q_minhash_lookup_auto(spark, sf_dir):
+    """AUTO-governed LSH index lookup (r13, VERDICT r12 next #1): the
+    default lookup projects the bucket join's exact candidate-row
+    count before shuffling anything and engages min_bands=2/top_k=100
+    when the projection exceeds the budget — at sf100 the ungoverned
+    default emitted 230M pairs, a lane no verify stage can consume
+    (SCALE_BENCH_r12).  Here the budget is pinned to 0 so the engaged
+    route runs at oracle scale: the result must hash-match the
+    explicit min_bands=2/top_k=100 SQL replay (band evidence via
+    count(DISTINCT band), estimator, row_number cut).  Under-budget
+    bit-equivalence with governors='off' and the no-warning contract
+    are pinned in tests/test_minhash_index.py."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _minhash_index_tmp(sf_dir, "auto")
+    dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), base)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        out = dedup.minhash_index_lookup(
+            spark, base, docs.filter(F.col("doc_id") % 4 == 0),
+            threshold=0.2, governors="auto", auto_budget=0,
+        )
+    return out.orderBy("probe_id", "index_id")
+
+
+@_q(f"""
 WITH {_minhash_sides_sql()}
 SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS index_id,
        {_MINHASH_EST_SQL} AS est_jaccard

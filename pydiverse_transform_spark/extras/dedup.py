@@ -1475,11 +1475,44 @@ def minhash_index_maintain(spark, path: str, *,
     return {**stats, "recovered": recovered}
 
 
+# auto-governor regime boundary (r13): projected candidate ROWS (sum
+# over colliding (band, h) buckets of index-rows x probe-rows) above
+# which the default lookup engages the volume governors.  30M mirrors
+# the scale bench's verify budget; the measured decades sit a decade
+# clear on each side (sf10: 2.3M pairs, fine ungoverned; sf100: 230M
+# pairs, verify infeasible — SCALE_BENCH_r12).
+_LOOKUP_AUTO_CAND_BUDGET = 30_000_000
+# governor values auto applies: require 2-band evidence (prunes the
+# single-band long tail that dominates candidate volume on
+# dup-saturated corpora) and keep the 100 best matches per probe doc
+# (bounds output regardless of corpus dup density — generous next to
+# the handful of matches dedup decisions consume)
+_LOOKUP_AUTO_MIN_BANDS = 2
+_LOOKUP_AUTO_TOP_K = 100
+
+
+def _projected_candidate_rows(idx: DataFrame, pb: DataFrame) -> int:
+    """Exact candidate-row count of the bucket join ``idx >< pb`` —
+    sum over colliding (band, h) buckets of n_index * n_probe — via
+    one 2-column pass over the index: the probe's per-bucket counts
+    join map-side (AQE sees the tiny aggregate output and broadcasts
+    it; no hint, so an enormous probe degrades to a shuffle instead
+    of an OOM-ing forced broadcast) and the sum folds to one row.
+    The index is never shuffled on the broadcast path."""
+    pcnt = (pb.groupBy("band", "h")
+            .agg(F.count(F.lit(1)).alias("__pn")))
+    row = (idx.join(pcnt, on=["band", "h"], how="inner")
+           .agg(F.sum("__pn").alias("__cand")).first())
+    return int(row["__cand"] or 0)
+
+
 def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
                          threshold: float = 0.0,
                          probe_strategy: str = "auto",
                          min_bands: int = 1,
-                         top_k: int | None = None) -> DataFrame:
+                         top_k: int | None = None,
+                         governors: str = "auto",
+                         auto_budget: int | None = None) -> DataFrame:
     """Near-dup pairs between ``probe`` docs and the indexed corpus:
     (probe_id, index_id, est_jaccard), est_jaccard = fraction of
     agreeing signature positions, filtered to ``>= threshold`` (0.0
@@ -1514,11 +1547,59 @@ def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
 
     Governed results are always a subset of the ungoverned result with
     identical ``est_jaccard`` values (pinned in
-    ``tests/test_r10_fixes.py``)."""
+    ``tests/test_r10_fixes.py``).
+
+    ``governors="auto"`` (default, r13): when BOTH governors are at
+    their defaults (``min_bands=1``, ``top_k=None``), the lookup
+    first projects the bucket join's exact candidate-row count (one
+    2-column index pass, probe counts broadcast — see
+    :func:`_projected_candidate_rows`) and, if it exceeds
+    ``_LOOKUP_AUTO_CAND_BUDGET`` (30M rows), engages
+    ``min_bands=2, top_k=100`` with a ``UserWarning`` naming the
+    projection and the values applied.  Rationale: at sf100 of the
+    scale corpus the ungoverned lane emits 230M pairs — no downstream
+    verify can consume that, so the un-governed default was a lane
+    that cannot finish exactly where the index is most needed
+    (SCALE_BENCH_r12).  Under the budget the result is BIT-IDENTICAL
+    to ``governors="off"`` — the probe job is the only difference.
+    Explicitly set governors (``min_bands > 1`` or ``top_k``) are
+    always honored as given; ``governors="off"`` restores the r12
+    behavior including skipping the projection job.  ``auto_budget``
+    overrides the 30M-row default budget (clusters size their verify
+    stage differently); it only matters while auto is deciding."""
+    if governors not in ("auto", "off"):
+        raise ValueError(
+            f"governors must be 'auto' or 'off', got {governors!r}")
+    budget = (_LOOKUP_AUTO_CAND_BUDGET if auto_budget is None
+              else auto_budget)
     meta = read_minhash_meta(spark, path)
     strategy = _resolve_probe_strategy(probe_strategy, probe)
-    return _lookup_from_buckets(spark, path, meta,
-                                _probe_buckets(meta, probe),
+    pb = _probe_buckets(meta, probe)
+    if governors == "auto" and min_bands == 1 and top_k is None:
+        # persist so the probe's shingle+minhash pass isn't paid twice
+        # (once for the projection count, once for the lookup); tiny
+        # for the daily-increment shape, LRU-evicted otherwise — the
+        # returned frame is lazy, so there is no correct earlier
+        # unpersist point
+        pb = pb.persist()
+        idx = spark.read.parquet(path)
+        projected = _projected_candidate_rows(idx, pb)
+        if projected > budget:
+            import warnings
+
+            min_bands = _LOOKUP_AUTO_MIN_BANDS
+            top_k = _LOOKUP_AUTO_TOP_K
+            warnings.warn(
+                f"minhash_index_lookup: the bucket join projects "
+                f"{projected} candidate rows (> "
+                f"{budget} budget) — engaging "
+                f"candidate-volume governors min_bands="
+                f"{min_bands}, top_k={top_k}. The result is the "
+                f"best-evidence subset of the ungoverned pairs; pass "
+                f"governors='off' (and budget the verify yourself) "
+                f"or set min_bands/top_k explicitly to choose.",
+                UserWarning, stacklevel=2)
+    return _lookup_from_buckets(spark, path, meta, pb,
                                 threshold, strategy,
                                 min_bands=min_bands, top_k=top_k)
 

@@ -407,3 +407,66 @@ def test_minhash_maintain_journal_recovery(spark, tmp_path):
     fs_write_json(spark, path + ".__swap", {"index": "/elsewhere"})
     with pytest.raises(IOError, match="refusing"):
         dedup.minhash_index_maintain(spark, path)
+
+
+def test_auto_governor_routes_both_ways(spark, tmp_path):
+    """governors='auto' (r13): under the candidate budget the result
+    is BIT-IDENTICAL to governors='off' and no governor warning fires;
+    over the budget (forced via auto_budget=0) it equals the explicit
+    min_bands=2/top_k=100 lookup and warns; explicitly set governors
+    are honored as given with no auto interference."""
+    import warnings
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path, k=3, n_hashes=16, bands=4)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+
+    off = _lookup_rows(dedup.minhash_index_lookup(
+        spark, path, probe, threshold=0.2, governors="off"))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        auto = _lookup_rows(dedup.minhash_index_lookup(
+            spark, path, probe, threshold=0.2))
+    assert auto == off
+    assert not [x for x in w if "candidate-volume" in str(x.message)]
+
+    with pytest.warns(UserWarning, match="candidate-volume governors"):
+        engaged = _lookup_rows(dedup.minhash_index_lookup(
+            spark, path, probe, threshold=0.2, auto_budget=0))
+    explicit = _lookup_rows(dedup.minhash_index_lookup(
+        spark, path, probe, threshold=0.2, min_bands=2, top_k=100,
+        governors="off"))
+    assert engaged == explicit
+    assert engaged != off  # the forced route actually pruned
+
+    # explicit governors win: auto neither re-routes nor warns, even
+    # with a zero budget
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        exp_auto = _lookup_rows(dedup.minhash_index_lookup(
+            spark, path, probe, threshold=0.2, min_bands=2, top_k=3,
+            auto_budget=0))
+    assert not [x for x in w if "candidate-volume" in str(x.message)]
+    assert exp_auto == _lookup_rows(dedup.minhash_index_lookup(
+        spark, path, probe, threshold=0.2, min_bands=2, top_k=3,
+        governors="off"))
+
+    with pytest.raises(ValueError, match="governors"):
+        dedup.minhash_index_lookup(spark, path, probe,
+                                   governors="sometimes")
+
+
+def test_projected_candidate_rows_exact(spark, tmp_path):
+    """The auto-governor's projection is the EXACT candidate-row count
+    of the bucket join (sum over colliding buckets of n_idx * n_probe),
+    not an estimate."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path, k=3, n_hashes=16, bands=4)
+    meta = dedup.read_minhash_meta(spark, path)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    pb = dedup._probe_buckets(meta, probe)
+    idx = spark.read.parquet(path)
+    assert (dedup._projected_candidate_rows(idx, pb)
+            == idx.join(pb, on=["band", "h"], how="inner").count())
