@@ -254,3 +254,28 @@ def test_parse_byte_conf():
     assert _parse_byte_conf("128m") == 128 << 20
     assert _parse_byte_conf("128MB") == 128 << 20
     assert _parse_byte_conf("1g") == 1 << 30
+
+
+def test_governed_lookup_topk_is_window_group_limit(spark, tmp_path):
+    """The governed lookup's top_k row_number cut must physically plan
+    as a WindowGroupLimit (Spark 4 rewrites rank-filter windows into a
+    partial per-map-task top-k BEFORE the exchange) — the property the
+    r12 governed-lane redesign measures but comments alone can't guard
+    against a Spark minor-version regression reverting it to a full
+    window sort (VERDICT r12 next #4)."""
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path, k=3, n_hashes=16, bands=4)
+    out = dedup.minhash_index_lookup(
+        spark, path, docs.limit(50), threshold=0.2, min_bands=2,
+        top_k=3)
+    phys = _physical(out)
+    i = phys.find("== Physical Plan ==")
+    phys = phys[i:]
+    assert "WindowGroupLimit" in phys, phys
+    # and the rewrite includes the PARTIAL (pre-exchange) instance —
+    # Spark prints mode Partial/Final on the two operators
+    assert re.search(r"WindowGroupLimit.*Partial", phys), phys
