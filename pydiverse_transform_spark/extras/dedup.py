@@ -713,6 +713,28 @@ def neardup_dedup(df: DataFrame, text_col: str = "text",
 _BLOOM_AUTO_PROBE_BYTES = 1 << 30
 
 
+def _resolve_decon_method(method: str, probe: DataFrame) -> str:
+    """The single source of truth for decontamination routing —
+    :func:`contaminated_ids` executes what this returns, and the
+    scale-bench artifact records the SAME call (so the committed
+    route and the shipped route cannot drift).  ``auto`` maps to
+    ``broadcast`` while Catalyst's size estimate of the probe plan is
+    provably under ``_BLOOM_AUTO_PROBE_BYTES``; anything larger —
+    including the stats-UNKNOWN sentinel — routes to ``bloom`` (never
+    broadcast a relation you cannot prove small)."""
+    if method not in ("auto", "broadcast", "bloom"):
+        raise ValueError(
+            f"method must be 'auto', 'broadcast' or 'bloom', "
+            f"got {method!r}")
+    if method == "auto":
+        from .util import plan_size_bytes
+
+        return ("broadcast"
+                if plan_size_bytes(probe) <= _BLOOM_AUTO_PROBE_BYTES
+                else "bloom")
+    return method
+
+
 def contaminated_ids(df: DataFrame, probe: DataFrame,
                      text_col: str = "text", id_col: str = "doc_id",
                      *, k: int = 3,
@@ -767,16 +789,8 @@ def contaminated_ids(df: DataFrame, probe: DataFrame,
     from pyspark.sql.functions import broadcast
 
     from .bloom import bloom_build, bloom_filter_hits
-    from .util import plan_size_bytes
 
-    if method not in ("auto", "broadcast", "bloom"):
-        raise ValueError(
-            f"method must be 'auto', 'broadcast' or 'bloom', "
-            f"got {method!r}")
-    if method == "auto":
-        method = ("broadcast"
-                  if plan_size_bytes(probe) <= _BLOOM_AUTO_PROBE_BYTES
-                  else "bloom")
+    method = _resolve_decon_method(method, probe)
 
     doc_sh = shingled(df, text_col, id_col, k).select(
         id_col, F.explode("__sh").alias("__psh")
@@ -968,6 +982,42 @@ def _route_span_strategy(df: DataFrame, text_col: str, id_col: str, *,
     return "rescan" if top / f >= skew_threshold else "sort"
 
 
+# spill-aware sizing for the sort lane's occurrence window (r13,
+# VERDICT r12 next #3): target bytes one window task should sort, and
+# the measured expansion from the INPUT's Catalyst plan bytes
+# (compressed parquet) to the occurrence table's shuffle bytes
+# (~1 occurrence row per token; each row id+pos+md5hex ≈ 56 B
+# serialized vs ~6 compressed bytes per token of source text — see
+# scripts/bench_substring_sf100.py for the sf1/sf10 measurement).
+_SPAN_SORT_TASK_BYTES = 128 << 20
+_SPAN_OCC_BYTES_PER_PLAN_BYTE = 10
+
+
+def _spansort_spread(df: DataFrame, occ: DataFrame) -> DataFrame:
+    """Pre-partition the occurrence table on the window key so the
+    sort lane's WindowExec sorts ~``_SPAN_SORT_TASK_BYTES`` per task
+    regardless of corpus size.  Without this the window's
+    ENSURE_REQUIREMENTS exchange uses ``spark.sql.shuffle.partitions``
+    (32 in the scale sweeps): at sf100 that is 32 CONCURRENT ~1 GB
+    task sorts — the peak-allocation regime where r12's in-sweep run
+    lost an executor inside WindowExec.  ``repartition(n, "h")``
+    produces hashpartitioning(h, n), which satisfies the window's
+    clustered-distribution requirement, so this REPLACES the implicit
+    exchange rather than adding one (pinned in test_r13_fixes).  Plans
+    the optimizer cannot size (UNKNOWN) and corpora small enough for
+    the session default keep their plan byte-identical."""
+    from .util import UNKNOWN_PLAN_SIZE, plan_size_bytes
+
+    nb = plan_size_bytes(df)
+    if nb == UNKNOWN_PLAN_SIZE:
+        return occ
+    want = (nb * _SPAN_OCC_BYTES_PER_PLAN_BYTE) // _SPAN_SORT_TASK_BYTES
+    cur = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if want <= cur:
+        return occ
+    return occ.repartition(int(min(want, 4096)), "h")
+
+
 def substring_dedup(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", *, window: int = 8,
                     stride: int = 1,
@@ -1037,6 +1087,7 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
     occ = span_occurrences(df, text_col, id_col,
                            window=window, stride=stride)
     if dup_strategy == "sort":
+        occ = _spansort_spread(df, occ)
         wh = W.partitionBy("h")
         wr = W.partitionBy("h").orderBy(id_col, "pos")
         bad = (
