@@ -987,10 +987,10 @@ def _route_span_strategy(df: DataFrame, text_col: str, id_col: str, *,
 # the measured expansion from the INPUT's Catalyst plan bytes
 # (compressed parquet) to the occurrence table's shuffle bytes
 # (~1 occurrence row per token; each row id+pos+md5hex ≈ 56 B
-# serialized vs ~6 compressed bytes per token of source text — see
-# scripts/bench_substring_sf100.py for the sf1/sf10 measurement).
+# serialized vs ~2.5 compressed bytes per token of source text —
+# measured 22.35/22.66 at sf1/sf10, scripts/bench_substring_sf100.py).
 _SPAN_SORT_TASK_BYTES = 128 << 20
-_SPAN_OCC_BYTES_PER_PLAN_BYTE = 10
+_SPAN_OCC_BYTES_PER_PLAN_BYTE = 22
 
 
 def _spansort_spread(df: DataFrame, occ: DataFrame) -> DataFrame:
