@@ -149,8 +149,26 @@ def phase_minhash(tag: str):
         return _mn2(spark, lambda: dedup.minhash_index_lookup(
             spark, path, probe, threshold=0.2, **kw))
 
-    row["lookup_sec"] = lk()
+    # governors="off" pins the LANE comparison rows to the r11/r12
+    # semantics (the r13 auto default would silently engage at sf100
+    # and change what lookup_sec measures)
+    row["lookup_sec"] = lk(governors="off")
     row["lookup_governed_sec"] = lk(min_bands=2, top_k=3)
+    # the r13 DEFAULT lane: candidate projection + auto governor
+    # routing; engaged at sf100 (projection > 30M budget), pass-through
+    # below it.  The projection count itself is recorded outside the
+    # timer for the artifact.
+    import warnings as _warnings
+
+    pb = dedup._probe_buckets(dedup.read_minhash_meta(spark, path),
+                              probe)
+    row["projected_candidate_rows"] = dedup._projected_candidate_rows(
+        spark.read.parquet(path), pb)
+    with _warnings.catch_warnings(record=True) as _w:
+        _warnings.simplefilter("always")
+        row["lookup_auto_sec"] = lk()
+    row["lookup_auto_engaged"] = bool(
+        [x for x in _w if "candidate-volume" in str(x.message)])
     # fixed-size probe (r12, VERDICT r11 next #6): the registry probe
     # is corpus/4 BY CONSTRUCTION, so the raw lookup row grows with
     # probe volume x candidate density; this row pins the probe at the
@@ -163,6 +181,13 @@ def phase_minhash(tag: str):
     fixed = probe.filter(F.col("doc_id") <= cut)
     row["fixed_probe_docs"] = fixed.count()
     row["lookup_fixed_sec"] = _mn2(
+        spark, lambda: dedup.minhash_index_lookup(
+            spark, path, fixed, threshold=0.2, governors="off"))
+    # the same daily-increment probe through the r13 default lane: the
+    # delta over lookup_fixed_sec is the candidate-projection tax a
+    # default user pays for scale insurance (auto stays OFF here —
+    # a 3000-doc probe projects well under the budget at every sf)
+    row["lookup_fixed_auto_sec"] = _mn2(
         spark, lambda: dedup.minhash_index_lookup(
             spark, path, fixed, threshold=0.2))
     # end-to-end with the downstream exact verify (r12, VERDICT r11
@@ -188,8 +213,9 @@ def phase_minhash(tag: str):
                 .filter(F.col("jaccard") >= 0.2))
 
     VERIFY_PAIR_BUDGET = 30_000_000
-    for label, kw in (("", {}), ("_governed",
-                                 {"min_bands": 2, "top_k": 3})):
+    for label, kw in (("", {"governors": "off"}),
+                      ("_governed", {"min_bands": 2, "top_k": 3}),
+                      ("_auto", {})):
         n = dedup.minhash_index_lookup(
             spark, path, probe, threshold=0.2, **kw).count()
         row[f"lookup{label}_pairs"] = int(n)
