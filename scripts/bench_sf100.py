@@ -356,7 +356,14 @@ def main():
                      "first 3000 probe ids per sf so the flat-lookup "
                      "claim is self-evidencing here — the "
                      "constant-increment soak curve additionally "
-                     "lives in MINHASH_INDEX (bench_minhash_index.py)"}
+                     "lives in MINHASH_INDEX (bench_minhash_index.py); "
+                     "r13: the registry query's sf100 row now runs the "
+                     "AUTO-GOVERNED default lane (projection > 30M "
+                     "budget engages min_bands=2/top_k=100), so its "
+                     "wall-clock is not comparable to r12's ungoverned "
+                     "row at sf100 — the per-lane comparison lives in "
+                     "lookup_sec (governors=off) vs lookup_auto_sec "
+                     "below"}
     for tag in COVERAGE["q_minhash_index_lookup"]:
         if not os.path.isdir(SFS[tag]):
             continue
