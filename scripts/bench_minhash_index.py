@@ -84,8 +84,15 @@ def main():
                 ["du", "-sb", path], capture_output=True, text=True,
             ).stdout.split()[0],
             "build_sec": t_build,
+            # governors="off" pins the lane to r12 semantics (the r13
+            # auto default adds a projection job; its soak row is
+            # lookup_auto_sec)
             "lookup_sec": mn3(lambda: dedup.minhash_index_lookup(
-                spark, path, inc, threshold=0.45).count()),
+                spark, path, inc, threshold=0.45,
+                governors="off").count()),
+            "lookup_auto_sec": mn3(
+                lambda: dedup.minhash_index_lookup(
+                    spark, path, inc, threshold=0.45).count()),
             # r10 governors (VERDICT r9 next #2): same probe with the
             # candidate-volume bounds on — the number that must stay
             # bounded when near-dup density, not corpus size, explodes
@@ -95,7 +102,8 @@ def main():
                     spark, path, inc, threshold=0.45, min_bands=2,
                     top_k=10).count()),
             "candidates_raw": dedup.minhash_index_lookup(
-                spark, path, inc, threshold=0.0).count(),
+                spark, path, inc, threshold=0.0,
+                governors="off").count(),
             "candidates_min_bands2": dedup.minhash_index_lookup(
                 spark, path, inc, threshold=0.0, min_bands=2).count(),
             "hits_governed": dedup.minhash_index_lookup(
