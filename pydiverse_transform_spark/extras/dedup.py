@@ -1617,7 +1617,15 @@ def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
     always honored as given; ``governors="off"`` restores the r12
     behavior including skipping the projection job.  ``auto_budget``
     overrides the 30M-row default budget (clusters size their verify
-    stage differently); it only matters while auto is deciding."""
+    stage differently); it only matters while auto is deciding.
+
+    While auto decides, the probe's bucket relation is persisted so
+    its shingle+minhash pass is computed once (projection + lookup);
+    like the bloom lane's probe cache, the handle is released by
+    Spark's LRU eviction — the returned frame is lazy, so there is no
+    correct earlier unpersist point.  Long-lived sessions issuing
+    many default lookups accumulate cached bucket relations until
+    memory pressure evicts them (tiny for increment-sized probes)."""
     if governors not in ("auto", "off"):
         raise ValueError(
             f"governors must be 'auto' or 'off', got {governors!r}")
