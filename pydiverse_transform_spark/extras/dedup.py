@@ -1542,16 +1542,66 @@ _LOOKUP_AUTO_MIN_BANDS = 2
 _LOOKUP_AUTO_TOP_K = 100
 
 
-def _projected_candidate_rows(idx: DataFrame, pb: DataFrame) -> int:
+def _index_footer_rows(path: str) -> int | None:
+    """Total index bucket rows from parquet FOOTERS (no Spark job);
+    None when the path isn't a local directory or pyarrow is missing
+    — callers then fall back to the exact projection scan.  Accurate
+    through appends (each append adds plain files)."""
+    import glob as _glob
+    import os as _os
+
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        p = urlparse(path)
+        if p.netloc not in ("", "localhost"):
+            return None
+        local = url2pathname(p.path)
+    else:
+        local = path
+    if not _os.path.isdir(local):
+        return None
+    try:
+        import pyarrow.parquet as _pq
+
+        return sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(
+                _os.path.join(local, "band=*", "*.parquet")))
+    except Exception:
+        return None
+
+
+def _projected_candidate_rows(idx: DataFrame, pb: DataFrame,
+                              index_path: str | None = None,
+                              budget: int | None = None) -> int:
     """Exact candidate-row count of the bucket join ``idx >< pb`` —
     sum over colliding (band, h) buckets of n_index * n_probe — via
     one 2-column pass over the index: the probe's per-bucket counts
     join map-side (AQE sees the tiny aggregate output and broadcasts
     it; no hint, so an enormous probe degrades to a shuffle instead
     of an OOM-ing forced broadcast) and the sum folds to one row.
-    The index is never shuffled on the broadcast path."""
+    The index is never shuffled on the broadcast path.
+
+    Fast path (r13): when ``index_path``/``budget`` are given and the
+    UPPER BOUND max_probe_bucket_rows x total_index_rows (probe-only
+    aggregate + parquet-footer row count — NO index scan) already sits
+    at or under the budget, the exact sum must too (candidate rows =
+    sum n_idx(b,h)*n_probe(b,h) <= max_pn * sum n_idx(b,h)), so the
+    bound is returned instead.  Routing decisions are IDENTICAL to
+    the exact path — only the over-budget (or footer-less) case pays
+    the index scan — and the common small-workload lookup drops the
+    projection tax to one tiny probe aggregate."""
     pcnt = (pb.groupBy("band", "h")
             .agg(F.count(F.lit(1)).alias("__pn")))
+    if index_path is not None and budget is not None:
+        n_idx = _index_footer_rows(index_path)
+        if n_idx is not None:
+            mx = pcnt.agg(F.max("__pn").alias("m")).first()["m"]
+            bound = int(mx or 0) * n_idx
+            if bound <= budget:
+                return bound
     row = (idx.join(pcnt, on=["band", "h"], how="inner")
            .agg(F.sum("__pn").alias("__cand")).first())
     return int(row["__cand"] or 0)
@@ -1642,7 +1692,9 @@ def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
         # unpersist point
         pb = pb.persist()
         idx = spark.read.parquet(path)
-        projected = _projected_candidate_rows(idx, pb)
+        projected = _projected_candidate_rows(idx, pb,
+                                              index_path=path,
+                                              budget=budget)
         if projected > budget:
             import warnings
 

@@ -470,3 +470,32 @@ def test_projected_candidate_rows_exact(spark, tmp_path):
     idx = spark.read.parquet(path)
     assert (dedup._projected_candidate_rows(idx, pb)
             == idx.join(pb, on=["band", "h"], how="inner").count())
+
+
+def test_index_footer_rows_and_bound_fast_path(spark, tmp_path):
+    """The r13 projection fast path: footer row count is exact, the
+    probe-side bound dominates the exact projection, and a bound over
+    the budget falls back to the exact index-scan sum — so routing
+    decisions are identical to the always-exact path."""
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    dedup.write_minhash_index(docs, path, k=3, n_hashes=16, bands=4)
+    assert dedup._index_footer_rows(path) \
+        == spark.read.parquet(path).count()
+    assert dedup._index_footer_rows(str(tmp_path / "nope")) is None
+
+    meta = dedup.read_minhash_meta(spark, path)
+    probe = docs.filter(F.col("doc_id") % 5 == 0)
+    pb = dedup._probe_buckets(meta, probe)
+    idx = spark.read.parquet(path)
+    exact = dedup._projected_candidate_rows(idx, pb)
+    fast = dedup._projected_candidate_rows(idx, pb, index_path=path,
+                                           budget=1 << 40)
+    assert fast >= exact  # the bound dominates
+    # bound > budget -> exact fallback, identical value
+    assert dedup._projected_candidate_rows(
+        idx, pb, index_path=path, budget=0) == exact
+    # appends keep the footer count exact
+    dedup.minhash_index_append(spark, path, probe)
+    assert dedup._index_footer_rows(path) \
+        == spark.read.parquet(path).count()
