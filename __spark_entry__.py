@@ -2723,11 +2723,15 @@ def q_dedup_minhash(spark, sf_dir):
                                      n_hashes=16, bands=4, threshold=0.2)
 
 
-def _minhash_sides_sql() -> str:
+def _minhash_sides_sql(corpus_pred: str = "doc_id % 4 <> 0",
+                       probe_pred: str = "doc_id % 4 = 0") -> str:
     """CTEs replaying the persisted-index banding for a corpus
-    (doc_id % 4 <> 0) and a probe increment (doc_id % 4 = 0): per side
-    (doc_id, sig BIGINT[16], band, h) — the exact rows
-    write_minhash_index persists and minhash_index_lookup derives."""
+    (default ``doc_id % 4 <> 0``) and a probe increment (default
+    ``doc_id % 4 = 0``): per side (doc_id, sig BIGINT[16], band, h)
+    — the exact rows write_minhash_index persists and
+    minhash_index_lookup derives.  The predicates parameterize the
+    index/increment split (q_neardup_backfill uses the half-vs-half
+    backfill shape)."""
     sig = ", ".join(_minhash_sql("bh", 16))
     bands = ", ".join(
         f"{{'band': {b}, "
@@ -2735,8 +2739,8 @@ def _minhash_sides_sql() -> str:
         for b in range(4)
     )
     return f"""
-corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
-probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+corpus AS (SELECT doc_id, text FROM documents WHERE {corpus_pred}),
+probe AS (SELECT doc_id, text FROM documents WHERE {probe_pred}),
 c_bh AS (
   SELECT doc_id,
          list_transform({_shingle_sql('text')},
@@ -2966,6 +2970,41 @@ def q_neardup_filter_new(spark, sf_dir):
     surv = dedup.neardup_filter_new(
         spark, base, docs.filter(F.col("doc_id") % 4 == 0),
         threshold=0.45, admit=True,
+    )
+    return surv.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@_q(f"""
+WITH {_minhash_sides_sql("doc_id % 2 <> 0", "doc_id % 2 = 0")},
+hits AS (
+  SELECT DISTINCT p.doc_id
+  FROM p_b p JOIN c_b c ON p.band = c.band AND p.h = c.h
+  WHERE {_MINHASH_EST_SQL} >= 0.45
+)
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY doc_id
+""")
+def q_neardup_backfill(spark, sf_dir):
+    """BACKFILL-shaped ingest dedup (r14): the increment is as large
+    as the index itself (half the corpus against the other half), the
+    shape where the pre-r14 pair lane emitted one shuffle row per
+    candidate pair (230M at sf100, SCALE_BENCH_r12/r13) and hit the
+    wall the lookup governor exists for.  neardup_filter_new now runs
+    the EXISTS-semantics lane (extras/dedup.py _probe_hits_exists):
+    shuffle volume bounded by the increment's id count, recall
+    identical — this oracle is the same full pair semantics."""
+    from pyspark.sql import functions as F
+
+    from pydiverse_transform_spark.extras import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = _minhash_index_tmp(sf_dir, "backfill")
+    dedup.write_minhash_index(docs.filter(F.col("doc_id") % 2 != 0), base)
+    surv = dedup.neardup_filter_new(
+        spark, base, docs.filter(F.col("doc_id") % 2 == 0),
+        threshold=0.45, admit=False,
     )
     return surv.select("doc_id", "lang", "source").orderBy("doc_id")
 

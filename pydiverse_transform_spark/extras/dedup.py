@@ -1012,7 +1012,13 @@ def _spansort_spread(df: DataFrame, occ: DataFrame) -> DataFrame:
     if nb == UNKNOWN_PLAN_SIZE:
         return occ
     want = (nb * _SPAN_OCC_BYTES_PER_PLAN_BYTE) // _SPAN_SORT_TASK_BYTES
-    cur = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # some platforms set this conf to a non-numeric token (e.g.
+        # "auto"); a sizing heuristic must degrade to a no-op there,
+        # not fail the sort lane (r13 advice)
+        cur = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return occ
     if want <= cur:
         return occ
     return occ.repartition(int(min(want, 4096)), "h")
@@ -1287,6 +1293,19 @@ def _append_probe_buckets(path: str, meta: dict,
         .write.mode("append").partitionBy("band").parquet(path)
 
 
+def _est_jaccard_expr(meta: dict):
+    """Signature-agreement estimate of a joined bucket row — depends
+    ONLY on the two signature arrays already present on the row, so it
+    compiles MAP-SIDE wherever it is used (both lookup lanes)."""
+    return (
+        F.aggregate(
+            F.zip_with(F.col("__psig"), F.col("sig"),
+                       lambda a, b: (a == b).cast("int")),
+            F.lit(0), lambda acc, x: acc + x,
+        ).cast("double") / F.lit(float(meta["n_hashes"]))
+    )
+
+
 def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
                          threshold: float, probe_strategy: str,
                          min_bands: int = 1,
@@ -1298,13 +1317,7 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
     if probe_strategy == "broadcast":
         pb = F.broadcast(pb)
     idx = spark.read.parquet(path)
-    est = (
-        F.aggregate(
-            F.zip_with(F.col("__psig"), F.col("sig"),
-                       lambda a, b: (a == b).cast("int")),
-            F.lit(0), lambda acc, x: acc + x,
-        ).cast("double") / F.lit(float(meta["n_hashes"]))
-    )
+    est = _est_jaccard_expr(meta)
     # est depends ONLY on the two signature arrays already present on
     # every joined bucket row, and every bucket row of one
     # (probe, index) pair carries the SAME two signatures — so the
@@ -1384,6 +1397,59 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
         out = (out.withColumn("__rn", F.row_number().over(w))
                .filter(F.col("__rn") <= top_k).drop("__rn"))
     return out
+
+
+def _probe_hits_exists(spark, path: str, meta: dict, pb: DataFrame,
+                       threshold: float, probe_strategy: str,
+                       exclude_index_ids: DataFrame | None = None
+                       ) -> DataFrame:
+    """Distinct ``probe_id``s with ANY indexed near-dup at
+    ``est_jaccard >= threshold`` — the EXISTS-semantics lane for the
+    ingest dedup paths (``neardup_filter_new``,
+    ``streaming.neardup_ingest_stream``), r14.
+
+    Recall-IDENTICAL to
+    ``_lookup_from_buckets(...).select("probe_id").distinct()``: the
+    estimator is computed map-side per bucket row and is CONSTANT
+    across a (probe, index) pair's rows (every row carries the same
+    two signatures), so "any row passes the threshold" is exactly
+    "the pair's best estimate passes" — the set of flagged probe ids
+    cannot differ.  What changes is the SHUFFLE SHAPE: the pair lane's
+    ``groupBy(probe_id, index_id)`` exchanges one row per passing
+    PAIR, which on a dup-saturated index grows with index dup density
+    — a backfill-sized increment against the sf100 corpus emits the
+    230M-pair wall that r13's governor had to prune for
+    ``minhash_index_lookup`` (SCALE_BENCH_r12/r13 ungoverned rows).
+    This lane instead partial-aggregates ``distinct(probe_id)``
+    map-side, so each task emits at most |distinct probe ids| rows
+    and the exchange is bounded by the INCREMENT size regardless of
+    index saturation.  No governor, no recall trade, no warning: the
+    ingest contract only ever needs "exists a near-dup", never the
+    pairs themselves, so the early exit is exact — this is the
+    exists-semantics shortcut over governed pruning (which would
+    silently ADMIT duplicates whose pairs were pruned).
+
+    ``exclude_index_ids``: optional 1-column frame named ``index_id``
+    whose index-side evidence is ignored (streaming replay protection
+    — a replayed batch must not match its OWN admitted rows).  The
+    anti-join runs BEFORE the distinct, map-side when the frame is
+    broadcastable (micro-batches are; AQE decides, no forced hint —
+    a backfill-shaped exclusion degrades to a shuffle, not an OOM).
+    """
+    if probe_strategy == "broadcast":
+        pb = F.broadcast(pb)
+    idx = spark.read.parquet(path)
+    # same rounding as the pair lane so boundary estimates pass or
+    # fail the threshold identically in both lanes
+    cand = (
+        idx.join(pb, on=["band", "h"], how="inner")
+        .filter(F.round(_est_jaccard_expr(meta), 6) >= threshold)
+        .select("probe_id", F.col(meta["id_col"]).alias("index_id"))
+    )
+    if exclude_index_ids is not None:
+        cand = cand.join(exclude_index_ids, on="index_id",
+                         how="left_anti")
+    return cand.select("probe_id").distinct()
 
 
 def _resolve_probe_strategy(probe_strategy: str,
@@ -1565,10 +1631,15 @@ def _index_footer_rows(path: str) -> int | None:
     try:
         import pyarrow.parquet as _pq
 
-        return sum(
-            _pq.ParquetFile(f).metadata.num_rows
-            for f in _glob.glob(
-                _os.path.join(local, "band=*", "*.parquet")))
+        files = _glob.glob(_os.path.join(local, "band=*", "*.parquet"))
+        if not files:
+            # an existing directory with NO band-partitioned files is a
+            # layout this helper does not understand, not an empty
+            # index — returning 0 would make the fast-path bound
+            # 0 <= budget and silently skip the governor (r13 advice);
+            # None sends callers to the exact index-scan projection
+            return None
+        return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
     except Exception:
         return None
 
@@ -1724,6 +1795,14 @@ def neardup_filter_new(spark, path: str, new_docs: DataFrame, *,
     the SURVIVORS' bucket rows to the index (dedup-then-admit), so the
     next increment also dedupes against today's.
 
+    Scale shape (r14): the lookup runs the EXISTS-semantics lane
+    (:func:`_probe_hits_exists`) — shuffle volume is bounded by the
+    INCREMENT's id count regardless of how duplicate-saturated the
+    index is, so the backfill shape (increment comparable in size to
+    the index) holds at any corpus scale with no candidate-volume
+    governor and no recall change.  Result is identical to deriving
+    the dropped ids from ``minhash_index_lookup(governors="off")``.
+
     admit snapshots the survivor ID SET (one column, eager
     localCheckpoint) BEFORE appending and rebuilds the returned frame
     from it: the anti-join's own plan reads the index path, and Spark's
@@ -1754,9 +1833,15 @@ def neardup_filter_new(spark, path: str, new_docs: DataFrame, *,
     if admit:
         pb = pb.persist()
     try:
-        hits = _lookup_from_buckets(
+        # exists-semantics lane (r14): the filter only needs "this
+        # arrival HAS an indexed near-dup", never the pairs — the
+        # distinct(probe_id) partial-aggregates map-side, so a
+        # BACKFILL-sized increment against a dup-saturated index
+        # shuffles |increment| ids instead of the pair lane's 230M
+        # candidate pairs (see _probe_hits_exists; recall-identical)
+        hits = _probe_hits_exists(
             spark, path, meta, pb, threshold, strategy,
-        ).select(F.col("probe_id").alias(id_col)).distinct()
+        ).select(F.col("probe_id").alias(id_col))
         out = new_docs.join(hits, on=id_col, how="left_anti")
         if admit:
             ids = out.select(id_col).localCheckpoint()

@@ -438,8 +438,8 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
     from pyspark.sql import functions as F
 
     from ..extras.dedup import (_append_probe_buckets,
-                                _lookup_from_buckets,
                                 _probe_buckets,
+                                _probe_hits_exists,
                                 minhash_index_maintain,
                                 minhash_index_recover,
                                 read_minhash_meta)
@@ -471,13 +471,20 @@ def neardup_ingest_stream(stream_docs: DataFrame, index_path: str,
         # rows feed the lookup, and (admit) the index append
         pb = _probe_buckets(meta, batch_df).persist()
         try:
-            hits = _lookup_from_buckets(spark, index_path, meta, pb,
-                                        threshold, probe_strategy)
+            # exists-semantics lane (r14): a batch doc is dropped iff
+            # ANY index row outside the batch itself estimates >=
+            # threshold — shuffle volume is bounded by the batch's id
+            # count even when a huge backfill trigger probes a
+            # dup-saturated index (see extras.dedup._probe_hits_exists;
+            # recall-identical to the previous pair-lane derivation).
+            # The replay protection (ignore hits whose index_id is in
+            # the current batch) moves INTO the lane as the map-side
+            # exclusion anti-join.
             batch_ids = batch_df.select(F.col(id_col).alias("index_id"))
-            drop_ids = (
-                hits.join(batch_ids, on="index_id", how="left_anti")
-                .select(F.col("probe_id").alias(id_col)).distinct()
-            )
+            drop_ids = _probe_hits_exists(
+                spark, index_path, meta, pb, threshold, probe_strategy,
+                exclude_index_ids=batch_ids,
+            ).select(F.col("probe_id").alias(id_col))
             surv = batch_df.join(drop_ids, on=id_col, how="left_anti")
             surv.write.mode("overwrite").parquet(
                 f"{out_path}/batch={batch_id}")
