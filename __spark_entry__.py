@@ -1464,6 +1464,45 @@ def q_window_ops(spark, sf_dir):
 
 
 @_q("""
+WITH e AS (SELECT event_type, CAST(ts AS TIME) AS t FROM events)
+SELECT event_type,
+       epoch_us(MIN(t))                                      AS min_t,
+       epoch_us(MAX(t))                                      AS max_t,
+       CAST(MAX(t) AS VARCHAR)                               AS max_s,
+       CAST(SUM(CASE WHEN t >= TIME '12:00:00'
+                THEN 1 ELSE 0 END) AS BIGINT)                AS n_pm
+FROM e
+GROUP BY event_type
+ORDER BY event_type
+""")
+def q_time_ops(spark, sf_dir):
+    """The Time dtype end-to-end (r14; types.py Time, reference
+    tree/types.py Time + ops/ops/comparison.py COMPARABLE): extract
+    time-of-day from event timestamps via cast(Time()), compare
+    against a datetime.time literal, aggregate min/max (COMPARABLE
+    signatures), and round-trip the max through the String cast.
+    The oracle runs DuckDB's NATIVE TIME type for every one of those
+    steps — epoch_us exposes the same µs-since-midnight integers the
+    engine uses physically, and the VARCHAR cast pins the text
+    format."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev
+        >> pdt.mutate(t=ev.ts.cast(pdt.Time()))
+        >> pdt.group_by(ev.event_type)
+        >> pdt.summarize(
+            min_t=C.t.min(),
+            max_t=C.t.max(),
+            n_pm=(C.t >= dt.time(12, 0)).cast(pdt.Int64()).sum(),
+        )
+        >> pdt.mutate(max_s=C.max_t.cast(pdt.String()))
+        >> pdt.select(C.event_type, C.min_t, C.max_t, C.max_s, C.n_pm)
+        >> pdt.arrange(C.event_type)
+        >> pdt.export(pdt.Spark)
+    )
+
+
+@_q("""
 SELECT c_custkey, c_nationkey,
        round(sum(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS nation_total,
        round(c_acctbal / sum(c_acctbal) OVER (PARTITION BY c_nationkey), 6)

@@ -102,18 +102,6 @@ def _prepare(e, scope: Scope, context: str, toplevel: bool = False) -> ColExpr:
         return e
     if isinstance(e, Cast):
         inner = _prepare(e.expr, scope, context)
-        if isinstance(e.target, tp.Time) or isinstance(inner._dtype, tp.Time):
-            # documented divergence: Spark SQL has no TimeType; columns
-            # read as time-of-day do not occur (parquet TIME maps to
-            # int64), so a cast through Time has nothing to attach to
-            from ..errors import NotSupportedError
-
-            raise NotSupportedError(
-                "the Time dtype is not supported on the Spark backend: "
-                "Spark SQL has no TIME type (reference tree/types.py Time)."
-                " Store time-of-day as µs-since-midnight Int64, or as a "
-                "Datetime on a fixed epoch date"
-            )
         if not tp.can_cast(inner._dtype, e.target):
             raise DataTypeError(f"cannot cast {inner._dtype!r} to {e.target!r}")
         out = Cast(inner, e.target, e.strict)
@@ -241,6 +229,14 @@ def _lit(e: LiteralCol) -> Column:
     val = e.val
     if isinstance(val, _dt.timedelta):
         return F.lit(val // _dt.timedelta(microseconds=1))
+    if isinstance(val, _dt.time):
+        # Time's physical representation: µs since midnight (types.Time)
+        if val.tzinfo is not None:
+            raise TypeError(
+                f"Time literals must be naive (no tzinfo): {val!r}")
+        return F.lit(
+            ((val.hour * 60 + val.minute) * 60 + val.second) * 1_000_000
+            + val.microsecond).cast("long")
     out = F.lit(val)
     if e.explicit_dtype:
         # make the physical type match the declared logical type
@@ -301,8 +297,82 @@ def _strict_cast_can_fail(src: tp.Dtype | None, dst: tp.Dtype) -> bool:
     return False
 
 
+# 'HH:MM:SS[.ffffff]' — seconds required, fraction up to µs precision
+# (DuckDB's TIME text format, so string-cast behavior matches the oracle)
+_TIME_STR_RE = r"^\s*(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?\s*$"
+
+_US_PER_HOUR = 3_600_000_000
+_US_PER_MIN = 60_000_000
+_US_PER_SEC = 1_000_000
+
+
+def _compile_time_cast(e: Cast, x: Column, src: tp.Dtype | None) -> Column:
+    """Casts touching the Time dtype (µs-since-midnight LongType —
+    types.Time).  The generic lane's bare Spark cast is wrong for every
+    one of these (a LongType physical says nothing about time-of-day),
+    so each pair compiles explicitly; all expressions are wall-clock
+    and ANSI-mode-independent (reference ops/ops/comparison.py:13-35
+    for the COMPARABLE surface this feeds)."""
+    if isinstance(src, tp.Time):
+        if isinstance(e.target, tp.Time):
+            return x
+        # Time -> String: 'HH:MM:SS' plus minimal fraction when nonzero
+        # (matches DuckDB's TIME -> VARCHAR text form)
+        h = F.lpad(F.floor(x / F.lit(_US_PER_HOUR)).cast("long")
+                   .cast("string"), 2, "0")
+        m = F.lpad(F.floor(F.pmod(x, F.lit(_US_PER_HOUR))
+                           / F.lit(_US_PER_MIN)).cast("long")
+                   .cast("string"), 2, "0")
+        s = F.lpad(F.floor(F.pmod(x, F.lit(_US_PER_MIN))
+                           / F.lit(_US_PER_SEC)).cast("long")
+                   .cast("string"), 2, "0")
+        frac = F.pmod(x, F.lit(_US_PER_SEC))
+        base = F.concat(h, F.lit(":"), m, F.lit(":"), s)
+        return F.when(
+            frac == 0, base,
+        ).otherwise(F.concat(
+            base, F.lit("."),
+            F.regexp_replace(
+                F.lpad(frac.cast("string"), 6, "0"), "0+$", ""),
+        ))
+    if isinstance(src, tp.Datetime):
+        # time-of-day of the wall-clock reading — valid on TIMESTAMP
+        # and TIMESTAMP_NTZ alike (no unix_micros, which ntz forbids)
+        return (
+            F.hour(x).cast("long") * F.lit(_US_PER_HOUR)
+            + F.minute(x).cast("long") * F.lit(_US_PER_MIN)
+            + (F.date_part(F.lit("SECOND"), x)
+               * F.lit(_US_PER_SEC)).cast("long")
+        )
+    if isinstance(src, tp.String):
+        # parse components via try_cast so malformed inputs yield null
+        # in EITHER ansi mode; strict then raises exactly like the
+        # string->number strict lane (assert_true probe)
+        hh = F.regexp_extract(x, _TIME_STR_RE, 1).try_cast("long")
+        mm = F.regexp_extract(x, _TIME_STR_RE, 2).try_cast("long")
+        ss = F.regexp_extract(x, _TIME_STR_RE, 3).try_cast("long")
+        ff = F.rpad(F.regexp_extract(x, _TIME_STR_RE, 4), 6, "0") \
+            .try_cast("long")
+        valid = (hh.isNotNull() & (hh < 24) & (mm < 60) & (ss < 60))
+        us = (hh * F.lit(_US_PER_HOUR) + mm * F.lit(_US_PER_MIN)
+              + ss * F.lit(_US_PER_SEC) + F.coalesce(ff, F.lit(0)))
+        if e.strict:
+            bad = F.assert_true(
+                x.isNull() | valid,
+                F.concat(
+                    F.lit("strict cast to time malformed or out of "
+                          "range for value '"), x, F.lit("'")),
+            )
+            return F.when(bad.isNull() & valid, us)
+        return F.when(valid, us)
+    # NullType -> Time
+    return x.cast("long")
+
+
 def _compile_cast(e: Cast, ctx: CompileCtx) -> Column:
     x = compile_expr(e.expr, ctx)
+    if isinstance(e.target, tp.Time) or isinstance(e.expr.dtype(), tp.Time):
+        return _compile_time_cast(e, x, e.expr.dtype())
     if isinstance(e.target, tp.Enum):
         # String -> Enum validates membership (reference
         # tree/col_expr.py:2686-2722): strict raises at execution,

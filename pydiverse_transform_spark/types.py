@@ -225,7 +225,19 @@ class Datetime(Dtype):
 
 
 class Time(Dtype):
-    """No Spark TimeType — represented as µs-since-midnight LongType."""
+    """Time of day (reference tree/types.py Time).
+
+    Spark SQL has no TIME type, so the physical representation is
+    µs-since-midnight in a LongType — exact, orderable, and
+    SQL-portable, the same convention :class:`Duration` uses for its
+    µs representation.  Comparisons, min/max, sorting, fill_null,
+    coalesce and clip work through the reference's COMPARABLE
+    signatures; ``datetime.time`` literals convert automatically.
+    Columns enter the type via ``.cast(Time())`` from Datetime
+    (time-of-day extraction, wall-clock) or String
+    ('HH:MM:SS[.ffffff]'), and leave as µs longs on export (like
+    Duration — documented divergence from the reference's
+    ``datetime.time`` objects)."""
 
     name = "time"
 
@@ -341,12 +353,15 @@ def can_cast(src: Dtype, dst: Dtype) -> bool:
     if src.is_numeric() and (dst.is_numeric() or isinstance(dst, String)):
         return True
     if isinstance(src, String) and (
-        dst.is_numeric() or isinstance(dst, (Datetime, Date, Enum, String))
+        dst.is_numeric()
+        or isinstance(dst, (Datetime, Date, Time, Enum, String))
     ):
         return True
     if isinstance(src, Bool) and (dst.is_numeric() or isinstance(dst, String)):
         return True
-    if isinstance(src, Datetime) and isinstance(dst, (Date, String)):
+    if isinstance(src, Datetime) and isinstance(dst, (Date, Time, String)):
+        return True
+    if isinstance(src, Time) and isinstance(dst, String):
         return True
     if isinstance(src, Date) and isinstance(dst, (Datetime, String)):
         return True
@@ -454,6 +469,8 @@ def infer_literal_type(val) -> Dtype:
         return Datetime()
     if isinstance(val, _dt.date):
         return Date()
+    if isinstance(val, _dt.time):
+        return Time()
     if isinstance(val, _dt.timedelta):
         return Duration()
     if isinstance(val, (list, tuple)):

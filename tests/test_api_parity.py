@@ -273,12 +273,12 @@ def test_non_standard_warning_export():
     assert rec and rec[0].category is pdt.NonStandardWarning
 
 
-def test_time_dtype_rejected_with_clear_error(spark):
-    """Spark SQL has no TIME type; a cast through pdt.Time() must fail
-    with NotSupportedError naming the workaround, not a generic
-    analysis error (reference tree/types.py Time)."""
+def test_time_dtype_invalid_source_rejected(spark):
+    """Time is implemented (r14, µs-since-midnight long), but only the
+    reference-sanctioned entry points: Datetime/String sources.  An
+    Int source is not a valid cast and must fail at build time."""
     t = pdt.Table({"a": [1, 2]}, name="t")
-    with pytest.raises(pdt.NotSupportedError, match="no TIME type"):
+    with pytest.raises(pdt.DataTypeError, match="cannot cast"):
         t >> pdt.mutate(x=t.a.cast(pdt.Time())) >> pdt.export(pdt.Pandas)
 
 
