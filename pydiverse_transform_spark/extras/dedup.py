@@ -11,6 +11,8 @@ Scale design notes (100 TB target):
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1746,7 +1748,27 @@ def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
     Spark's LRU eviction — the returned frame is lazy, so there is no
     correct earlier unpersist point.  Long-lived sessions issuing
     many default lookups accumulate cached bucket relations until
-    memory pressure evicts them (tiny for increment-sized probes)."""
+    memory pressure evicts them (tiny for increment-sized probes);
+    SERVICE-style callers that consume each result promptly should
+    use :func:`minhash_index_lookup_scoped`, which unpersists the
+    relation when its block exits (r14)."""
+    return _minhash_index_lookup(
+        spark, path, probe, threshold=threshold,
+        probe_strategy=probe_strategy, min_bands=min_bands,
+        top_k=top_k, governors=governors, auto_budget=auto_budget)
+
+
+def _minhash_index_lookup(spark, path: str, probe: DataFrame, *,
+                          threshold: float = 0.0,
+                          probe_strategy: str = "auto",
+                          min_bands: int = 1,
+                          top_k: int | None = None,
+                          governors: str = "auto",
+                          auto_budget: int | None = None,
+                          _persist_out: list | None = None) -> DataFrame:
+    """Implementation of :func:`minhash_index_lookup`; ``_persist_out``
+    (scoped lane) collects any persisted probe-bucket handle so the
+    caller can release it when the result has been consumed."""
     if governors not in ("auto", "off"):
         raise ValueError(
             f"governors must be 'auto' or 'off', got {governors!r}")
@@ -1762,6 +1784,8 @@ def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
         # returned frame is lazy, so there is no correct earlier
         # unpersist point
         pb = pb.persist()
+        if _persist_out is not None:
+            _persist_out.append(pb)
         idx = spark.read.parquet(path)
         projected = _projected_candidate_rows(idx, pb,
                                               index_path=path,
@@ -1784,6 +1808,36 @@ def minhash_index_lookup(spark, path: str, probe: DataFrame, *,
     return _lookup_from_buckets(spark, path, meta, pb,
                                 threshold, strategy,
                                 min_bands=min_bands, top_k=top_k)
+
+
+@_contextlib.contextmanager
+def minhash_index_lookup_scoped(spark, path: str, probe: DataFrame,
+                                **kwargs):
+    """:func:`minhash_index_lookup` with a bounded probe-cache
+    lifetime (r14): the default ``governors="auto"`` lane persists the
+    probe's bucket relation so the shingle+minhash pass is computed
+    once for the projection AND the lookup — but the plain function
+    cannot know when the caller has consumed the lazy result, so the
+    handle lives until LRU eviction.  Service-style callers issuing
+    many lookups should use this context manager instead::
+
+        with minhash_index_lookup_scoped(spark, path, probe,
+                                         threshold=0.7) as pairs:
+            pairs.write.parquet(out)      # consume INSIDE the block
+
+    On exit the persisted relation is released (storage memory returns
+    to baseline — pinned in ``tests/test_r14_fixes.py``).  Consuming
+    the frame after the block is still CORRECT, it just recomputes the
+    probe hash pass instead of reading the cache.  Accepts every
+    ``minhash_index_lookup`` keyword."""
+    holder: list = []
+    df = _minhash_index_lookup(spark, path, probe,
+                               _persist_out=holder, **kwargs)
+    try:
+        yield df
+    finally:
+        for h in holder:
+            h.unpersist()
 
 
 def neardup_filter_new(spark, path: str, new_docs: DataFrame, *,

@@ -137,6 +137,38 @@ def test_filter_new_still_admits_and_filters(spark, saturated_index,
     assert not ({i for i in again_ids} & surv_ids)
 
 
+def _n_persistent_rdds(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_scoped_lookup_releases_probe_cache(spark, saturated_index):
+    """Long-session lifecycle (r13 verdict item 5): N default-lane
+    lookups through the scoped API leave storage memory at baseline;
+    results match the plain function."""
+    base, probe = saturated_index
+    baseline = _n_persistent_rdds(spark)
+    want = sorted(
+        (r["probe_id"], r["index_id"]) for r in
+        dedup.minhash_index_lookup(spark, base, probe, threshold=0.45,
+                                   governors="off").collect())
+    for _ in range(3):
+        with dedup.minhash_index_lookup_scoped(
+                spark, base, probe, threshold=0.45) as pairs:
+            got = sorted((r["probe_id"], r["index_id"])
+                         for r in pairs.collect())
+            assert got == want
+            # inside the block the probe bucket relation is cached
+            assert _n_persistent_rdds(spark) >= baseline + 1
+        assert _n_persistent_rdds(spark) == baseline
+    # the result stays usable (uncached recompute) after the block
+    with dedup.minhash_index_lookup_scoped(
+            spark, base, probe, threshold=0.45) as pairs:
+        pass
+    assert sorted((r["probe_id"], r["index_id"])
+                  for r in pairs.collect()) == want
+    assert _n_persistent_rdds(spark) == baseline
+
+
 def test_spansort_spread_nonnumeric_conf_noop(monkeypatch):
     """Open-source Spark validates the conf numerically, but other
     platforms accept tokens like 'auto' — the sizing heuristic must
