@@ -118,11 +118,17 @@ def read_jdbc(spark: SparkSession, url: str, dbtable: str,
 
 
 def from_pandas(spark: SparkSession, pdf, name: str | None = None) -> Table:
-    return Table(spark.createDataFrame(pdf), name or "pandas")
+    from ..table import _to_spark_df
+
+    df, overrides = _to_spark_df(pdf, spark)
+    return Table(df, name or "pandas", _dtype_overrides=overrides)
 
 
 def from_polars(spark: SparkSession, pldf, name: str | None = None) -> Table:
-    return Table(spark.createDataFrame(pldf.to_pandas()), name or "polars")
+    from ..table import _to_spark_df
+
+    df, overrides = _to_spark_df(pldf, spark)
+    return Table(df, name or "polars", _dtype_overrides=overrides)
 
 
 def from_dict(spark: SparkSession, data: dict, name: str | None = None
@@ -131,12 +137,12 @@ def from_dict(spark: SparkSession, data: dict, name: str | None = None
 
     Row-based construction, NOT via pandas: a pandas float column turns
     ``None`` into NaN, silently changing null semantics — the reference
-    (polars ingestion) keeps None as a true null."""
-    cols = list(data)
-    rows = list(zip(*[data[c] for c in cols])) if cols else []
-    return Table(
-        spark.createDataFrame(rows, schema=cols), name or "dict"
-    )
+    (polars ingestion) keeps None as a true null.  ``datetime.time``
+    values land as the Time dtype (µs-since-midnight longs, r14)."""
+    from ..table import _to_spark_df
+
+    df, overrides = _to_spark_df(data, spark)
+    return Table(df, name or "dict", _dtype_overrides=overrides)
 
 
 def from_rows(spark: SparkSession, rows, schema=None,

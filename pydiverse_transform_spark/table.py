@@ -34,12 +34,18 @@ class Table:
     __slots__ = ("_df", "_cols", "_select", "_partition_by", "_order",
                  "_name", "_lineage_ids")
 
-    def __init__(self, df, name: str | None = None):
+    def __init__(self, df, name: str | None = None, *,
+                 _dtype_overrides: dict | None = None):
+        overrides: dict[str, tp.Dtype] = dict(_dtype_overrides or {})
         if not isinstance(df, DataFrame):
             # direct construction from dict / pandas / polars, like the
             # reference's Table(...) (reference pipe/table.py:31-37);
-            # needs an active SparkSession
-            df = _to_spark_df(df)
+            # needs an active SparkSession.  Time-of-day columns
+            # (datetime.time values / polars Time) have no Spark type;
+            # they land as µs-since-midnight longs with a dtype
+            # override so the LOGICAL type stays Time (types.Time)
+            df, ov2 = _to_spark_df(df)
+            overrides.update(ov2)
         self._name = name or "?"
         cols: dict[_uuid.UUID, Col] = {}
         select: list[_uuid.UUID] = []
@@ -47,7 +53,10 @@ class Table:
         for field in df.schema.fields:
             u = _uuid.uuid4()
             cols[u] = Col(
-                field.name, u, tp.from_spark_type(field.dataType), self._name
+                field.name, u,
+                overrides.get(field.name,
+                              tp.from_spark_type(field.dataType)),
+                self._name,
             )
             select.append(u)
             exprs.append(df[field.name].alias(phys(u)))
@@ -188,10 +197,13 @@ class Table:
         )
 
 
-def _to_spark_df(data) -> DataFrame:
+def _to_spark_df(data, spark=None):
+    """(spark DataFrame, {col: logical-dtype overrides}) for dict /
+    pandas / polars input; time-of-day columns convert to µs longs with
+    a types.Time override."""
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.getActiveSession()
+    spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError(
             "Table(dict/pandas/polars) needs an active SparkSession; "
@@ -201,18 +213,84 @@ def _to_spark_df(data) -> DataFrame:
         # row-based (not via pandas) so None stays a true null in float
         # columns
         cols = list(data)
+        data, overrides = _convert_time_cols_dict(data, cols)
         rows = list(zip(*[data[c] for c in cols])) if cols else []
-        return spark.createDataFrame(rows, schema=cols)
-    if hasattr(data, "to_pandas"):  # polars DataFrame
-        return spark.createDataFrame(data.to_pandas())
+        return spark.createDataFrame(rows, schema=cols), overrides
+    try:
+        import polars as pl
+
+        if isinstance(data, pl.DataFrame):
+            # pl.Time is i64 NANOseconds since midnight; Spark has no
+            # TIME type, so convert to the engine's µs representation
+            # and keep the logical dtype via an override
+            tcols = [c for c, d in zip(data.columns, data.dtypes)
+                     if d == pl.Time]
+            if tcols:
+                data = data.with_columns(
+                    *[(pl.col(c).cast(pl.Int64) // 1000).alias(c)
+                      for c in tcols])
+            return (spark.createDataFrame(data.to_pandas()),
+                    {c: tp.Time() for c in tcols})
+    except ImportError:
+        pass
+    if hasattr(data, "to_pandas"):  # polars-like without polars module
+        return spark.createDataFrame(data.to_pandas()), {}
     try:
         import pandas as pd
 
         if isinstance(data, pd.DataFrame):
-            return spark.createDataFrame(data)
+            import datetime as _dt
+
+            # only OBJECT columns can hold datetime.time; convert those
+            # whose non-null values are all times (NaN -> None first)
+            tcols = {}
+            for c in data.columns:
+                if data[c].dtype != object:
+                    continue
+                vals = [None if (v is None or v is pd.NaT
+                                 or (isinstance(v, float) and pd.isna(v)))
+                        else v for v in data[c]]
+                if any(isinstance(v, _dt.time) for v in vals):
+                    tcols[c] = vals
+            if not tcols:
+                return spark.createDataFrame(data), {}
+            d, overrides = _convert_time_cols_dict(tcols, list(tcols))
+            data = data.copy()
+            for c in overrides:
+                # object column of python ints/None -> LongType with
+                # true nulls (nullable Int64 would land as double/NaN)
+                data[c] = pd.Series(d[c], dtype=object, index=data.index)
+            return spark.createDataFrame(data), overrides
     except ImportError:
         pass
     raise TypeError(
         f"cannot construct a Table from {type(data).__name__}; expected a "
         "pyspark DataFrame, dict, pandas or polars DataFrame"
     )
+
+
+def _convert_time_cols_dict(data: dict, cols) -> tuple[dict, dict]:
+    """Replace datetime.time values with µs-since-midnight ints; return
+    (converted data, {col: Time()} overrides).  Mixed time/non-time
+    columns raise (a silent long would corrupt the logical type)."""
+    import datetime as _dt
+
+    overrides: dict[str, tp.Dtype] = {}
+    out = dict(data)
+    for c in cols:
+        vals = list(data[c])
+        if not any(isinstance(v, _dt.time) for v in vals):
+            continue
+        if not all(v is None or isinstance(v, _dt.time) for v in vals):
+            raise TypeError(
+                f"column {c!r} mixes datetime.time with other types")
+        if any(v is not None and v.tzinfo is not None for v in vals):
+            raise TypeError(
+                f"column {c!r}: time values must be naive (no tzinfo)")
+        out[c] = [
+            None if v is None else
+            ((v.hour * 60 + v.minute) * 60 + v.second) * 1_000_000
+            + v.microsecond
+            for v in vals]
+        overrides[c] = tp.Time()
+    return out, overrides

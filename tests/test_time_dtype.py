@@ -141,6 +141,47 @@ def test_time_fill_null_coalesce_lca_null(tt):
                          _us(dt.time(23, 59, 59, 999999)), None, None]
 
 
+def test_time_ingest_dict(spark):
+    t = pdt.Table({"t": [dt.time(1, 2, 3), None,
+                         dt.time(23, 59, 59, 5)]}, name="t")
+    assert isinstance(t.t.dtype(), pdt.Time)
+    out = t >> pdt.mutate(s=t.t.cast(pdt.String())) >> _x(_d)
+    assert out["t"] == [_us(dt.time(1, 2, 3)), None,
+                        _us(dt.time(23, 59, 59, 5))]
+    assert out["s"] == ["01:02:03", None, "23:59:59.000005"]
+
+
+def test_time_ingest_mixed_rejected(spark):
+    with pytest.raises(TypeError, match="mixes"):
+        pdt.Table({"t": [dt.time(1, 2), "x"]}, name="t")
+    with pytest.raises(TypeError, match="naive"):
+        pdt.Table({"t": [dt.time(1, 2, tzinfo=dt.timezone.utc)]},
+                  name="t")
+
+
+def test_time_ingest_pandas(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame({"a": [1.5, 2.5],
+                        "t": [dt.time(6, 30), None]})
+    t = pdt.from_pandas(spark, pdf)
+    assert isinstance(t.t.dtype(), pdt.Time)
+    out = t >> _x(_d)
+    assert out["t"] == [_us(dt.time(6, 30)), None]
+    assert out["a"] == [1.5, 2.5]
+
+
+def test_time_ingest_polars(spark):
+    pl = pytest.importorskip("polars")
+    pldf = pl.DataFrame({"t": [dt.time(6, 30, 15, 250), None],
+                         "x": [1, 2]})
+    assert pldf.schema["t"] == pl.Time
+    t = pdt.from_polars(spark, pldf)
+    assert isinstance(t.t.dtype(), pdt.Time)
+    out = t >> pdt.arrange(C.x) >> _x(_d)
+    assert out["t"] == [_us(dt.time(6, 30, 15, 250)), None]
+
+
 def test_time_literal_dtype_inference():
     assert isinstance(pdt.lit(dt.time(1, 2)).dtype(), pdt.Time)
 
