@@ -26,7 +26,7 @@ Every phase runs in its own interpreter/JVM (same isolation rationale
 as scripts/bench_sf100.py).  Run SOLO on a quiet host.
 
 Usage:    python scripts/bench_ingest_exists.py [out_json]
-Internal: python scripts/bench_ingest_exists.py --phase <lane>:<tag>
+Internal: python scripts/bench_ingest_exists.py --phase <lane>:<tag>[:<threshold>]
 """
 
 from __future__ import annotations
@@ -41,7 +41,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-THRESHOLD = 0.7  # neardup_filter_new default
+# 0.7 = the neardup_filter_new default (strict near-dup: >= 12/16
+# signature positions agree — few pairs pass, both lanes bounded);
+# 0.2 = the aggressive setting the r12/r13 scale sweeps used, where a
+# replica-saturated corpus passes pair volume that grows with dup
+# density and the pair lane's per-pair exchange becomes the wall
+THRESHOLDS = [0.7, 0.2]
 
 SFS = {
     "sf1": os.path.join(ROOT, ".scratch", "sf1"),
@@ -98,7 +103,7 @@ def phase_build(tag: str):
     print(json.dumps(out))
 
 
-def phase_exists(tag: str):
+def phase_exists(tag: str, threshold: float):
     from pydiverse_transform_spark.extras import dedup
 
     spark = _spark(f"ingest-exists-exists-{tag}")
@@ -109,14 +114,14 @@ def phase_exists(tag: str):
         t0 = time.perf_counter()
         n = dedup.neardup_filter_new(
             spark, _idx_path(tag), inc,
-            threshold=THRESHOLD, admit=False).count()
+            threshold=threshold, admit=False).count()
         el = time.perf_counter() - t0
         best = el if best is None else min(best, el)
     spark.stop()
     print(json.dumps({"exists_sec": round(best, 3), "survivors": n}))
 
 
-def phase_pair(tag: str):
+def phase_pair(tag: str, threshold: float):
     from pyspark.sql import functions as F
 
     from pydiverse_transform_spark.extras import dedup
@@ -127,7 +132,7 @@ def phase_pair(tag: str):
     id_col = meta["id_col"]
     t0 = time.perf_counter()
     hits = (dedup.minhash_index_lookup(
-        spark, _idx_path(tag), inc, threshold=THRESHOLD,
+        spark, _idx_path(tag), inc, threshold=threshold,
         governors="off")
         .select(F.col("probe_id").alias(id_col)).distinct())
     n = inc.join(hits, on=id_col, how="left_anti").count()
@@ -136,12 +141,15 @@ def phase_pair(tag: str):
     print(json.dumps({"pair_sec": round(sec, 3), "survivors": n}))
 
 
-def _run_phase(lane: str, tag: str, timeout: int | None = None):
+def _run_phase(lane: str, tag: str, timeout: int | None = None,
+               threshold: float | None = None):
+    spec = f"{lane}:{tag}" if threshold is None \
+        else f"{lane}:{tag}:{threshold}"
     t0 = time.perf_counter()
     try:
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--phase", f"{lane}:{tag}"],
+             "--phase", spec],
             capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
         return {"exit_ok": False, "timed_out": True,
@@ -161,7 +169,7 @@ def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 \
         else "INGEST_EXISTS_r14.json"
     result = {"metric": "backfill_ingest_dedup_lanes",
-              "threshold": THRESHOLD,
+              "thresholds": THRESHOLDS,
               "shape": "increment = half corpus vs index = other half "
                        "(replica-saturated scale corpus)",
               "sfs": {}}
@@ -170,16 +178,23 @@ def main():
             result["sfs"][tag] = {"skipped": "corpus missing"}
             continue
         row = {"build": _run_phase("build", tag)}
-        row["exists"] = _run_phase("exists", tag)
-        row["pair"] = _run_phase("pair", tag,
-                                 timeout=PAIR_TIMEOUT[tag])
-        ve = row["exists"].get("survivors")
-        vp = row["pair"].get("survivors")
-        row["survivors_equal"] = (
-            ve == vp if (ve is not None and vp is not None) else None)
-        if row["exists"].get("exists_sec") and row["pair"].get("pair_sec"):
-            row["speedup_pair_over_exists"] = round(
-                row["pair"]["pair_sec"] / row["exists"]["exists_sec"], 2)
+        for th in THRESHOLDS:
+            lane_row = {
+                "exists": _run_phase("exists", tag, threshold=th),
+                "pair": _run_phase("pair", tag,
+                                   timeout=PAIR_TIMEOUT[tag],
+                                   threshold=th),
+            }
+            ve = lane_row["exists"].get("survivors")
+            vp = lane_row["pair"].get("survivors")
+            lane_row["survivors_equal"] = (
+                ve == vp if (ve is not None and vp is not None) else None)
+            if lane_row["exists"].get("exists_sec") \
+                    and lane_row["pair"].get("pair_sec"):
+                lane_row["speedup_pair_over_exists"] = round(
+                    lane_row["pair"]["pair_sec"]
+                    / lane_row["exists"]["exists_sec"], 2)
+            row[f"threshold_{th}"] = lane_row
         result["sfs"][tag] = row
         print(json.dumps({tag: row}), flush=True)
     print(json.dumps(result))
@@ -189,8 +204,12 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
-        lane, tag = sys.argv[2].split(":")
-        {"build": phase_build, "exists": phase_exists,
-         "pair": phase_pair}[lane](tag)
+        parts = sys.argv[2].split(":")
+        lane, tag = parts[0], parts[1]
+        if lane == "build":
+            phase_build(tag)
+        else:
+            {"exists": phase_exists, "pair": phase_pair}[lane](
+                tag, float(parts[2]))
     else:
         main()
