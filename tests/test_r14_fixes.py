@@ -137,16 +137,31 @@ def test_filter_new_still_admits_and_filters(spark, saturated_index,
     assert not ({i for i in again_ids} & surv_ids)
 
 
-def _n_persistent_rdds(spark) -> int:
-    return spark.sparkContext._jsc.getPersistentRDDs().size()
+def _persistent_rdd_ids(spark) -> set:
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
 
 
 def test_scoped_lookup_releases_probe_cache(spark, saturated_index):
     """Long-session lifecycle (r13 verdict item 5): N default-lane
     lookups through the scoped API leave storage memory at baseline;
-    results match the plain function."""
+    results match the plain function.
+
+    The probe carries a test-unique (no-op) filter literal so its
+    bucket plan cannot alias a relation some earlier suite test
+    already cached: Spark's CacheManager dedupes identical plans, and
+    the auto lane's documented LRU-lifetime persists mean a full-suite
+    run CAN legitimately arrive here with an identical probe-bucket
+    entry alive — then ``persist()`` adds nothing and a global COUNT
+    assertion goes red on suite order alone (seen in the r14 full
+    run).  Identity (RDD-id set difference) is what the contract is
+    about: the entries this block creates are gone when it exits."""
     base, probe = saturated_index
-    baseline = _n_persistent_rdds(spark)
+    probe = probe.filter(F.col("doc_id") != F.lit(-987_654_321))
+    baseline = _persistent_rdd_ids(spark)
     want = sorted(
         (r["probe_id"], r["index_id"]) for r in
         dedup.minhash_index_lookup(spark, base, probe, threshold=0.45,
@@ -158,15 +173,17 @@ def test_scoped_lookup_releases_probe_cache(spark, saturated_index):
                          for r in pairs.collect())
             assert got == want
             # inside the block the probe bucket relation is cached
-            assert _n_persistent_rdds(spark) >= baseline + 1
-        assert _n_persistent_rdds(spark) == baseline
+            created = _persistent_rdd_ids(spark) - baseline
+            assert created
+        # ... and every entry the block created is released on exit
+        assert not (_persistent_rdd_ids(spark) & created)
     # the result stays usable (uncached recompute) after the block
     with dedup.minhash_index_lookup_scoped(
             spark, base, probe, threshold=0.45) as pairs:
         pass
     assert sorted((r["probe_id"], r["index_id"])
                   for r in pairs.collect()) == want
-    assert _n_persistent_rdds(spark) == baseline
+    assert not (_persistent_rdd_ids(spark) & created)
 
 
 def test_spansort_spread_nonnumeric_conf_noop(monkeypatch):
