@@ -134,10 +134,20 @@ def bigram_lm_train(df: DataFrame, text_col: str = "text"
     DataFrames — ('w1 w2', count) and (w1, count, vocab-size scalar
     folded in at scoring).  Two map-side-combined hash aggregations
     over one explode each; both outputs are vocabulary-sized."""
+    from pyspark.storagelevel import StorageLevel
+
     grams = (
         df.select(F.explode(_doc_bigrams(text_col)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n_bigram"))
+        # persist the VOCABULARY-sized gram table: ctx below (and the
+        # separate broadcast builds in lm_score) would otherwise each
+        # re-run the corpus tokenize+explode+agg — the dominant cost
+        # (r14, guide §2.4/§5: q_lm_perplexity's plan showed the corpus
+        # scanned+bigrammed twice just for training).  Lazy (no job
+        # here); vocab-sized, so the cache cost is negligible at any
+        # corpus scale while the saved pass is a full corpus scan.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ctx = (
         grams.withColumn("w1", F.split(F.col("bigram"), " ")[0])

@@ -152,8 +152,10 @@ def minhash_signature_array(base_hashes: Column, n_hashes: int = 16) -> Column:
     instead of ``n_hashes`` and ~n_hashes× less generated code (the 16
     separate array_min(transform(...)) columns dominated codegen compile
     time on first run)."""
-    a_arr = F.array(*[F.lit(a) for a in MINHASH_A[:n_hashes]])
-    b_arr = F.array(*[F.lit(b) for b in MINHASH_B[:n_hashes]])
+    from .util import lit_num_array
+
+    a_arr = lit_num_array(MINHASH_A[:n_hashes], "bigint")
+    b_arr = lit_num_array(MINHASH_B[:n_hashes], "bigint")
     init = F.array_repeat(F.lit(MINHASH_P).cast("long"), n_hashes)
     idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
     return F.aggregate(
@@ -450,7 +452,38 @@ def _cc_driver(pairs: DataFrame, head: list, a: str, b: str) -> DataFrame:
         StructField("node", node_type),
         StructField("comp", node_type),
     ])
-    return pairs.sparkSession.createDataFrame(rows, schema)
+    # broadcast hint: the labeling is driver-bounded (<= 2 x
+    # driver_max_pairs rows of ids), but createDataFrame yields a
+    # LogicalRDD with UNKNOWN stats, so without the hint every consumer
+    # pays a SortMergeJoin — the corpus-side exchange+sort it exists to
+    # avoid (r14, guide §3.1: measured SMJ LeftAnti in q_semdedup /
+    # q_semdedup_kprop / q_neardup_corpus plans).  The hint rides
+    # through the callers' filter/project into their joins.
+    return F.broadcast(
+        pairs.sparkSession.createDataFrame(rows, schema))
+
+
+def _cut(df: DataFrame) -> DataFrame:
+    """Eager lineage cut: reliable checkpoint when a dir is configured,
+    local checkpoint otherwise (both CC loops use this every round)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
+def _release_cut(df: DataFrame) -> None:
+    """Free a SUPERSEDED eager local checkpoint's storage (r14, guide
+    §5: unpersist when done).  A local checkpoint persists its internal
+    RDD outside the CacheManager, so ``DataFrame.unpersist`` cannot
+    reach it — unpersist the LogicalRDD's backing RDD directly.  Only
+    call once nothing will read the frame again (a locally-checkpointed
+    RDD cannot be recomputed).  Best-effort: a reliable checkpoint
+    (dir set) holds no block-manager storage and the walk is a no-op."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(pairs: DataFrame, a: str = "id_a",
@@ -486,11 +519,14 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
       ``localCheckpoint``.  The per-round driver action is a LIMIT-1
       existence probe.  For pathological diameters
       :func:`connected_components_star` remains available.
-    - ``auto`` (default): LIMIT-probe the pairs up to
-      ``driver_max_pairs``; under the cap → ``driver``, over it →
-      ``distributed`` (the probe costs one early-stopping pass; at
-      known-billion-edge scale pass ``strategy="distributed"`` to skip
-      it).
+    - ``auto`` (default): persist the two-column pair projection and
+      count it; under ``driver_max_pairs`` → ``driver`` (the rows are
+      collected straight from the cache), over it → ``distributed``
+      (the edge relation is built from the same cache, so the counting
+      pass is never wasted).  The probe costs one full pass over the
+      pair relation — exactly the pass the chosen path needs anyway;
+      at known-billion-edge scale pass ``strategy="distributed"`` to
+      skip the probe cache entirely.
     """
     if strategy not in ("auto", "driver", "distributed"):
         raise ValueError(f"strategy must be auto|driver|distributed, "
@@ -507,28 +543,39 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
     # gate reclassified semdedup's ~300-edge graph as too-big-for-
     # driver and silently re-paid the distributed loop's per-round
     # scheduler bill (q_semdedup 3.4 s -> 8-9 s, caught by the bench).
-    # The LIMIT probe on just the two columns IS the bounded sizing
-    # pass, and its rows are reused as the driver path's input; at
-    # known-billion-edge scale pass strategy="distributed" to skip it.
+    # r14: the probe used to be `limit(cap+1).collect()` — but a LIMIT
+    # collect is `executeTake`, which ramps partitions 1 -> 4 -> 16 ...
+    # (spark.sql.limit.scaleUpFactor) and RE-RUNS the result stage of
+    # the pair join each ramp job (measured on q_semdedup: 5 jobs,
+    # 0.6+3.0+7.4+1.3+0.3 s, for a relation whose single full pass is
+    # a fraction of that).  Persist + count computes the pair relation
+    # exactly ONCE; the driver path then collects from cache and the
+    # distributed path builds its edge relation from the same cache,
+    # so the pass is never wasted whichever way the probe decides.
+    from pyspark.storagelevel import StorageLevel
+
+    sel = None
     if strategy != "distributed":
-        head = pairs.select(a, b).limit(driver_max_pairs + 1).collect()
-        if len(head) <= driver_max_pairs:
+        sel = (pairs.select(F.col(a), F.col(b))
+               .persist(StorageLevel.MEMORY_AND_DISK))
+        n_edges = sel.count()
+        if n_edges <= driver_max_pairs:
+            head = sel.collect()
+            sel.unpersist()
             if _rounds_out is not None:
                 _rounds_out.append(0)
             return _cc_driver(pairs, head, a, b)
         if strategy == "driver":
+            sel.unpersist()
             raise ValueError(
                 f"strategy='driver' but the graph exceeds "
                 f"driver_max_pairs={driver_max_pairs} edges")
-    from pyspark.storagelevel import StorageLevel
 
-    def cut(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    cut = _cut
 
-    e = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    src_rel = sel if sel is not None \
+        else pairs.select(F.col(a), F.col(b))
+    e = src_rel.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     edges = (
         e.unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -541,6 +588,13 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    # the frame cut() actually returned — .drop() below wraps labels in
+    # a Project, so the release must target the checkpoint frame itself
+    cut_frame = labels
+    if sel is not None:
+        # edges (and the initial labels) are materialized now; the
+        # probe cache has served both consumers — release it
+        sel.unpersist()
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -581,7 +635,13 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
             )
         )
         changed = new_labels.filter("changed").limit(1).count()
+        # the new checkpoint is materialized (eager) — the previous
+        # round's checkpointed labels can be released now instead of
+        # accumulating one persisted RDD per round (r14, guide §5:
+        # unpersist when done; matters at billion-edge round counts)
         labels = new_labels.drop("changed")
+        _release_cut(cut_frame)
+        cut_frame = new_labels
         if changed == 0:
             break
     edges.unpersist()
@@ -615,11 +675,7 @@ def connected_components_star(pairs: DataFrame, a: str = "id_a",
     equality); the final edge set is a star per component centered at
     its minimum id.
     """
-    def cut(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    cut = _cut
 
     nodes = (
         pairs.select(F.col(a).alias("n"))
@@ -662,10 +718,14 @@ def connected_components_star(pairs: DataFrame, a: str = "id_a",
         rounds += 1
         new_e = cut(phase(phase(e, large=True), large=False))
         new_n = new_e.count()
-        if new_n == n_edges and new_e.exceptAll(e).limit(1).count() == 0:
-            e = new_e
-            break
+        stable = (new_n == n_edges
+                  and new_e.exceptAll(e).limit(1).count() == 0)
+        # the stability probe was the old edge set's last reader —
+        # release its checkpoint before the next round (r14, guide §5)
+        _release_cut(e)
         e, n_edges = new_e, new_n
+        if stable:
+            break
     if _rounds_out is not None:
         _rounds_out.append(rounds)
     # stable star edges: (member, center-min); centers label themselves

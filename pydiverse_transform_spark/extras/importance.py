@@ -135,13 +135,16 @@ def importance_weight(text: Column, log_ratios: list[float],
     the plan — scoring is map-only (one lookup + one add per gram),
     zero joins, zero shuffles; same broadcast-model shape as
     ``classify.lm_score`` but without even the broadcast."""
-    from .util import bind
+    from .util import bind, lit_num_array
 
     n_buckets = n_buckets or len(log_ratios)
     if n_buckets != len(log_ratios):
         raise ValueError(
             f"n_buckets={n_buckets} != len(log_ratios)={len(log_ratios)}")
-    lut = F.array(*[F.lit(float(v)) for v in log_ratios])
+    # one foldable literal instead of a 4096-child CreateArray: the
+    # per-build analyzer walk of the element-wise form dominated
+    # q_dsir_sample's bench row (r14, util.lit_num_array docstring)
+    lut = lit_num_array(log_ratios, "double")
     buckets = hashed_ngram_buckets(text, n_buckets, bigrams)
     return bind(
         buckets,

@@ -2,11 +2,13 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["fan_out", "plan_size_bytes", "SMALL_CORPUS_BYTES",
-           "UNKNOWN_PLAN_SIZE"]
+           "UNKNOWN_PLAN_SIZE", "lit_num_array"]
 
 # sentinel plan_size_bytes returns when Catalyst has no sizeInBytes
 # statistic for the plan (RDD-backed createDataFrame inputs, plans
@@ -88,6 +90,46 @@ def plan_size_bytes(df: DataFrame) -> int:
     # Long.MaxValue-ish products; normalize anything implausibly large
     # to the explicit sentinel so callers can branch on "unknown"
     return UNKNOWN_PLAN_SIZE if size >= UNKNOWN_PLAN_SIZE else size
+
+
+def _num_token(v, is_int: bool) -> str:
+    if is_int:
+        return str(int(v))
+    f = float(v)
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "Infinity" if f > 0 else "-Infinity"
+    # repr() is the shortest round-trip form and Java's
+    # correctly-rounded parse restores the identical IEEE double
+    return repr(f)
+
+
+def lit_num_array(values, eltype: str = "double") -> Column:
+    """Literal numeric array with O(1) plan-CONSTRUCTION cost (r14,
+    guide §1.2 "per-task work" applied to the DRIVER).
+
+    ``F.array(*[F.lit(v) for v in vals])`` costs one py4j round-trip
+    per element plus a CreateArray node with ``len(vals)`` children
+    that the analyzer and optimizer must walk on EVERY fresh plan —
+    measured 2.5 s per build for a 4096-double LUT.  This helper emits
+    ``split(lit(csv), ',').cast(array<eltype>)``: one py4j call, three
+    plan nodes, and ConstantFolding collapses it to the genuine array
+    ``Literal`` before codegen (0.13 s for the same LUT), so executors
+    evaluate exactly the same constant — verified bit-identical
+    (string→double casts are correctly rounded, and repr() round-trips
+    every finite IEEE double; NaN/Infinity use Spark's special cast
+    literals).
+
+    ``eltype`` is the Spark element type name (``double``, ``float``,
+    ``bigint``, ``int``...).  Empty input returns a typed empty array.
+    """
+    vals = list(values)
+    is_int = eltype in ("tinyint", "smallint", "int", "bigint", "long")
+    if not vals:
+        return F.array().cast(f"array<{eltype}>")
+    csv = ",".join(_num_token(v, is_int) for v in vals)
+    return F.split(F.lit(csv), ",").cast(f"array<{eltype}>")
 
 
 def bind(col: Column, body) -> Column:

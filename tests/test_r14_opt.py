@@ -1,0 +1,91 @@
+"""r14 optimization internals: lit_num_array literal folding and the
+connected_components persist-probe (replacing the executeTake ramp).
+
+These pin BEHAVIOR EQUIVALENCE of the optimized internals — the bench
+queries themselves stay oracle-checked elsewhere."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from pydiverse_transform_spark.extras.dedup import connected_components
+from pydiverse_transform_spark.extras.util import lit_num_array
+
+DOUBLE_SPECIALS = [
+    0.0, -0.0, 1.0, -1.0, math.pi, -math.pi,
+    1e-308, -1e-308, 5e-324, 1.7976931348623157e308,
+    float("nan"), float("inf"), float("-inf"),
+    0.1, 1 / 3, 2.5000000000000004, -123456789.123456789,
+]
+
+
+def _eval_array(spark, col):
+    return spark.range(1).select(col.alias("a")).first()["a"]
+
+
+def test_lit_num_array_double_bit_identity(spark):
+    got = _eval_array(spark, lit_num_array(DOUBLE_SPECIALS, "double"))
+    want = _eval_array(
+        spark, F.array(*[F.lit(float(v)) for v in DOUBLE_SPECIALS]))
+    assert len(got) == len(want) == len(DOUBLE_SPECIALS)
+    for g, w in zip(got, want):
+        # bit-identity including NaN and signed zero
+        assert math.copysign(1.0, g) == math.copysign(1.0, w) \
+            if g == 0 else True
+        assert (math.isnan(g) and math.isnan(w)) or g == w
+
+
+def test_lit_num_array_bigint_identity(spark):
+    vals = [0, 1, -1, 2**62, -(2**62), 123456789012345678]
+    got = _eval_array(spark, lit_num_array(vals, "bigint"))
+    want = _eval_array(spark, F.array(*[F.lit(v) for v in vals]))
+    assert got == want == vals
+
+
+def test_lit_num_array_empty_is_typed(spark):
+    df = spark.range(1).select(lit_num_array([], "double").alias("a"))
+    assert df.schema["a"].dataType.simpleString() == "array<double>"
+    assert df.first()["a"] == []
+
+
+def test_lit_num_array_constant_folds(spark):
+    """The split+cast form must collapse to a genuine array Literal in
+    the optimized plan (the whole point: executors never run split)."""
+    df = spark.range(1).select(
+        lit_num_array([1.5, 2.5, float("nan")], "double").alias("a"))
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" not in opt.lower()
+
+
+def _persistent_rdd_ids(spark):
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
+def test_cc_probe_unpersists_both_routes(spark):
+    """The auto strategy's persist+count probe must release its cache on
+    every route (driver, distributed) and label identically."""
+    edges = [(i, i + 1) for i in range(1, 10)] + [(20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {i: 1 for i in range(1, 11)}
+    want.update({20: 20, 21: 20})
+
+    before = _persistent_rdd_ids(spark)
+    got = {r.node: r.comp
+           for r in connected_components(pairs).collect()}
+    assert got == want
+    assert _persistent_rdd_ids(spark) - before == set()
+
+    # distributed route: force it by shrinking the driver cap.  Only
+    # the RETURNED frame's backing checkpoint may remain — the probe
+    # cache, the edge cache and every superseded round's checkpoint
+    # must be gone (r14 per-round release).
+    before = _persistent_rdd_ids(spark)
+    got = {r.node: r.comp
+           for r in connected_components(
+               pairs, driver_max_pairs=3).collect()}
+    assert got == want
+    assert len(_persistent_rdd_ids(spark) - before) <= 1
