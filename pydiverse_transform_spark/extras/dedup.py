@@ -70,16 +70,72 @@ def exact_dedup_rows(df: DataFrame, text_col: str = "text",
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
+def _sql_ident(name: str) -> str:
+    # dots mean nested access, exactly as in F.col(name)
+    return ".".join("`" + p.replace("`", "``") + "`"
+                    for p in name.split("."))
+
+
+# SQL-TEXT mirrors of the shingle/minhash expression builders (r14,
+# guide §1.2 step 2 applied to the DRIVER): Column-by-Column
+# construction pays one py4j round-trip per node — 1.4k gateway
+# commands (~0.25 s) per _minhash_buckets_sig build; each mirror
+# parses as ONE F.expr.  They must stay in LOCKSTEP with the Column
+# forms below (equality pinned by tests/test_r14_opt.py A/B and the
+# minhash fuzz suites).
+
+def _word_shingles_sql(text: str, k: int) -> str:
+    words = (f"split(lower(regexp_replace(coalesce({text}, ''), "
+             f"'^\\\\s+|\\\\s+$', '')), '\\\\s+')")
+    mk = (f"array_distinct(transform("
+          f"sequence(0, greatest(array_size(s.v) - {k}, 0)), "
+          f"j -> array_join(slice(s.v, j + 1, {k}), ' ')))")
+    return (f"element_at(transform(array(named_struct('v', {words})), "
+            f"s -> {mk}), 1)")
+
+
+def _char_shingles_sql(text: str, k: int) -> str:
+    t = (f"lower(regexp_replace(coalesce({text}, ''), '\\\\s+', ' '))")
+    mk = (f"array_distinct(transform("
+          f"sequence(1, greatest(length(s.v) - {k} + 1, 1)), "
+          f"j -> substring(s.v, j, {k})))")
+    return (f"element_at(transform(array(named_struct('v', {t})), "
+            f"s -> {mk}), 1)")
+
+
+def _shingle_base_hash_sql(sh: str) -> str:
+    return (f"transform({sh}, s -> "
+            f"cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))")
+
+
+def _minhash_signature_array_sql(base: str, n_hashes: int) -> str:
+    from .util import lit_num_array_sql
+
+    a_arr = lit_num_array_sql(MINHASH_A[:n_hashes], "bigint")
+    b_arr = lit_num_array_sql(MINHASH_B[:n_hashes], "bigint")
+    init = f"array_repeat(cast({MINHASH_P} as bigint), {n_hashes})"
+    idx = f"sequence(0, {n_hashes - 1})"
+    return (f"aggregate({base}, {init}, (acc, h) -> "
+            f"zip_with(acc, {idx}, (m, i) -> least(m, "
+            f"(h * element_at({a_arr}, i + 1) "
+            f"+ element_at({b_arr}, i + 1)) % {MINHASH_P})))")
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
     """k-word shingles as an array<string> (deduplicated).
 
     NULL docs coalesce to '' so they behave exactly like empty docs
     (one empty shingle) in EVERY engine — without the guard, Spark's
     greatest(NULL - k, 0) is 0 (greatest skips NULLs) and yields
     [NULL], where engines whose greatest propagates NULL yield [] —
-    found by tests/test_fuzz_extras.py."""
+    found by tests/test_fuzz_extras.py.
+
+    A ``str`` argument is a column NAME: the whole expression then
+    parses as one SQL string (r14 — ~8x fewer py4j round-trips)."""
     from .util import bind
 
+    if isinstance(text, str):
+        return F.expr(_word_shingles_sql(_sql_ident(text), k))
     text = F.coalesce(text, F.lit(""))
     words = F.split(F.lower(F.regexp_replace(text, r"^\s+|\s+$", "")), r"\s+")
 
@@ -95,11 +151,14 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return bind(words, mk)
 
 
-def char_shingles(text: Column, k: int = 5) -> Column:
+def char_shingles(text: Column | str, k: int = 5) -> Column:
     """k-character shingles (deduplicated).  NULL docs coalesce to ''
-    like word_shingles — engine-independent [''] instead of [NULL]."""
+    like word_shingles — engine-independent [''] instead of [NULL].
+    A ``str`` argument is a column NAME (one-SQL-parse form, r14)."""
     from .util import bind
 
+    if isinstance(text, str):
+        return F.expr(_char_shingles_sql(_sql_ident(text), k))
     t = F.lower(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " "))
 
     def mk(s: Column) -> Column:
@@ -121,8 +180,11 @@ MINHASH_A = [2 * i + 1 for i in range(1, 65)]  # odd multipliers
 MINHASH_B = [7_368_787 * (i + 1) % MINHASH_P for i in range(64)]
 
 
-def shingle_base_hash(shingles: Column) -> Column:
-    """array<long>: first 8 md5 hex chars of each shingle as a 32-bit int."""
+def shingle_base_hash(shingles: Column | str) -> Column:
+    """array<long>: first 8 md5 hex chars of each shingle as a 32-bit
+    int.  A ``str`` argument is a column NAME (one-SQL-parse form)."""
+    if isinstance(shingles, str):
+        return F.expr(_shingle_base_hash_sql(_sql_ident(shingles)))
     return F.transform(
         shingles,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
@@ -145,7 +207,8 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> list[Column]:
     return [minhash_value(base, i) for i in range(n_hashes)]
 
 
-def minhash_signature_array(base_hashes: Column, n_hashes: int = 16) -> Column:
+def minhash_signature_array(base_hashes: Column | str,
+                            n_hashes: int = 16) -> Column:
     """All ``n_hashes`` minhash values in ONE pass over the shingle-hash
     array: a 16-wide accumulator folded with ``F.aggregate``.  Identical
     values to ``minhash_value(base, i)`` per position, but one traversal
@@ -154,6 +217,10 @@ def minhash_signature_array(base_hashes: Column, n_hashes: int = 16) -> Column:
     time on first run)."""
     from .util import lit_num_array
 
+    if isinstance(base_hashes, str):
+        # column-NAME form: one SQL parse (r14)
+        return F.expr(_minhash_signature_array_sql(
+            _sql_ident(base_hashes), n_hashes))
     a_arr = lit_num_array(MINHASH_A[:n_hashes], "bigint")
     b_arr = lit_num_array(MINHASH_B[:n_hashes], "bigint")
     init = F.array_repeat(F.lit(MINHASH_P).cast("long"), n_hashes)
@@ -180,14 +247,15 @@ def _banded(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int,
     rows = n_hashes // bands
     keep = [F.col(id_col)] + ([F.col(sig_col).alias("sig")] if keep_sig
                               else [])
+    sq = _sql_ident(sig_col)
     withb = sig_df.select(
         *keep,
         *[
-            F.md5(F.array_join(
-                F.transform(F.slice(F.col(sig_col), b * rows + 1, rows),
-                            lambda m: m.cast("string")),
-                "|",
-            )).alias(f"b{b}")
+            # one SQL parse per band hash (r14)
+            F.expr(
+                f"md5(array_join(transform(slice({sq}, "
+                f"{b * rows + 1}, {rows}), "
+                f"m -> cast(m as string)), '|'))").alias(f"b{b}")
             for b in range(bands)
         ],
     )
@@ -217,11 +285,11 @@ def _band_buckets(shingled: DataFrame, id_col: str, n_hashes: int,
     ``minhash_signature_array``).
     """
     base_df = shingled.select(
-        F.col(id_col), shingle_base_hash(F.col("__sh")).alias("__bh")
+        F.col(id_col), shingle_base_hash("__sh").alias("__bh")
     )
     sig_df = base_df.select(
         F.col(id_col),
-        minhash_signature_array(F.col("__bh"), n_hashes).alias("__sig"),
+        minhash_signature_array("__bh", n_hashes).alias("__sig"),
     )
     return _banded(sig_df, id_col, n_hashes, bands, "__sig",
                    keep_sig=False)
@@ -233,7 +301,7 @@ def shingled(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Fans the input out first: shingling + 16 minhash passes is the
     dominant map cost and must use every core."""
     return fan_out(df).select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh")
+        F.col(id_col), word_shingles(text_col, k).alias("__sh")
     )
 
 
@@ -243,7 +311,7 @@ def char_shingled(df: DataFrame, text_col: str = "text",
     over a fanned-out input (the char-gram array is ~len(text) entries,
     by far the heaviest map stage of any char-similarity query)."""
     return fan_out(df).select(
-        F.col(id_col), char_shingles(F.col(text_col), k).alias("__sh")
+        F.col(id_col), char_shingles(text_col, k).alias("__sh")
     )
 
 
@@ -860,7 +928,7 @@ def contaminated_ids(df: DataFrame, probe: DataFrame,
     probe_sh = (
         probe.select(
             F.explode(
-                word_shingles(F.col(probe_text_col or text_col), k)
+                word_shingles(probe_text_col or text_col, k)
             ).alias("__psh")
         )
         .distinct()
@@ -1268,8 +1336,10 @@ def _minhash_buckets_sig(df: DataFrame, text_col: str, id_col: str,
           else shingled(df, text_col, id_col, k))
     sig_df = sh.select(
         F.col(id_col),
-        minhash_signature_array(
-            shingle_base_hash(F.col("__sh")), n_hashes).alias("sig"),
+        # base-hash + 16-wide signature fold as ONE SQL parse (r14)
+        F.expr(_minhash_signature_array_sql(
+            _shingle_base_hash_sql(_sql_ident("__sh")),
+            n_hashes)).alias("sig"),
     )
     return _banded(sig_df, id_col, n_hashes, bands, "sig",
                    keep_sig=True)

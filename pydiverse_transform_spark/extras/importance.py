@@ -55,7 +55,38 @@ def _tokens(text: Column) -> Column:
     )
 
 
-def hashed_ngram_buckets(text: Column, n_buckets: int = 4096,
+def _sql_ident(name: str) -> str:
+    # dots mean nested access, exactly as in F.col(name)
+    return ".".join("`" + p.replace("`", "``") + "`"
+                    for p in name.split("."))
+
+
+def _bucket_sql(gram: str, n_buckets: int) -> str:
+    return (f"cast(conv(substring(md5({gram}), 1, 8), 16, 10) "
+            f"as bigint) % {n_buckets}")
+
+
+def _hashed_ngram_buckets_sql(text: str, n_buckets: int,
+                              bigrams: bool) -> str:
+    """SQL-text mirror of :func:`hashed_ngram_buckets` — ONE F.expr
+    parse instead of ~450 py4j round-trips per build (r14); stays in
+    lockstep with the Column form below (A/B-pinned in
+    tests/test_r14_opt.py)."""
+    toks = (f"split(lower(regexp_replace(coalesce({text}, ''), "
+            f"'^\\\\s+|\\\\s+$', '')), '\\\\s+')")
+    unis = f"transform(s.v, g -> {_bucket_sql('g', n_buckets)})"
+    if bigrams:
+        bi_gram = "concat(w, ' ', element_at(s.v, i + 2))"
+        bis = (f"transform(slice(s.v, 1, greatest(size(s.v) - 1, 0)), "
+               f"(w, i) -> {_bucket_sql(bi_gram, n_buckets)})")
+        body = f"concat({unis}, {bis})"
+    else:
+        body = unis
+    return (f"element_at(transform(array(named_struct('v', {toks})), "
+            f"s -> {body}), 1)")
+
+
+def hashed_ngram_buckets(text: Column | str, n_buckets: int = 4096,
                          bigrams: bool = True) -> Column:
     """Array of hashed-n-gram bucket ids (one entry per gram INSTANCE):
     unigrams plus, by default, space-joined bigrams, each hashed with
@@ -64,8 +95,13 @@ def hashed_ngram_buckets(text: Column, n_buckets: int = 4096,
 
     Pure Catalyst expressions; the token array is lambda-bound so the
     bigram builder reads ONE tokenization (the r5 ``bind()``
-    discipline — an unbound captured split re-tokenizes per gram)."""
+    discipline — an unbound captured split re-tokenizes per gram).
+    A ``str`` argument is a column NAME (one-SQL-parse form, r14)."""
     from .util import bind
+
+    if isinstance(text, str):
+        return F.expr(_hashed_ngram_buckets_sql(
+            _sql_ident(text), n_buckets, bigrams))
 
     def bucket(gram: Column) -> Column:
         return (F.conv(F.substring(F.md5(gram), 1, 8), 16, 10)
@@ -101,7 +137,7 @@ def bucket_counts(df: DataFrame, text_col: str = "text",
 
     ex = fan_out(df).select(
         F.explode(
-            hashed_ngram_buckets(F.col(text_col), n_buckets, bigrams)
+            hashed_ngram_buckets(text_col, n_buckets, bigrams)
         ).alias("b")
     )
     rows = ex.groupBy("b").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -127,7 +163,7 @@ def log_ratio_table(target_counts: list[int],
     ]
 
 
-def importance_weight(text: Column, log_ratios: list[float],
+def importance_weight(text: Column | str, log_ratios: list[float],
                       n_buckets: int | None = None,
                       bigrams: bool = True) -> Column:
     """Document importance weight: the sum over the document's gram
@@ -144,6 +180,18 @@ def importance_weight(text: Column, log_ratios: list[float],
     # one foldable literal instead of a 4096-child CreateArray: the
     # per-build analyzer walk of the element-wise form dominated
     # q_dsir_sample's bench row (r14, util.lit_num_array docstring)
+    if isinstance(text, str):
+        # column-NAME form: the whole featurize+score expression is
+        # ONE SQL parse (r14)
+        from .util import lit_num_array_sql
+
+        lut_sql = lit_num_array_sql(log_ratios, "double")
+        buckets_sql = _hashed_ngram_buckets_sql(
+            _sql_ident(text), n_buckets, bigrams)
+        return F.expr(
+            f"element_at(transform(array(named_struct('v', "
+            f"{buckets_sql})), s -> aggregate(s.v, 0.0D, (acc, b) -> "
+            f"acc + element_at({lut_sql}, cast(b as int) + 1))), 1)")
     lut = lit_num_array(log_ratios, "double")
     buckets = hashed_ngram_buckets(text, n_buckets, bigrams)
     return bind(
@@ -177,7 +225,7 @@ def dsir_fit(df: DataFrame, target: DataFrame | Column,
 
         ex = fan_out(df).select(
             F.explode(
-                hashed_ngram_buckets(F.col(text_col), n_buckets, bigrams)
+                hashed_ngram_buckets(text_col, n_buckets, bigrams)
             ).alias("b"),
             target.alias("__t"),
         )
@@ -211,7 +259,7 @@ def dsir_score(df: DataFrame, model: dict, text_col: str = "text",
             f"not a dsir_fit model: format={model.get('format')!r}")
     return df.withColumn(
         weight_col,
-        importance_weight(F.col(text_col), model["log_ratios"],
+        importance_weight(text_col, model["log_ratios"],
                           model["n_buckets"], model["bigrams"]),
     )
 

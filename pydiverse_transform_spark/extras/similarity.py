@@ -49,6 +49,64 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# SQL-TEXT builders for the hot quantizer expressions (r14, guide §1.2
+# step 2 applied to the DRIVER).  Column-by-Column construction of the
+# literal-centroid argmin costs one py4j round-trip per node — measured
+# 616 gateway commands per kmeans_cell call (6k per pq_encode, ~1 s of
+# socket chatter per fresh q_pq_topk plan).  Building the SAME
+# expression as one SQL string and parsing it with a single F.expr call
+# costs 3 round-trips; the parsed tree is semantically identical
+# (equality pinned by the literal-vs-numpy fuzz suites and the DuckDB
+# oracle twins).  These mirror dot/_sq_l2/_cent_lit/kmeans_cell/
+# ivf_cell EXACTLY — change them in lockstep.
+# ---------------------------------------------------------------------------
+
+def _sql_ident(name: str) -> str:
+    # dots mean nested access, exactly as in F.col(name)
+    return ".".join("`" + p.replace("`", "``") + "`"
+                    for p in name.split("."))
+
+
+def _lit_num_array_sql(values, eltype: str = "double") -> str:
+    """SQL text of :func:`util.lit_num_array` (same split+cast form,
+    same constant folding to a genuine array Literal)."""
+    from .util import lit_num_array_sql
+
+    return lit_num_array_sql(values, eltype)
+
+
+def _cent_lit_sql(centroids) -> str:
+    return "array(" + ", ".join(
+        _lit_num_array_sql([float(v) for v in cen], "double")
+        for cen in centroids) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"cast(x as double) * cast(y as double)), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _sq_l2_sql(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"(cast(x as double) - cast(y as double)) * "
+            f"(cast(x as double) - cast(y as double))), 0.0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _kmeans_cell_sql(vec: str, centroids) -> str:
+    d = (f"transform({_cent_lit_sql(centroids)}, "
+         f"c -> {_sq_l2_sql(vec, 'c')})")
+    return f"cast(array_position({d}, array_min({d})) - 1 as int)"
+
+
+def _ivf_cell_sql(vec: str, centroids) -> str:
+    s = (f"transform({_cent_lit_sql(centroids)}, "
+         f"c -> {_dot_sql(vec, 'c')})")
+    return f"cast(array_position({s}, array_max({s})) - 1 as int)"
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -242,7 +300,8 @@ def ivf_centroids(dim: int, n_cells: int, seed: str = "ivf"
     return out
 
 
-def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def ivf_cell(vec: Column | str,
+             centroids: list[list[float]]) -> Column:
     """Cell id = argmax over centroids of (centroid · vec), ties to the
     lower cell id — the inverted-file assignment.
 
@@ -256,6 +315,10 @@ def ivf_cell(vec: Column, centroids: list[list[float]]) -> Column:
     at RUNTIME, not unrolled into n_cells copies of the dot product —
     unrolling generated ~1 MB task binaries and seconds of codegen per
     query at realistic sizes."""
+    if isinstance(vec, str):
+        # column-NAME form: the whole argmax parses as ONE SQL
+        # expression — 3 py4j round-trips instead of ~600 (r14)
+        return F.expr(_ivf_cell_sql(_sql_ident(vec), centroids))
     cens = _cent_lit(centroids)
     scores = F.transform(cens, lambda c: dot(vec, c))
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
@@ -308,7 +371,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     from .util import fan_out
 
     celled = fan_out(df).withColumn(
-        "__cell", ivf_cell(F.col(vec_col), centroids)
+        "__cell", ivf_cell(vec_col, centroids)
     )
     return (
         celled.filter(F.col("__cell").isin(probe))
@@ -385,7 +448,8 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
-def kmeans_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def kmeans_cell(vec: Column | str,
+                centroids: list[list[float]]) -> Column:
     """Cell id = argmin over literal centroids of squared L2 distance,
     ties to the lower cell id.  Pure codegen expression — the map-only
     assignment used by :func:`kmeans_fit` and scoring pipelines.
@@ -395,6 +459,10 @@ def kmeans_cell(vec: Column, centroids: list[list[float]]) -> Column:
     `transform` over a literal nested array): the when-chain fold is
     exponential in k and stalls the analyzer at realistic k, and
     unrolled per-centroid expressions bloat codegen ~k-fold."""
+    if isinstance(vec, str):
+        # column-NAME form: one SQL parse instead of ~600 py4j
+        # round-trips of Column composition (r14)
+        return F.expr(_kmeans_cell_sql(_sql_ident(vec), centroids))
     cens = _cent_lit(centroids)
     dists = F.transform(cens, lambda c: _sq_l2(vec, c))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
@@ -812,8 +880,8 @@ def assign_cells(df: DataFrame, centroids, vec_col: str = "embedding",
                     "(kmeans_cell returns positional indexes); use "
                     "method='numpy' for arbitrary cid labels")
             centroids = mat.tolist()
-        vec = F.col(vec_col)
-        return df.withColumn(out_col, kmeans_cell(vec, centroids))
+        # column-NAME form: one SQL parse per assignment (r14)
+        return df.withColumn(out_col, kmeans_cell(vec_col, centroids))
     if method == "join":
         if id_col is None:
             raise ValueError("method='join' requires id_col")
@@ -1107,21 +1175,31 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
         method = "literal" if k_codes <= 256 else "numpy"
     if method == "numpy":
         return _pq_encode_numpy(df, codebooks, vec_col, code_col)
-    vec = F.col(vec_col)
+    vecq = _sql_ident(vec_col)
     # bind the m sub-vector slices once — a slice captured inside
-    # kmeans_cell's per-centroid transform would re-slice k times
-    slices = F.struct(*[
-        F.slice(vec, j * dsub + 1, dsub).alias(f"s{j}") for j in range(m)
-    ])
-    code = bind(slices, lambda s: F.array(*[
-        kmeans_cell(s[f"s{j}"], codebooks[j]) for j in range(m)
-    ]))
+    # kmeans_cell's per-centroid transform would re-slice k times.
+    # The whole code expression is ONE SQL parse (r14): the previous
+    # Column-by-Column build paid ~6k py4j round-trips (~1 s of
+    # driver socket chatter) per fresh plan; the parsed tree is the
+    # same bind-struct + per-subspace argmin shape.
+    slices_sql = ", ".join(
+        f"'s{j}', slice({vecq}, {j * dsub + 1}, {dsub})"
+        for j in range(m))
+    body = "array(" + ", ".join(
+        _kmeans_cell_sql(f"s.v.s{j}", codebooks[j]) for j in range(m)
+    ) + ")"
+    code_sql = (
+        f"element_at(transform(array(named_struct('v', "
+        f"named_struct({slices_sql}))), s -> {body}), 1)")
     # wrong-LENGTH vectors would otherwise encode their full leading
     # subspaces and null the rest — gate to the all-null contract the
     # numpy path implements (a null vector already null-propagates to
     # m nulls through the slices)
-    nulls = F.array(*[F.lit(None).cast("int") for _ in range(m)])
-    code = F.when(F.size(vec) == m * dsub, code).otherwise(nulls)
+    nulls_sql = "array(" + ", ".join(
+        ["cast(null as int)"] * m) + ")"
+    code = F.expr(
+        f"CASE WHEN size({vecq}) = {m * dsub} THEN {code_sql} "
+        f"ELSE {nulls_sql} END")
     return df.withColumn(code_col, code)
 
 
@@ -1234,15 +1312,16 @@ def pq_fit(df: DataFrame, m: int = 8, k: int = 16, n_iter: int = 5,
                         F.lit(dsub)).alias("s"),
             )
         else:
-            entries = []
-            for j in range(m):
-                sl = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-                entries.append(F.struct(
-                    F.lit(j).alias("sub"),
-                    kmeans_cell(sl, books[j]).alias("cid"),
-                    sl.alias("s"),
-                ))
-            ex = base.select(F.inline(F.array(*entries)))
+            # one SQL parse for the whole per-subspace inline array
+            # (r14): the per-j Column build paid ~600 py4j round-trips
+            # per subspace PER FIT ITERATION
+            vq = _sql_ident(vec_col)
+            entries_sql = ", ".join(
+                f"named_struct('sub', {j}, "
+                f"'cid', {_kmeans_cell_sql(f'slice({vq}, {j * dsub + 1}, {dsub})', books[j])}, "
+                f"'s', slice({vq}, {j * dsub + 1}, {dsub}))"
+                for j in range(m))
+            ex = base.select(F.expr(f"inline(array({entries_sql}))"))
         rows = (
             ex.filter(F.col("cid").isNotNull())
             .select("sub", "cid", F.posexplode(F.col("s")).alias("pos", "v"))
@@ -2239,14 +2318,13 @@ def _adc_dist(query_vec: list[float], codebooks: list[list[list[float]]],
          for cen in codebooks[j]]
         for j in range(m)
     ]
-    from .util import lit_num_array
-
-    dist = None
-    for j in range(m):
-        lut = lit_num_array(luts[j], "double")
-        term = F.element_at(lut, F.element_at(F.col(code_col), j + 1) + 1)
-        dist = term if dist is None else dist + term
-    return dist
+    codeq = _sql_ident(code_col)
+    # one SQL parse for the whole m-term sum (r14): left-assoc `+`
+    # chain, identical tree to the previous per-term Column build
+    return F.expr(" + ".join(
+        f"element_at({_lit_num_array_sql(luts[j], 'double')}, "
+        f"element_at({codeq}, {j + 1}) + 1)"
+        for j in range(m)))
 
 
 def pq_topk_coded(df: DataFrame, query_vec: list[float],
@@ -2359,7 +2437,7 @@ def ivfpq_encode(df: DataFrame, centroids: list[list[float]],
     if assign_method == "auto":
         assign_method = "literal" if len(centroids) <= 256 else "numpy"
     if assign_method == "literal":
-        staged = df.withColumn("cell", kmeans_cell(vec, centroids))
+        staged = df.withColumn("cell", kmeans_cell(vec_col, centroids))
         if residual:
             code_src = F.zip_with(
                 vec,

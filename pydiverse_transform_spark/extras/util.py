@@ -132,6 +132,19 @@ def lit_num_array(values, eltype: str = "double") -> Column:
     return F.split(F.lit(csv), ",").cast(f"array<{eltype}>")
 
 
+def lit_num_array_sql(values, eltype: str = "double") -> str:
+    """SQL text of :func:`lit_num_array` — same split+cast form, same
+    constant folding; for expressions built as ONE ``F.expr`` string
+    (r14: Column-by-Column construction costs one py4j round-trip per
+    node; a parsed string costs three total)."""
+    vals = list(values)
+    is_int = eltype in ("tinyint", "smallint", "int", "bigint", "long")
+    if not vals:
+        return f"cast(array() as array<{eltype}>)"
+    csv = ",".join(_num_token(v, is_int) for v in vals)
+    return f"cast(split('{csv}', ',') as array<{eltype}>)"
+
+
 def bind(col: Column, body) -> Column:
     """Let-expression for array/struct pipelines: evaluate ``col`` ONCE
     and hand the bound value to ``body`` (transform over a
