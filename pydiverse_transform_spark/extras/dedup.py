@@ -559,7 +559,8 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
                          max_iter: int = 30,
                          strategy: str = "auto",
                          driver_max_pairs: int = 1_000_000,
-                         _rounds_out: list | None = None) -> DataFrame:
+                         _rounds_out: list | None = None,
+                         _edge_bound: int | None = None) -> DataFrame:
     """(node, comp) for every node in ``pairs``, where ``comp`` is the
     minimum node id in the node's connected component.
 
@@ -621,6 +622,18 @@ def connected_components(pairs: DataFrame, a: str = "id_a",
     # distributed path builds its edge relation from the same cache,
     # so the pass is never wasted whichever way the probe decides.
     from pyspark.storagelevel import StorageLevel
+
+    # _edge_bound: a caller-PROVEN upper bound on the edge count (e.g.
+    # semdedup's candidate-volume projection — true pairs <= cell
+    # candidates).  At or under the driver cap the sizing probe is
+    # redundant: collect directly, one pass, no persist/count jobs
+    # (r14; the bound makes the collect driver-safe by construction).
+    if (_edge_bound is not None and _edge_bound <= driver_max_pairs
+            and strategy != "distributed"):
+        head = pairs.select(F.col(a), F.col(b)).collect()
+        if _rounds_out is not None:
+            _rounds_out.append(0)
+        return _cc_driver(pairs, head, a, b)
 
     sel = None
     if strategy != "distributed":

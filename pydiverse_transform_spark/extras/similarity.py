@@ -2123,8 +2123,13 @@ def semdedup(df: DataFrame, centroids,
                            _celled=celled,
                            _tmap=tmap if probe_counts is not None
                            else _UNSET)
+    # the auto probe's candidate-volume projection is a PROVEN upper
+    # bound on verified pairs (cosine filtering only removes rows), so
+    # CC can skip its own sizing pass when the bound already fits the
+    # driver (r14: one collect instead of persist+count+collect)
     comp = connected_components(pairs, "id_a", "id_b",
-                                max_iter=max_iter)
+                                max_iter=max_iter,
+                                _edge_bound=probe_counts)
     losers = comp.filter(F.col("node") != F.col("comp")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")

@@ -131,6 +131,27 @@ def _persistent_rdd_ids(spark):
     return ids
 
 
+def test_cc_edge_bound_skips_probe_identically(spark):
+    """A caller-proven edge bound must yield the same labeling as the
+    probed auto route, with no persisted leftovers."""
+    edges = [(i, i + 1) for i in range(1, 10)] + [(20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = {r.node: r.comp for r in connected_components(pairs).collect()}
+    before = _persistent_rdd_ids(spark)
+    rounds = []
+    got = {r.node: r.comp
+           for r in connected_components(
+               pairs, _edge_bound=len(edges),
+               _rounds_out=rounds).collect()}
+    assert got == want and rounds == [0]
+    assert _persistent_rdd_ids(spark) - before == set()
+    # a bound ABOVE the cap must fall back to the probed route
+    got = {r.node: r.comp
+           for r in connected_components(
+               pairs, _edge_bound=10**9).collect()}
+    assert got == want
+
+
 def test_cc_probe_unpersists_both_routes(spark):
     """The auto strategy's persist+count probe must release its cache on
     every route (driver, distributed) and label identically."""
