@@ -31,6 +31,12 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 import pydiverse_transform_spark as pdt  # noqa: E402
 from pydiverse_transform_spark import C  # noqa: E402
+# base-table reads memoize the inferred schema per (application, path)
+# — skips the repeated ~0.2 s parquet schema-inference job (r14);
+# metadata-only, fingerprint-invalidated, every frame recomputes data
+from pydiverse_transform_spark.sources import (  # noqa: E402
+    spark_read_parquet as _rp,
+)
 
 _QUERIES: dict[str, Callable] = {}
 _ORACLE: dict[str, str] = {}
@@ -1347,9 +1353,9 @@ def q_salted_join(spark, sf_dir):
 
     from pydiverse_transform_spark.extras.skew import salted_join
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+    li = _rp(spark, f"{sf_dir}/lineitem.parquet") \
         .withColumnRenamed("l_orderkey", "okey")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+    orders = _rp(spark, f"{sf_dir}/orders.parquet") \
         .select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
     j = salted_join(li, orders, on=["okey"], n_salt=8, how="inner",
                     skewed="left")
@@ -2139,7 +2145,7 @@ def q_quantile_filter(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import sampling as sp
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     out = sp.filter_by_quantile(
         docs.select("doc_id", "lang", "n_chars"),
         "n_chars", 0.8, partition_by=["lang"], exact=True,
@@ -2166,7 +2172,7 @@ def _stopword_count_sql(lang_words: list[str], toks="toks") -> str:
 def q_doc_stats(spark, sf_dir):
     from pydiverse_transform_spark.extras import text as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     out = tx.doc_stats(docs, "text")
     return out.select("doc_id", "n_tokens", "n_chars_computed", "punct_ratio",
                       "stopword_ratio_en", "quality", "lang_pred", "fp")
@@ -2255,7 +2261,7 @@ def q_build_vocab(spark, sf_dir):
     hash agg; the rank sort runs over the aggregated token table only."""
     from pydiverse_transform_spark.extras import text as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     return tx.build_vocab(docs, "text", min_count=2, top_n=50).orderBy("rank")
 
 
@@ -2285,7 +2291,7 @@ def q_tfidf_topk(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import text as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     out = tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
     return (
         out.filter(F.col("doc_id") <= 100)
@@ -2376,7 +2382,7 @@ def q_gopher_quality(spark, sf_dir):
     """
     from pydiverse_transform_spark.extras import text as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     out = tx.gopher_quality(docs, "text", min_words=10,
                             min_required_words=1)
     return out.select(
@@ -2432,7 +2438,7 @@ def q_pretrain_pipeline(spark, sf_dir):
     from pydiverse_transform_spark.extras import sampling as sp
     from pydiverse_transform_spark.extras import text as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     gated = tx.gopher_filter(docs, "text", min_words=10,
                              min_required_words=1)
     ded = dd.exact_dedup_rows(gated, "text", "doc_id")
@@ -2493,7 +2499,7 @@ def q_nb_classifier(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import classify as cl
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     w = cl.nb_train(docs, F.col("lang") == "en")
     return cl.nb_score(docs, w).orderBy("doc_id")
 
@@ -2553,7 +2559,7 @@ def q_lm_perplexity(spark, sf_dir):
     pinned at 6/4 decimals for engine parity."""
     from pydiverse_transform_spark.extras import classify as cl
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     grams, ctx = cl.bigram_lm_train(docs)
     return cl.lm_score(docs, grams, ctx).orderBy("doc_id")
 
@@ -2622,7 +2628,7 @@ def q_pretrain_pipeline_scored(spark, sf_dir):
     from pydiverse_transform_spark.extras import sampling as sp
     from pydiverse_transform_spark.extras import text as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     gated = tx.gopher_filter(docs, "text", min_words=10,
                              min_required_words=1)
     # the deduped corpus feeds FOUR consumers (LM bigram counts, context
@@ -2677,7 +2683,7 @@ GROUP BY fp
 def q_dedup_exact(spark, sf_dir):
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     return dedup.exact_dedup(docs, "text", "doc_id")
 
 
@@ -2757,7 +2763,7 @@ WHERE CASE WHEN len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) = 0
 def q_dedup_minhash(spark, sf_dir):
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     return dedup.minhash_dedup_pairs(docs, "text", "doc_id", k=3,
                                      n_hashes=16, bands=4, threshold=0.2)
 
@@ -2838,7 +2844,7 @@ def q_minhash_index_lookup(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     base = _minhash_index_tmp(sf_dir, "lkp")
     dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), base)
     return dedup.minhash_index_lookup(
@@ -2884,7 +2890,7 @@ def q_minhash_lookup_governed(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     base = _minhash_index_tmp(sf_dir, "gov")
     dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), base)
     return dedup.minhash_index_lookup(
@@ -2934,7 +2940,7 @@ def q_minhash_lookup_auto(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     base = _minhash_index_tmp(sf_dir, "auto")
     dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), base)
     with warnings.catch_warnings():
@@ -2966,7 +2972,7 @@ def q_minhash_maintain(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     base = _minhash_index_tmp(sf_dir, "mnt")
     corpus = docs.filter(F.col("doc_id") % 4 != 0)
     dedup.write_minhash_index(corpus, base)
@@ -3003,7 +3009,7 @@ def q_neardup_filter_new(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     base = _minhash_index_tmp(sf_dir, "new")
     dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), base)
     surv = dedup.neardup_filter_new(
@@ -3038,7 +3044,7 @@ def q_neardup_backfill(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     base = _minhash_index_tmp(sf_dir, "backfill")
     dedup.write_minhash_index(docs.filter(F.col("doc_id") % 2 != 0), base)
     surv = dedup.neardup_filter_new(
@@ -3066,7 +3072,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     sh = dedup.shingled(docs, "text", "doc_id", 3) \
         .withColumnRenamed("__sh", "sh")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -3109,7 +3115,7 @@ def q_char_shingle_jaccard(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     sh = dedup.char_shingled(docs, "text", "doc_id", 5) \
         .withColumnRenamed("__sh", "sh")
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -3194,7 +3200,7 @@ SELECT doc_id, ({terms}) AS sh FROM
 def q_simhash(spark, sf_dir):
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     return dedup.simhash_df(docs, "text", "doc_id", bits=16, out_col="sh")
 
 
@@ -3218,7 +3224,7 @@ LIMIT 10
 def q_cosine_topk(spark, sf_dir):
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_topk(emb, _QVEC, k=10)
 
 
@@ -3252,7 +3258,7 @@ LIMIT 10
 def q_signlsh_topk(spark, sf_dir):
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.signlsh_topk(emb, _QVEC, k=10, n_planes=4)
 
 
@@ -3389,7 +3395,7 @@ def q_embedding_filter_new(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 16, seed="efn")
     cbs = similarity.pq_codebooks(64, m=8, k=16)
     base = os.path.join(
@@ -3425,7 +3431,7 @@ def q_stream_semantic_ingest(spark, sf_dir):
     from pydiverse_transform_spark import streaming as st
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 16, seed="efn")
     cbs = similarity.pq_codebooks(64, m=8, k=16)
     root = os.path.join(
@@ -3466,7 +3472,7 @@ def q_semdedup(spark, sf_dir):
     production trains them (kmeans_fit(spherical=True))."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     # 64 cells: candidate pairs shrink ~quadratically with cell count
     # (the SCALE.md sizing rule) — measured 4.8 s -> ~1.5 s at sf0.1.
     # assign_method='numpy' (r8): even at k=64 the broadcast-matrix
@@ -3502,7 +3508,7 @@ def q_semdedup_cells(spark, sf_dir):
     against the pairs lane in tests/test_r11_fixes.py)."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 64, seed="semdedup")
     return (
         similarity.semdedup(emb, cents, threshold=0.4,
@@ -3622,7 +3628,7 @@ def q_semdedup_kprop(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     n = emb.count()
     planes = _kprop_planes()[: _kprop_n_planes(n)]
     return (
@@ -3705,7 +3711,7 @@ def q_semdedup_multiprobe(spark, sf_dir):
     multi-probe component (r8 verdict #6 family)."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 64, seed="semdedup")
     return (
         similarity.semdedup(emb, cents, threshold=0.4, n_probe=2,
@@ -3791,7 +3797,7 @@ def q_semdedup_probe_margin(spark, sf_dir):
     topology."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 64, seed="semdedup")
     return (
         similarity.semdedup(emb, cents, threshold=0.3, n_probe=2,
@@ -3849,7 +3855,7 @@ def q_semantic_decontaminate(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     bench = emb.filter(F.col("vec_id") < 20)
     corpus = emb.filter(F.col("vec_id") >= 20)
     cents = similarity.hyperplanes(64, 16, seed="semdedup")
@@ -3866,7 +3872,7 @@ def q_embedding_neardup(spark, sf_dir):
     exact cosine verification (never all-pairs)."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.embedding_neardup_pairs(emb, threshold=0.35,
                                               n_planes=4, dim=64)
 
@@ -3963,7 +3969,7 @@ def q_pq_topk(spark, sf_dir):
     stands in for."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cbs = similarity.pq_codebooks(64, m=8, k=16)
     return similarity.pq_topk(emb, _QVEC, k=10, codebooks=cbs, pool=100)
 
@@ -4012,7 +4018,7 @@ def q_ivfpq_topk(spark, sf_dir):
     (kmeans_fit / pq_fit) and encodes residuals."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 8, seed="ivfpq")
     cbs = similarity.pq_codebooks(64, m=8, k=16)
     staged = os.path.join(
@@ -4041,7 +4047,7 @@ def q_stream_ivfpq_ingest(spark, sf_dir):
     from pydiverse_transform_spark import streaming as st
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 8, seed="ivfpq")
     cbs = similarity.pq_codebooks(64, m=8, k=16)
     base = os.path.join(
@@ -4071,7 +4077,7 @@ def q_ivf_topk(spark, sf_dir):
     cells scanned."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(emb, _QVEC, k=10, n_cells=8, nprobe=2)
 
 
@@ -4104,7 +4110,7 @@ def q_assign_cells(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 8, seed="cells")
     return (
         similarity.assign_cells(emb.select("vec_id", "embedding"),
@@ -4130,7 +4136,7 @@ def q_ivfpq_maintain(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     cents = similarity.hyperplanes(64, 8, seed="ivfpq")
     cbs = similarity.pq_codebooks(64, m=8, k=16)
     base = os.path.join(
@@ -4187,7 +4193,7 @@ def q_kmeans_step(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     seeds = similarity.kmeans_seed_centroids(emb, 8)
     upd = similarity.kmeans_update(similarity.kmeans_assign(emb, seeds))
     return (
@@ -4663,7 +4669,7 @@ def q_media_decode_features(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import multimodal as mm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     media = mm.with_media_column(docs, "text", mime="text/plain")
     decoded = mm.decode_image(media, "media", "doc_id",
                               deterministic_fake=True)
@@ -4910,7 +4916,7 @@ def q_map_batches_tokens(spark, sf_dir):
     import re
 
     docs = pdt.Table(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), "documents"
+        _rp(spark, f"{sf_dir}/documents.parquet"), "documents"
     )
 
     def count_tokens(batches):
@@ -5085,7 +5091,7 @@ def q_neardup_clusters(spark, sf_dir):
     closure in DuckDB."""
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", k=3,
                                       n_hashes=16, bands=4, threshold=0.2)
     cc = dedup.connected_components(pairs)
@@ -5122,7 +5128,7 @@ def q_neardup_clusters_star(spark, sf_dir):
     labeling."""
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     pairs = dedup.minhash_dedup_pairs(docs, "text", "doc_id", k=3,
                                       n_hashes=16, bands=4, threshold=0.2)
     cc = dedup.connected_components_star(pairs)
@@ -5161,7 +5167,7 @@ def q_neardup_corpus(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     kept = dedup.neardup_dedup(docs, "text", "doc_id", k=3, n_hashes=16,
                                bands=4, threshold=0.2)
     return kept.agg(
@@ -5388,7 +5394,7 @@ def q_bpe_tokens(spark, sf_dir):
         token_count,
     )
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _rp(spark, f"{sf_dir}/documents.parquet")
     return df.select(
         "doc_id",
         bpe_token_count(F.col("text")).alias("n_bpe"),
@@ -5413,7 +5419,7 @@ def q_chunk_text(spark, sf_dir):
     (extras/text.py chunk_text)."""
     from pydiverse_transform_spark.extras.text import chunk_text
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _rp(spark, f"{sf_dir}/documents.parquet")
     return chunk_text(df, "text", size=200, overlap=50) \
         .select("doc_id", "chunk_id", "chunk")
 
@@ -5459,7 +5465,7 @@ def q_packed_batches(spark, sf_dir):
     from pydiverse_transform_spark.extras import sampling as sp
     from pydiverse_transform_spark.extras import text as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     chunks = tx.chunk_text(docs, "text", size=400, overlap=0)
     toks = chunks.select(
         "lang",
@@ -5503,7 +5509,7 @@ def q_repetition_ratio(spark, sf_dir):
 
     from pydiverse_transform_spark.extras.text import repetition_ratio
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _rp(spark, f"{sf_dir}/documents.parquet")
     return df.select(
         "doc_id", repetition_ratio(F.col("text")).alias("rep_ratio")
     )
@@ -5530,7 +5536,7 @@ def q_decontaminate(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     probe = docs.filter(F.col("doc_id") % 97 == 0)
     clean = dedup.decontaminate(docs, probe)
     return clean.agg(
@@ -5565,7 +5571,7 @@ def q_decontaminate_bloom(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     probe = docs.filter(F.col("doc_id") % 97 == 0)
     clean = dedup.decontaminate(docs, probe, method="bloom", fpp=0.01)
     return clean.agg(
@@ -5596,7 +5602,7 @@ def q_redact_pii(spark, sf_dir):
 
     from pydiverse_transform_spark.extras.text import redact_pii
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _rp(spark, f"{sf_dir}/documents.parquet")
     synth = F.concat(
         F.col("text"), F.lit(" contact: "), F.col("source"),
         F.lit("@corp.example id "),
@@ -5626,7 +5632,7 @@ def q_pack_sequences(spark, sf_dir):
     (extras/sampling.py pack_sequences)."""
     from pydiverse_transform_spark.extras.sampling import pack_sequences
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _rp(spark, f"{sf_dir}/documents.parquet")
     return pack_sequences(df, "n_chars", budget=512, order_by="doc_id",
                           partition_by="source") \
         .select("doc_id", "source", "bin_id", "bin_pos")
@@ -5652,7 +5658,7 @@ def q_hash_sample(spark, sf_dir):
     selection in any engine / any partitioning (extras/sampling.py)."""
     from pydiverse_transform_spark.extras.sampling import hash_sample
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _rp(spark, f"{sf_dir}/documents.parquet")
     return hash_sample(df, 0.2, "doc_id").select(
         "doc_id", "lang", "n_chars")
 
@@ -5676,7 +5682,7 @@ def q_hash_split(spark, sf_dir):
 
     from pydiverse_transform_spark.extras.sampling import hash_split
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _rp(spark, f"{sf_dir}/documents.parquet")
     out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
                      "doc_id", salt="split")
     return (
@@ -5706,7 +5712,7 @@ def q_stratified_sample(spark, sf_dir):
 
     from pydiverse_transform_spark.extras.sampling import stratified_sample
 
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = _rp(spark, f"{sf_dir}/documents.parquet")
     out = stratified_sample(df, {"en": 0.1, "de": 0.5}, "lang", "doc_id",
                             salt="strat", default_fraction=1.0)
     return (out.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
@@ -5730,7 +5736,7 @@ def q_weighted_mix(spark, sf_dir):
 
     from pydiverse_transform_spark.extras.sampling import weighted_mix
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     out = weighted_mix([(docs, 1.0), (docs, 0.3)], "doc_id", salt="mix",
                        source_col="src")
     return (out.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
@@ -5756,7 +5762,7 @@ def q_topk_per_group(spark, sf_dir):
 
     from pydiverse_transform_spark.extras.sampling import topk_per_group
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = _rp(spark, f"{sf_dir}/orders.parquet")
     return topk_per_group(
         o, ["o_orderpriority"], "o_totalprice", 3,
         tiebreak_col="o_orderkey",
@@ -5788,7 +5794,7 @@ def q_deterministic_shuffle(spark, sf_dir):
         deterministic_shuffle,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     out = deterministic_shuffle(docs, "doc_id", salt="s1", n_shards=16)
     return out.select("doc_id", "shard", "shard_pos") \
         .orderBy("shard", "shard_pos")
@@ -5847,7 +5853,7 @@ def q_remove_repeated_segments(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import text as tx
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     out = tx.remove_repeated_segments(docs, "text", "doc_id",
                                       seg_words=3, max_df=2)
     return (
@@ -5935,7 +5941,7 @@ def q_substring_dedup(spark, sf_dir):
     and reassembly all at once."""
     from pydiverse_transform_spark.extras.dedup import substring_dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     return (
         substring_dedup(docs, "text", "doc_id", window=8)
         .select("doc_id", "clean_text", "n_tokens_before",
@@ -5985,7 +5991,7 @@ def q_duplicate_spans(spark, sf_dir):
 
     from pydiverse_transform_spark.extras.dedup import duplicate_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     return (
         duplicate_spans(docs, "text", "doc_id", window=6)
         .select(
@@ -6073,7 +6079,7 @@ def q_stream_span_cut(spark, sf_dir):
     from pydiverse_transform_spark import streaming as st
     from pydiverse_transform_spark.extras.dedup import duplicate_spans
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     dup = duplicate_spans(docs, "text", "doc_id", window=8)
     staged = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -6121,7 +6127,7 @@ def q_stream_neardup_ingest(spark, sf_dir):
     from pydiverse_transform_spark import streaming as st
     from pydiverse_transform_spark.extras import dedup
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     root = _minhash_index_tmp(sf_dir, "stream")
     idx = os.path.join(root, "idx")
     dedup.write_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), idx)
@@ -6298,7 +6304,7 @@ def q_stream_neardup(spark, sf_dir):
         ".tmp_stream",
         "neardup_" + os.path.basename(sf_dir.rstrip("/")),
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     # one file in doc_id order => one availableNow micro-batch whose
     # row order IS the oracle's keep-first order
     (docs.orderBy("doc_id")
@@ -6409,7 +6415,7 @@ def q_media_resize_frames(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import multimodal as mm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     media = mm.with_media_column(docs, "text", mime="image/x-stub")
     resized = mm.resize_images(media, "media", "doc_id", max_side=256,
                                deterministic_fake=True)
@@ -6481,7 +6487,7 @@ def q_token_budget(spark, sf_dir):
     no iteration."""
     from pydiverse_transform_spark.extras import sampling as sp
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     return (
         sp.take_token_budget(
             docs.select("doc_id", "lang", "n_chars"),
@@ -6547,7 +6553,7 @@ def _dsir_model(spark, sf_dir):
 
     key = (sf_dir, _DSIR_NB)
     if key not in _DSIR_MODELS:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = _rp(spark, f"{sf_dir}/documents.parquet")
         _DSIR_MODELS[key] = imp.dsir_fit(
             docs, F.col("lang") == "en", n_buckets=_DSIR_NB)
     return _DSIR_MODELS[key]
@@ -6571,7 +6577,7 @@ def q_dsir_weights(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import importance as imp
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     out = imp.dsir_score(docs, _dsir_model(spark, sf_dir))
     return (
         out.select("doc_id", "lang",
@@ -6605,7 +6611,7 @@ def q_dsir_sample(spark, sf_dir):
 
     from pydiverse_transform_spark.extras import importance as imp
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     w = imp.dsir_score(docs, _dsir_model(spark, sf_dir))
     kept = imp.gumbel_topk(w, "dsir_weight", 60, "doc_id", salt="dsir",
                            score_col="__s")
@@ -6640,7 +6646,7 @@ def q_temperature_mix(spark, sf_dir):
     (plan-asserted job-free build in tests/test_importance.py)."""
     from pydiverse_transform_spark.extras import importance as imp
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     return (
         imp.temperature_mix(docs, "lang", "doc_id", alpha=0.5,
                             salt="tmix")
@@ -6711,7 +6717,7 @@ def q_compacted_scan(spark, sf_dir):
     )
     frag, out = base + "_frag", base + "_out"
     shutil.rmtree(out, ignore_errors=True)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _rp(spark, f"{sf_dir}/documents.parquet")
     docs.repartition(24).write.mode("overwrite").parquet(frag)
     stats = compact_parquet(spark, frag, out,
                             target_file_bytes=64 << 20)
@@ -6768,7 +6774,7 @@ def q_zorder_scan(spark, sf_dir):
         ".tmp_stream", "zorder_" + os.path.basename(sf_dir.rstrip("/")),
     )
     shutil.rmtree(out, ignore_errors=True)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rp(spark, f"{sf_dir}/events.parquet")
     zdf, _ = zorder_key(ev, ["user_id", "ts"], bits=8)
     (
         zdf.repartitionByRange(16, "__z").sortWithinPartitions("__z")
@@ -6846,7 +6852,7 @@ def q_compact_zorder(spark, sf_dir):
     debris, out = base + "_in", base + "_out"
     shutil.rmtree(debris, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _rp(spark, f"{sf_dir}/events.parquet")
     ev.repartition(64).write.mode("overwrite").parquet(debris)
 
     # size the target from the DEBRIS listing so the compaction ratio
@@ -6955,7 +6961,7 @@ def q_opq_permutation(spark, sf_dir):
     pytest-only through r7 (r8 verdict #6)."""
     from pydiverse_transform_spark.extras import similarity
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _rp(spark, f"{sf_dir}/embeddings.parquet")
     perm = similarity.opq_permutation(emb, m=8, dim=64)
     rows = [(p, int(d), p // 8) for p, d in enumerate(perm)]
     return spark.createDataFrame(rows, "p long, src_dim long, subspace long")

@@ -1461,7 +1461,8 @@ def _lookup_from_buckets(spark, path: str, meta: dict, pb: DataFrame,
         raise ValueError(f"top_k must be >= 1 or None, got {top_k}")
     if probe_strategy == "broadcast":
         pb = F.broadcast(pb)
-    idx = spark.read.parquet(path)
+    from ..sources import spark_read_parquet as _srp
+    idx = _srp(spark, path)
     est = _est_jaccard_expr(meta)
     # est depends ONLY on the two signature arrays already present on
     # every joined bucket row, and every bucket row of one
@@ -1583,7 +1584,8 @@ def _probe_hits_exists(spark, path: str, meta: dict, pb: DataFrame,
     """
     if probe_strategy == "broadcast":
         pb = F.broadcast(pb)
-    idx = spark.read.parquet(path)
+    from ..sources import spark_read_parquet as _srp
+    idx = _srp(spark, path)
     # same rounding as the pair lane so boundary estimates pass or
     # fail the threshold identically in both lanes
     cand = (
@@ -1929,7 +1931,9 @@ def _minhash_index_lookup(spark, path: str, probe: DataFrame, *,
         pb = pb.persist()
         if _persist_out is not None:
             _persist_out.append(pb)
-        idx = spark.read.parquet(path)
+        from ..sources import spark_read_parquet as _srp
+
+        idx = _srp(spark, path)
         projected = _projected_candidate_rows(idx, pb,
                                               index_path=path,
                                               budget=budget)

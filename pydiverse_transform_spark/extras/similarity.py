@@ -221,7 +221,8 @@ def signlsh_topk_bucketed(spark, path: str, query_vec: list[float],
     buckets = [qbits]
     if probe_adjacent:
         buckets += [qbits ^ (1 << p) for p in range(n_planes)]
-    df = spark.read.parquet(path)
+    from ..sources import spark_read_parquet as _srp
+    df = _srp(spark, path)
     q = _qlit(query_vec)
     return (
         df.filter(F.col("bucket").isin(buckets))
@@ -3238,7 +3239,8 @@ def _embedding_hit_pairs(spark, index_path: str, meta: dict,
                    probed.select("cell").distinct().collect())
     if not cells:
         return None
-    idx = spark.read.parquet(index_path)
+    from ..sources import spark_read_parquet as _srp
+    idx = _srp(spark, index_path)
     # literal pruning pays off only while the IN list is small: a large
     # increment at k~10^5 probes most cells, and a 10^5-literal filter
     # is the literal-plan explosion the flat-k assignment kernel exists

@@ -23,6 +23,77 @@ def _name_from_path(path: str) -> str:
     return base.split(".")[0]
 
 
+# ---------------------------------------------------------------------------
+# Schema-memoized parquet reads (r14, guide §1.2 "don't compute things
+# you throw away" on the driver): EVERY `spark.read.parquet(path)` call
+# runs a ~0.15-0.2 s parquet footer schema-inference JOB, even for a
+# path read moments earlier.  A pipeline that touches 8 dimension
+# tables pays 8 such jobs per plan build.  We memoize the INFERRED
+# SCHEMA per (application, path) and pass it explicitly on later reads
+# (0 jobs).  This is metadata caching only — every returned frame
+# recomputes its data from the files.  The cache entry carries a local
+# filesystem fingerprint (file count / bytes / max mtime); when the
+# files changed, or the path is not confidently local, we fall back to
+# plain inference, so a rewritten path can never be misread.
+# ---------------------------------------------------------------------------
+
+_SCHEMA_CACHE: dict = {}
+_FP_MAX_FILES = 4096
+
+
+def _local_fingerprint(path: str):
+    import os
+    import stat as _stat
+
+    p = path
+    if p.startswith("file:"):
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        u = urlparse(p)
+        if u.netloc not in ("", "localhost"):
+            return None
+        p = url2pathname(u.path)
+    elif "://" in p:
+        return None
+    try:
+        st = os.stat(p)
+    except OSError:
+        return None
+    if not _stat.S_ISDIR(st.st_mode):
+        return (1, st.st_size, st.st_mtime_ns)
+    n = sz = mt = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            try:
+                fst = os.stat(os.path.join(root, f))
+            except OSError:
+                return None
+            n += 1
+            if n > _FP_MAX_FILES:
+                # too many files to fingerprint cheaply — skip caching
+                return None
+            sz += fst.st_size
+            mt = max(mt, fst.st_mtime_ns)
+    return (n, sz, mt)
+
+
+def spark_read_parquet(spark: SparkSession, path: str):
+    """`spark.read.parquet` with the inferred schema memoized per
+    (application, path) and invalidated by a local file fingerprint —
+    identical frames, no repeated schema-inference job."""
+    fp = _local_fingerprint(path)
+    if fp is None:
+        return spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path)
+    hit = _SCHEMA_CACHE.get(key)
+    if hit is not None and hit[0] == fp:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = (fp, df.schema)
+    return df
+
+
 def _quiet_derby(spark: SparkSession, url: str) -> None:
     """Embedded Derby writes ``derby.log`` into the CWD the first time
     it boots, polluting whatever directory the process happened to run
@@ -46,7 +117,8 @@ def _quiet_derby(spark: SparkSession, url: str) -> None:
 
 def read_parquet(spark: SparkSession, path: str, name: str | None = None
                  ) -> Table:
-    return Table(spark.read.parquet(path), name or _name_from_path(path))
+    return Table(spark_read_parquet(spark, path),
+                 name or _name_from_path(path))
 
 
 def read_csv(spark: SparkSession, path: str, name: str | None = None,
