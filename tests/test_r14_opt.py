@@ -131,6 +131,37 @@ def _persistent_rdd_ids(spark):
     return ids
 
 
+def test_schema_memoized_read_matches_and_invalidates(spark, tmp_path):
+    """spark_read_parquet must return frames identical to plain reads,
+    reuse the inferred schema on a second read, and re-infer after the
+    files change (fingerprint invalidation)."""
+    from pydiverse_transform_spark.sources import (
+        _SCHEMA_CACHE,
+        spark_read_parquet,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(10).selectExpr("id", "cast(id as string) s") \
+        .write.mode("overwrite").parquet(p)
+    plain = spark.read.parquet(p)
+    a = spark_read_parquet(spark, p)   # infers + caches
+    b = spark_read_parquet(spark, p)   # schema-pinned
+    assert plain.schema == a.schema == b.schema
+    assert sorted(r.id for r in b.collect()) == list(range(10))
+    key = (spark.sparkContext.applicationId, p)
+    assert key in _SCHEMA_CACHE
+    fp1 = _SCHEMA_CACHE[key][0]
+    # rewrite with a DIFFERENT schema — the fingerprint must invalidate
+    import time as _time
+    _time.sleep(0.01)
+    spark.range(5).selectExpr("id", "id * 2 as d") \
+        .write.mode("overwrite").parquet(p)
+    c = spark_read_parquet(spark, p)
+    assert c.schema == spark.read.parquet(p).schema
+    assert set(c.columns) == {"id", "d"}
+    assert _SCHEMA_CACHE[key][0] != fp1
+
+
 def test_cc_edge_bound_skips_probe_identically(spark):
     """A caller-proven edge bound must yield the same labeling as the
     probed auto route, with no persisted leftovers."""
