@@ -1813,7 +1813,11 @@ def semdedup_pairs(df: DataFrame, centroids,
         base = _celled if _celled is not None else _make_celled(
             src, centroids, cells, vec_col, id_col, assign_method,
             vec_dim=vec_dim)
-        celled = base.withColumn("__norm", norm(F.col(vec_col)))
+        # semdedup()'s shared cache already carries __norm (r15) —
+        # recomputing it here would shadow the cached column with a
+        # fresh expression and waste one norm pass per join branch
+        celled = (base if "__norm" in base.columns
+                  else base.withColumn("__norm", norm(F.col(vec_col))))
         if persist_celled:
             celled = celled.persist()
         if _tmap is not _UNSET:
@@ -2020,7 +2024,7 @@ def semdedup(df: DataFrame, centroids,
     rectangular batches).  An explicit ``pair_backend="sql"`` pins the
     Python-free path — auto component routing will not override it."""
     from .dedup import connected_components
-    from .util import fan_out
+    from .util import SMALL_CORPUS_BYTES, fan_out, plan_size_bytes
 
     if component_backend not in ("auto", "pairs", "cells"):
         raise ValueError(
@@ -2040,6 +2044,14 @@ def semdedup(df: DataFrame, centroids,
 
     celled = tmap = None
     probe_counts = None
+    celled_cache = None
+
+    def _release_celled():
+        nonlocal celled_cache
+        if celled_cache is not None:
+            celled_cache.unpersist()
+            celled_cache = None
+
     if (n_probe == 1 and component_backend == "cells") or (
             n_probe == 1 and component_backend == "auto"
             and cell_task_cap is not None):
@@ -2047,6 +2059,25 @@ def semdedup(df: DataFrame, centroids,
         celled = _make_celled(src, centroids, cells, vec_col, id_col,
                               assign_method, vec_dim=vec_dim)
         if component_backend == "auto":
+            # ONE assignment pass serves the routing probe AND the
+            # winning route (r15, guide §2.4 "one shared pass"): for a
+            # small corpus, persist the celled projection — with the
+            # norm the pair lane needs — BEFORE the probe materializes
+            # it, so the quantizer assignment runs once instead of once
+            # for the probe plus once per route consumer.  The handle
+            # is released as soon as the (eager) pairs route has
+            # consumed it, or immediately when routing picks the lazy
+            # in-kernel cells lane.  Same small-corpus gate as
+            # semdedup_pairs(persist_celled=None): at corpus scale the
+            # projection is the whole vector table and must not be
+            # pinned.
+            if plan_size_bytes(df) <= SMALL_CORPUS_BYTES:
+                from pyspark.storagelevel import StorageLevel
+
+                celled = celled.withColumn(
+                    "__norm", norm(F.col(vec_col))
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                celled_cache = celled
             # ONE job serves both routing decisions, and the driver
             # receives ONE row: total pair volume (component backend)
             # plus the fat-cell list (collect_list drops the nulls the
@@ -2056,15 +2087,20 @@ def semdedup(df: DataFrame, centroids,
             # before grouping and can never pair, so counting them
             # would let unmatchable rows drive the routing.
             cap = cell_task_cap
-            row = (celled.filter(F.col("__cell").isNotNull())
-                   .groupBy("__cell").count()
-                   .agg(F.sum(F.expr("count * (count - 1) / 2"))
-                        .alias("pv"),
-                        F.collect_list(F.when(
-                            F.col("count") > cap,
-                            F.struct(F.col("__cell"), F.col("count"))))
-                        .alias("fat"))
-                   .collect()[0])
+            try:
+                row = (celled.filter(F.col("__cell").isNotNull())
+                       .groupBy("__cell").count()
+                       .agg(F.sum(F.expr("count * (count - 1) / 2"))
+                            .alias("pv"),
+                            F.collect_list(F.when(
+                                F.col("count") > cap,
+                                F.struct(F.col("__cell"),
+                                         F.col("count"))))
+                            .alias("fat"))
+                       .collect()[0])
+            except BaseException:
+                _release_celled()
+                raise
             probe_counts = int(row["pv"] or 0)
             fat = [(r["__cell"], -(-r["count"] // cap))
                    for r in row["fat"]]
@@ -2079,6 +2115,12 @@ def semdedup(df: DataFrame, centroids,
                      and pair_backend != "sql")
 
     if use_cells:
+        # the kernel lane's consumers are LAZY (applyInPandas over the
+        # returned frame), so there is no deterministic point after
+        # which the cache could be released — drop it now; the lane
+        # recomputes the assignment once at materialization, exactly
+        # the pre-r15 cost
+        _release_celled()
         rows = celled.filter(F.col("__cell").isNotNull()) \
             .select("__cell", F.col(id_col), F.col(vec_col))
         idt = df.schema[id_col].dataType.simpleString()
@@ -2114,23 +2156,38 @@ def semdedup(df: DataFrame, centroids,
                 .select(F.col("node").alias(id_col))
         return df.join(losers, id_col, "left_anti")
 
-    pairs = semdedup_pairs(df, centroids, threshold, vec_col, id_col,
-                           assign_method=assign_method, n_probe=n_probe,
-                           probe_margin=probe_margin,
-                           cell_task_cap=cell_task_cap,
-                           pair_backend=pair_backend,
-                           cells=cells,
-                           vec_dim=vec_dim,
-                           _celled=celled,
-                           _tmap=tmap if probe_counts is not None
-                           else _UNSET)
-    # the auto probe's candidate-volume projection is a PROVEN upper
-    # bound on verified pairs (cosine filtering only removes rows), so
-    # CC can skip its own sizing pass when the bound already fits the
-    # driver (r14: one collect instead of persist+count+collect)
-    comp = connected_components(pairs, "id_a", "id_b",
-                                max_iter=max_iter,
-                                _edge_bound=probe_counts)
+    try:
+        pairs = semdedup_pairs(df, centroids, threshold, vec_col,
+                               id_col,
+                               # the shared cache (when small) already
+                               # holds celled+norm — a second persist of
+                               # the same rows would only duplicate them
+                               persist_celled=(False
+                                               if celled_cache is not None
+                                               else None),
+                               assign_method=assign_method,
+                               n_probe=n_probe,
+                               probe_margin=probe_margin,
+                               cell_task_cap=cell_task_cap,
+                               pair_backend=pair_backend,
+                               cells=cells,
+                               vec_dim=vec_dim,
+                               _celled=celled,
+                               _tmap=tmap if probe_counts is not None
+                               else _UNSET)
+        # the auto probe's candidate-volume projection is a PROVEN
+        # upper bound on verified pairs (cosine filtering only removes
+        # rows), so CC can skip its own sizing pass when the bound
+        # already fits the driver (r14: one collect instead of
+        # persist+count+collect)
+        comp = connected_components(pairs, "id_a", "id_b",
+                                    max_iter=max_iter,
+                                    _edge_bound=probe_counts)
+    finally:
+        # connected_components is eager on every strategy (driver
+        # collect / checkpointed loop), so by now the pair lane has
+        # consumed the shared celled cache — release it (r15, guide §5)
+        _release_celled()
     losers = comp.filter(F.col("node") != F.col("comp")) \
         .select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
