@@ -21,18 +21,71 @@ oracle can replay training AND scoring exactly.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["nb_train", "nb_score", "bigram_lm_train", "lm_score"]
+__all__ = ["nb_train", "nb_score", "bigram_lm_train",
+           "bigram_lm_train_scoped", "lm_score"]
+
+
+# last persisted gram table per application (r15, VERDICT r14
+# what's-wrong #2 / ADVICE): bigram_lm_train persists its vocab-sized
+# gram relation so ctx and lm_score's two broadcasts share ONE corpus
+# tokenize pass, but the lazy API has no point at which the plain
+# function could unpersist it — so a long session retraining on many
+# corpora used to accumulate one cached relation per corpus.  The
+# registry bounds that at ONE: a new train over a DIFFERENT corpus
+# releases the previous cache first.  Retraining over the SAME plan
+# keeps the existing entry (Spark's CacheManager already dedupes
+# identical plans — unpersisting it would only force a cold rebuild of
+# the same data).  Callers who need deterministic release use
+# :func:`bigram_lm_train_scoped`.
+_LM_GRAM_CACHE: dict = {}
+
+
+def _lm_register_gram_cache(grams: DataFrame) -> None:
+    key = grams.sparkSession.sparkContext.applicationId
+    prev = _LM_GRAM_CACHE.get(key)
+    if prev is not None and prev is not grams:
+        try:
+            same = prev._jdf.queryExecution().analyzed().sameResult(
+                grams._jdf.queryExecution().analyzed())
+        except Exception:
+            same = False
+        if not same:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+    # entries of stopped applications hold dead JVM refs — drop them
+    for k in list(_LM_GRAM_CACHE):
+        if k != key:
+            _LM_GRAM_CACHE.pop(k, None)
+    _LM_GRAM_CACHE[key] = grams
+
+
+def _lm_release_gram_cache(grams: DataFrame) -> None:
+    try:
+        key = grams.sparkSession.sparkContext.applicationId
+        if _LM_GRAM_CACHE.get(key) is grams:
+            _LM_GRAM_CACHE.pop(key, None)
+    except Exception:
+        pass
+    try:
+        grams.unpersist()
+    except Exception:
+        pass
 
 
 def _doc_tokens(df: DataFrame, text_col: str) -> Column:
     """Per-document distinct lowercase tokens (binarized/Bernoulli
-    counting — robust to token repetition spam)."""
-    from .text import tokens
+    counting — robust to token repetition spam).  One-SQL-parse
+    tokenizer (r15, VERDICT r14 next #5)."""
+    from .text import _tokens_expr
 
-    return F.array_distinct(tokens(F.lower(F.col(text_col))))
+    return F.array_distinct(_tokens_expr(text_col, lowercase=True))
 
 
 def nb_train(df: DataFrame, label: Column, text_col: str = "text",
@@ -108,11 +161,11 @@ def _doc_bigrams(text_col: str) -> Column:
     captures `toks` as an unevaluated subexpression and re-tokenizes
     the document for EVERY position — O(n_words^2) regexp splits per
     doc, measured 27 s/pass on the 5k-doc corpus vs ~1 s bound."""
-    from .text import tokens
+    from .text import _tokens_expr
     from .util import bind
 
     toks = F.concat(
-        F.array(F.lit("<s>")), tokens(F.lower(F.col(text_col)))
+        F.array(F.lit("<s>")), _tokens_expr(text_col, lowercase=True)
     )
 
     def bigrams(t: Column) -> Column:
@@ -147,14 +200,39 @@ def bigram_lm_train(df: DataFrame, text_col: str = "text"
         # scanned+bigrammed twice just for training).  Lazy (no job
         # here); vocab-sized, so the cache cost is negligible at any
         # corpus scale while the saved pass is a full corpus scan.
+        # Lifetime is bounded by the per-application registry (r15):
+        # at most one gram cache is live; use
+        # :func:`bigram_lm_train_scoped` for deterministic release.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _lm_register_gram_cache(grams)
     ctx = (
         grams.withColumn("w1", F.split(F.col("bigram"), " ")[0])
         .groupBy("w1")
         .agg(F.sum("n_bigram").alias("n_ctx"))
     )
     return grams, ctx
+
+
+@_contextlib.contextmanager
+def bigram_lm_train_scoped(df: DataFrame, text_col: str = "text"):
+    """:func:`bigram_lm_train` with a bounded gram-cache lifetime
+    (r15, the scoped-release pattern of
+    ``dedup.minhash_index_lookup_scoped``): yields ``(grams, ctx)``
+    and unpersists the gram table when the block exits — storage
+    returns to baseline (pinned in ``tests/test_r15_opt.py``).
+    Consume every derived frame (``lm_score`` output included) INSIDE
+    the block; consuming after it is still correct, it just recomputes
+    the training aggregation instead of reading the cache::
+
+        with bigram_lm_train_scoped(ref_docs) as (grams, ctx):
+            lm_score(docs, grams, ctx).write.parquet(out)
+    """
+    grams, ctx = bigram_lm_train(df, text_col)
+    try:
+        yield grams, ctx
+    finally:
+        _lm_release_gram_cache(grams)
 
 
 def lm_score(df: DataFrame, bigrams: DataFrame, contexts: DataFrame,

@@ -96,12 +96,16 @@ def hashed_ngram_buckets(text: Column | str, n_buckets: int = 4096,
     Pure Catalyst expressions; the token array is lambda-bound so the
     bigram builder reads ONE tokenization (the r5 ``bind()``
     discipline — an unbound captured split re-tokenizes per gram).
-    A ``str`` argument is a column NAME (one-SQL-parse form, r14)."""
-    from .util import bind
+    A ``str`` argument is a column NAME (one-SQL-parse form, r14);
+    falls back to the Column form under legacy
+    ``escapedStringLiterals=true`` (r15, ADVICE r14)."""
+    from .util import bind, sql_regex_mirrors_usable
 
     if isinstance(text, str):
-        return F.expr(_hashed_ngram_buckets_sql(
-            _sql_ident(text), n_buckets, bigrams))
+        if sql_regex_mirrors_usable():
+            return F.expr(_hashed_ngram_buckets_sql(
+                _sql_ident(text), n_buckets, bigrams))
+        text = F.col(text)
 
     def bucket(gram: Column) -> Column:
         return (F.conv(F.substring(F.md5(gram), 1, 8), 16, 10)
@@ -181,17 +185,22 @@ def importance_weight(text: Column | str, log_ratios: list[float],
     # per-build analyzer walk of the element-wise form dominated
     # q_dsir_sample's bench row (r14, util.lit_num_array docstring)
     if isinstance(text, str):
-        # column-NAME form: the whole featurize+score expression is
-        # ONE SQL parse (r14)
-        from .util import lit_num_array_sql
+        from .util import lit_num_array_sql, sql_regex_mirrors_usable
 
-        lut_sql = lit_num_array_sql(log_ratios, "double")
-        buckets_sql = _hashed_ngram_buckets_sql(
-            _sql_ident(text), n_buckets, bigrams)
-        return F.expr(
-            f"element_at(transform(array(named_struct('v', "
-            f"{buckets_sql})), s -> aggregate(s.v, 0.0D, (acc, b) -> "
-            f"acc + element_at({lut_sql}, cast(b as int) + 1))), 1)")
+        if sql_regex_mirrors_usable():
+            # column-NAME form: the whole featurize+score expression
+            # is ONE SQL parse (r14)
+            lut_sql = lit_num_array_sql(log_ratios, "double")
+            buckets_sql = _hashed_ngram_buckets_sql(
+                _sql_ident(text), n_buckets, bigrams)
+            return F.expr(
+                f"element_at(transform(array(named_struct('v', "
+                f"{buckets_sql})), s -> aggregate(s.v, 0.0D, (acc, b) "
+                f"-> acc + element_at({lut_sql}, cast(b as int) + 1))),"
+                f" 1)")
+        # legacy escapedStringLiterals sessions: the SQL text's regex
+        # escapes would parse differently — build the Column form
+        text = F.col(text)
     lut = lit_num_array(log_ratios, "double")
     buckets = hashed_ngram_buckets(text, n_buckets, bigrams)
     return bind(

@@ -35,8 +35,51 @@ STOPWORDS = {
 }
 
 
-def tokens(text: Column) -> Column:
-    """Whitespace tokenization after trimming; empty string -> empty array."""
+def _sql_ident(name: str) -> str:
+    # dots mean nested access, exactly as in F.col(name)
+    return ".".join("`" + p.replace("`", "``") + "`"
+                    for p in name.split("."))
+
+
+def _tokens_sql(expr: str) -> str:
+    """SQL-text mirror of :func:`tokens` over an arbitrary SQL
+    expression string (r15, guide §7.3 driver cost / VERDICT r14 next
+    #5): the Column form costs ~77 py4j round-trips per build and the
+    tokenizer is built 2-4x per query in the nb/tfidf/doc-stats
+    family; this parses as ONE ``F.expr``.  Must stay in LOCKSTEP with
+    the Column form below (A/B-pinned in tests/test_r15_opt.py).  The
+    trimmed string is spelled twice, exactly like the Column form's
+    ``when(length(t) == 0, ...).otherwise(split(t, ...))`` references
+    ``t`` twice — identical expression shape, identical values."""
+    t = f"regexp_replace({expr}, '^\\\\s+|\\\\s+$', '')"
+    return (f"CASE WHEN length({t}) = 0 "
+            f"THEN cast(array() as array<string>) "
+            f"ELSE split({t}, '\\\\s+') END")
+
+
+def _tokens_expr(text_col: str, lowercase: bool = False) -> Column:
+    """:func:`tokens` over a NAMED column (optionally lowercased) as
+    one SQL parse; falls back to the Column builder under legacy
+    ``escapedStringLiterals=true`` sessions (ADVICE r14) — identical
+    values either way."""
+    from .util import sql_regex_mirrors_usable
+
+    if sql_regex_mirrors_usable():
+        e = _sql_ident(text_col)
+        if lowercase:
+            e = f"lower({e})"
+        return F.expr(_tokens_sql(e))
+    t = F.col(text_col)
+    return tokens(F.lower(t) if lowercase else t)
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization after trimming; empty string -> empty
+    array.  A ``str`` argument is a column NAME: the expression then
+    parses as one SQL string (r15 — one py4j round-trip instead of
+    ~77)."""
+    if isinstance(text, str):
+        return _tokens_expr(text)
     t = F.regexp_replace(text, r"^\s+|\s+$", "")
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
@@ -183,7 +226,8 @@ def doc_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # cannot share higher-order subexpressions)
     from .util import fan_out
 
-    tokenized = fan_out(df).withColumn("__ltoks", tokens(F.lower(t)))
+    tokenized = fan_out(df).withColumn(
+        "__ltoks", _tokens_expr(text_col, lowercase=True))
     ltoks = F.col("__ltoks")
     staged = tokenized.withColumns({
         "__n_tok": F.array_size(ltoks).cast("long"),
@@ -411,8 +455,8 @@ def gopher_quality(df: DataFrame, text_col: str = "text", *,
     # stage the split arrays through a projection boundary so each is
     # computed once, then derive every metric from the SAME arrays
     arrayed = fan_out(df).withColumns({
-        "__toks": tokens(t),
-        "__ltoks": tokens(F.lower(t)),
+        "__toks": _tokens_expr(text_col),
+        "__ltoks": _tokens_expr(text_col, lowercase=True),
         "__lines": _lines(t),
     })
     staged = arrayed.withColumns(_gopher_metric_exprs(
@@ -466,8 +510,8 @@ def gopher_filter(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     bound = F.struct(
         t.alias("raw"),
-        tokens(t).alias("toks"),
-        tokens(F.lower(t)).alias("ltoks"),
+        _tokens_expr(text_col).alias("toks"),
+        _tokens_expr(text_col, lowercase=True).alias("ltoks"),
         _lines(t).alias("lines"),
     )
 
@@ -676,11 +720,8 @@ def _exploded_tokens(df: DataFrame, text_col: str, id_col: str | None,
     whitespace-only documents contribute no rows."""
     from .util import fan_out
 
-    t = F.col(text_col)
-    if lowercase:
-        t = F.lower(t)
     cols = ([F.col(id_col)] if id_col else []) + [
-        F.explode(tokens(t)).alias("token")
+        F.explode(_tokens_expr(text_col, lowercase)).alias("token")
     ]
     return fan_out(df).select(*cols)
 
@@ -729,12 +770,10 @@ def doc_frequencies(df: DataFrame, text_col: str = "text",
     per (doc, distinct token) with no extra distinct shuffle."""
     from .util import fan_out
 
-    t = F.col(text_col)
-    if lowercase:
-        t = F.lower(t)
     per_doc = fan_out(df).select(
         F.col(id_col),
-        F.explode(F.array_distinct(tokens(t))).alias("token"),
+        F.explode(F.array_distinct(
+            _tokens_expr(text_col, lowercase))).alias("token"),
     )
     return per_doc.groupBy("token").agg(
         F.count(F.lit(1)).alias("df")

@@ -8,7 +8,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["fan_out", "plan_size_bytes", "SMALL_CORPUS_BYTES",
-           "UNKNOWN_PLAN_SIZE", "lit_num_array"]
+           "UNKNOWN_PLAN_SIZE", "lit_num_array",
+           "sql_regex_mirrors_usable"]
 
 # sentinel plan_size_bytes returns when Catalyst has no sizeInBytes
 # statistic for the plan (RDD-backed createDataFrame inputs, plans
@@ -143,6 +144,31 @@ def lit_num_array_sql(values, eltype: str = "double") -> str:
         return f"cast(array() as array<{eltype}>)"
     csv = ",".join(_num_token(v, is_int) for v in vals)
     return f"cast(split('{csv}', ',') as array<{eltype}>)"
+
+
+def sql_regex_mirrors_usable() -> bool:
+    """True when the one-parse SQL-text expression mirrors that embed
+    regex escape sequences (``'\\\\s+'`` in the SQL text) parse to the
+    same pattern strings as their Column builders (r15, ADVICE r14).
+
+    The mirrors assume the default
+    ``spark.sql.parser.escapedStringLiterals=false`` (the parser
+    processes the escape, so ``'\\\\s+'`` reaches the regex engine as
+    ``\\s+``).  A session running with the LEGACY flag set keeps the
+    backslash doubled and would tokenize/shingle differently from the
+    config-immune Column path — callers must fall back to the Column
+    builders there.  One ``conf.get`` py4j call per build; not cached
+    because the conf is runtime-settable."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return True
+    try:
+        return (spark.conf.get("spark.sql.parser.escapedStringLiterals",
+                               "false").lower() != "true")
+    except Exception:
+        return True
 
 
 def bind(col: Column, body) -> Column:

@@ -32,9 +32,11 @@ def _name_from_path(path: str) -> str:
 # SCHEMA per (application, path) and pass it explicitly on later reads
 # (0 jobs).  This is metadata caching only — every returned frame
 # recomputes its data from the files.  The cache entry carries a local
-# filesystem fingerprint (file count / bytes / max mtime); when the
-# files changed, or the path is not confidently local, we fall back to
-# plain inference, so a rewritten path can never be misread.
+# filesystem fingerprint (file count / bytes / max mtime plus a sorted
+# per-file (name, size, mtime) digest, r15); when the files changed,
+# or the path is not confidently local, we fall back to plain
+# inference, so a rewritten path can never be misread.  Entries of
+# stopped applications are evicted on access (r15).
 # ---------------------------------------------------------------------------
 
 _SCHEMA_CACHE: dict = {}
@@ -63,10 +65,12 @@ def _local_fingerprint(path: str):
     if not _stat.S_ISDIR(st.st_mode):
         return (1, st.st_size, st.st_mtime_ns)
     n = sz = mt = 0
+    entries = []
     for root, _dirs, files in os.walk(p):
         for f in files:
+            fp = os.path.join(root, f)
             try:
-                fst = os.stat(os.path.join(root, f))
+                fst = os.stat(fp)
             except OSError:
                 return None
             n += 1
@@ -75,7 +79,19 @@ def _local_fingerprint(path: str):
                 return None
             sz += fst.st_size
             mt = max(mt, fst.st_mtime_ns)
-    return (n, sz, mt)
+            entries.append((os.path.relpath(fp, p), fst.st_size,
+                            fst.st_mtime_ns))
+    # per-file (name, size, mtime) digest (r15, ADVICE r14): the
+    # aggregate (count, bytes, max-mtime) triple could serve a stale
+    # schema after a same-size rewrite landing within one mtime tick
+    # on a coarse-granularity filesystem; hashing the sorted per-file
+    # identities closes that window
+    import hashlib
+
+    h = hashlib.sha256()
+    for e in sorted(entries):
+        h.update(repr(e).encode())
+    return (n, sz, mt, h.hexdigest())
 
 
 def spark_read_parquet(spark: SparkSession, path: str):
@@ -86,6 +102,13 @@ def spark_read_parquet(spark: SparkSession, path: str):
     if fp is None:
         return spark.read.parquet(path)
     key = (spark.sparkContext.applicationId, path)
+    # evict entries of STOPPED applications (r15, ADVICE r14: the dict
+    # otherwise grows without bound across restarted sessions in one
+    # long-lived process) — any key whose applicationId is not the
+    # active one is dead, since schemas are only consulted same-app
+    for k in list(_SCHEMA_CACHE):
+        if k[0] != key[0]:
+            _SCHEMA_CACHE.pop(k, None)
     hit = _SCHEMA_CACHE.get(key)
     if hit is not None and hit[0] == fp:
         return spark.read.schema(hit[1]).parquet(path)
