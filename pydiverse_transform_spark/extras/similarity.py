@@ -1958,6 +1958,13 @@ def _make_celled(src: DataFrame, centroids, cells: Column | None,
 # spilled ~50 GB and died while the kernel route completes.
 _COMPONENT_PAIR_CAP = 4_000_000
 
+# the auto probe's per-cell counts are collected to the driver (and pv/
+# fat folded in Python, one exchange fewer) only when the quantizer is
+# an argmin over a plan-literal centroid LIST of at most this many
+# cells — a provable bound on the collected row count.  65536 cells of
+# (long, long) is ~1 MB on the driver.  (r15)
+_PROBE_CELL_COLLECT_CAP = 65_536
+
 
 def semdedup(df: DataFrame, centroids,
              threshold: float = 0.95,
@@ -2088,22 +2095,43 @@ def semdedup(df: DataFrame, centroids,
             # would let unmatchable rows drive the routing.
             cap = cell_task_cap
             try:
-                row = (celled.filter(F.col("__cell").isNotNull())
-                       .groupBy("__cell").count()
-                       .agg(F.sum(F.expr("count * (count - 1) / 2"))
-                            .alias("pv"),
-                            F.collect_list(F.when(
-                                F.col("count") > cap,
-                                F.struct(F.col("__cell"),
-                                         F.col("count"))))
-                            .alias("fat"))
-                       .collect()[0])
+                base_cnt = (celled.filter(F.col("__cell").isNotNull())
+                            .groupBy("__cell").count())
+                if cells is None and isinstance(centroids,
+                                                (list, tuple)) \
+                        and len(centroids) <= _PROBE_CELL_COLLECT_CAP:
+                    # k is DRIVER-KNOWN and bounded (argmin over a
+                    # plan-literal centroid list => distinct cells <=
+                    # k): collect the per-cell counts (<= k rows) and
+                    # fold pv/fat in Python — drops the one-row global
+                    # re-aggregation's exchange and its AQE job from
+                    # the probe (r15, guide §1.2 driver/plan cost; pv
+                    # is exact integer arithmetic here, identical
+                    # routing).  Custom quantizer expressions and
+                    # DataFrame centroids keep the one-row fold: their
+                    # cell cardinality is not provably driver-safe.
+                    cnts = [(r["__cell"], r["count"])
+                            for r in base_cnt.collect()]
+                    probe_counts = sum(c * (c - 1) // 2
+                                       for _, c in cnts)
+                    fat = [(cell, -(-c // cap))
+                           for cell, c in cnts if c > cap]
+                else:
+                    row = (base_cnt
+                           .agg(F.sum(F.expr("count * (count - 1) / 2"))
+                                .alias("pv"),
+                                F.collect_list(F.when(
+                                    F.col("count") > cap,
+                                    F.struct(F.col("__cell"),
+                                             F.col("count"))))
+                                .alias("fat"))
+                           .collect()[0])
+                    probe_counts = int(row["pv"] or 0)
+                    fat = [(r["__cell"], -(-r["count"] // cap))
+                           for r in row["fat"]]
             except BaseException:
                 _release_celled()
                 raise
-            probe_counts = int(row["pv"] or 0)
-            fat = [(r["__cell"], -(-r["count"] // cap))
-                   for r in row["fat"]]
             tmap = (celled.sparkSession.createDataFrame(
                 fat, "__cell long, __t int") if fat else None)
     use_cells = component_backend == "cells"

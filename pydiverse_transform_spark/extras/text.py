@@ -723,7 +723,12 @@ def _exploded_tokens(df: DataFrame, text_col: str, id_col: str | None,
     cols = ([F.col(id_col)] if id_col else []) + [
         F.explode(_tokens_expr(text_col, lowercase)).alias("token")
     ]
-    return fan_out(df).select(*cols)
+    # key the fan-out exchange by the doc id when one is carried
+    # (r15, guide §2.4): the (id, token) tf aggregation AND the
+    # per-doc top-k window downstream are both clustered by id, so
+    # they reuse this one exchange instead of shuffling the exploded
+    # token rows again (q_tfidf_topk: 3 exchanges -> 1 in the tf lane)
+    return fan_out(df, key=id_col).select(*cols)
 
 
 def term_counts(df: DataFrame, text_col: str = "text",

@@ -17,7 +17,8 @@ __all__ = ["fan_out", "plan_size_bytes", "SMALL_CORPUS_BYTES",
 UNKNOWN_PLAN_SIZE = 1 << 62
 
 
-def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def fan_out(df: DataFrame, min_parts: int | None = None,
+            key: str | None = None) -> DataFrame:
     """Guarantee enough partitions before heavy narrow per-row compute
     (shingling, minhashing, per-token scans, vector math).
 
@@ -36,9 +37,24 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     a small input; above it (or when stats are unknown, e.g. after a
     wide transform at scale), the input already has enough splits and
     adding a shuffle of raw text would be pure cost.
-    """
+
+    ``key`` (r15, guide §2.4 "share one exchange"): when the fan-out
+    DOES repartition, hash-partition by this column instead of
+    round-robin, so a downstream aggregation/window keyed on it (or on
+    a superset — HashPartitioning(k) satisfies ClusteredDistribution
+    (k, ...)) reuses the exchange instead of adding its own.  Same
+    cost when the fan-out fires (the rows move either way), zero
+    change when it doesn't — the key only ever REMOVES exchanges.
+    Keys must be high-cardinality (unique ids) so the hash spreads
+    evenly (guide §2.5)."""
     sess = df.sparkSession
     target = min_parts or sess.sparkContext.defaultParallelism
+
+    def _rep():
+        if key is not None:
+            return df.repartition(target, F.col(key))
+        return df.repartition(target)
+
     raw = str(sess.conf.get("spark.sql.files.maxPartitionBytes",
                             "134217728"))
     size = plan_size_bytes(df)
@@ -52,12 +68,12 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         # probe is cheap.
         try:
             if df.rdd.getNumPartitions() < target:
-                return df.repartition(target)
+                return _rep()
         except Exception:
             pass
         return df
     if size < target * _parse_byte_conf(raw):
-        return df.repartition(target)
+        return _rep()
     return df
 
 

@@ -221,6 +221,67 @@ def test_gram_cache_bounded_and_scoped_release(spark):
     cl._lm_release_gram_cache(g4)
 
 
+def test_fan_out_key_reuses_exchange_in_tfidf(spark, tmp_path):
+    """fan_out(key=id) must hash-partition by the id instead of
+    round-robin so the tf aggregation and per-doc window reuse the one
+    exchange: the tfidf plan must carry NO exchange keyed
+    (doc_id, token) — that exchange existed before r15 — and values
+    must be identical to the unkeyed build."""
+    from pydiverse_transform_spark.extras import text as tx
+    from pydiverse_transform_spark.extras.util import fan_out
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i % 7} common w{i % 3} tail{i}") for i in range(200)],
+        "doc_id long, text string").write.parquet(p)
+    df = spark.read.parquet(p)
+
+    keyed = fan_out(df, key="doc_id")
+    plan = keyed._jdf.queryExecution().optimizedPlan().toString()
+    assert "RepartitionByExpression [doc_id" in plan
+
+    out = tx.tfidf_top_terms(df, k=2)
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(doc_id" in phys          # the fan-out
+    # the tf groupBy's own (doc_id, token) exchange is gone
+    for seg in phys.split("hashpartitioning(")[1:]:
+        head = seg.split(")")[0]
+        assert not (head.startswith("doc_id") and "token" in head), head
+
+    # values identical to a from-scratch computation with no fan-out
+    import pyspark.sql.functions as F
+    ex = df.select("doc_id",
+                   F.explode(F.split(F.lower(F.trim("text")),
+                                     r"\s+")).alias("token"))
+    tf = ex.groupBy("doc_id", "token").count()
+    got = {(r.doc_id, r.token, r.tf) for r in out.collect()}
+    want_tf = {(r.doc_id, r.token): r["count"] for r in tf.collect()}
+    for d, t, c in got:
+        assert want_tf[(d, t)] == c
+
+
+def test_semdedup_probe_driver_fold_matches_agg_fold(spark, monkeypatch):
+    """The per-cell driver fold (plan-literal centroid lists) must
+    route and dedup identically to the one-row aggregation fold."""
+    import pydiverse_transform_spark.extras.similarity as sim
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(60)]
+    # force duplicate clusters: pairs of identical vectors
+    rows += [(100 + i, rows[i][1]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[float((c * 5 + j) % 7 - 3) for j in range(8)]
+             for c in range(4)]
+
+    kept_fold = {r.vec_id for r in sim.semdedup(
+        df, cents, threshold=0.99).collect()}
+    monkeypatch.setattr(sim, "_PROBE_CELL_COLLECT_CAP", 0)
+    kept_agg = {r.vec_id for r in sim.semdedup(
+        df, cents, threshold=0.99).collect()}
+    assert kept_fold == kept_agg
+    assert kept_fold  # non-trivial corpus survived
+
+
 def test_schema_fingerprint_detects_same_size_rename(spark, tmp_path):
     """The per-file digest must change when a file is renamed even
     though count/bytes/max-mtime stay identical (ADVICE r14: the
