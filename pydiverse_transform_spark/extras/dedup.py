@@ -1059,11 +1059,21 @@ def _span_tokens(text: Column) -> Column:
 
 def span_occurrences(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", *, window: int = 8,
-                     stride: int = 1) -> DataFrame:
+                     stride: int = 1,
+                     _binary: bool = False) -> DataFrame:
     """One row per sliding ``window``-token window of every document:
     (id_col, pos, h) where ``pos`` is the 0-based token offset and ``h``
     the md5 of the space-joined window.  Documents shorter than
-    ``window`` tokens produce no rows."""
+    ``window`` tokens produce no rows.
+
+    ``_binary`` (internal, r15, guide §2.3 "shuffle fewer bytes"):
+    emit ``h`` as the 16-byte ``unhex(md5)`` binary instead of the
+    32-char hex string.  The occurrence table is THE dominant shuffle
+    of the substring-dedup family (~1 row per corpus token), and the
+    hash is half its payload — the internal lanes shuffle/sort/join
+    the binary form and convert back to hex only at public boundaries
+    (``unhex`` is injective on md5 output, so every equality,
+    grouping and join is unchanged)."""
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
     toks = _span_tokens(F.col(text_col))
@@ -1071,6 +1081,11 @@ def span_occurrences(df: DataFrame, text_col: str = "text",
         F.col(id_col), toks.alias("__toks"),
         F.array_size(toks).alias("__n"),
     )
+    h = F.md5(
+        F.concat_ws(" ", F.slice("__toks", F.col("pos") + 1, window))
+    )
+    if _binary:
+        h = F.unhex(h)
     return (
         base.filter(F.col("__n") >= window)
         .select(
@@ -1080,24 +1095,17 @@ def span_occurrences(df: DataFrame, text_col: str = "text",
             ).alias("pos"),
             F.col("__toks"),
         )
-        .select(
-            id_col, "pos",
-            F.md5(
-                F.concat_ws(" ", F.slice("__toks", F.col("pos") + 1, window))
-            ).alias("h"),
-        )
+        .select(id_col, "pos", h.alias("h"))
     )
 
 
-def duplicate_spans(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", *, window: int = 8,
-                    stride: int = 1) -> DataFrame:
-    """Window hashes occurring more than once corpus-wide (within-doc
-    repeats count), with occurrence count and the canonical occurrence
-    (lexicographic min of (id, pos)): (h, n_occurrences, canon_id,
-    canon_pos)."""
+def _duplicate_spans_binary(df: DataFrame, text_col: str, id_col: str,
+                            *, window: int, stride: int) -> DataFrame:
+    """:func:`duplicate_spans` with ``h`` left in the internal 16-byte
+    binary form (r15) — the rescan lane joins it against a binary
+    occurrence table without paying the hex round-trip."""
     occ = span_occurrences(df, text_col, id_col,
-                           window=window, stride=stride)
+                           window=window, stride=stride, _binary=True)
     return (
         occ.groupBy("h")
         .agg(
@@ -1111,6 +1119,24 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
             F.col("__c.pos").alias("canon_pos"),
         )
     )
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", *, window: int = 8,
+                    stride: int = 1) -> DataFrame:
+    """Window hashes occurring more than once corpus-wide (within-doc
+    repeats count), with occurrence count and the canonical occurrence
+    (lexicographic min of (id, pos)): (h, n_occurrences, canon_id,
+    canon_pos).
+
+    Scale shape (r15): the corpus-token-sized aggregation runs over
+    the 16-byte BINARY hash (half the exchange payload of the hex
+    string — guide §2.3); ``h`` converts back to the documented
+    lowercase-hex form only on the aggregated output, which holds one
+    row per DUPLICATED hash — tiny next to the occurrence table."""
+    return _duplicate_spans_binary(
+        df, text_col, id_col, window=window, stride=stride,
+    ).withColumn("h", F.lower(F.hex(F.col("h"))))
 
 
 _SPAN_PROBE_MIN_SUPPORT = 100
@@ -1140,7 +1166,7 @@ def _route_span_strategy(df: DataFrame, text_col: str, id_col: str, *,
         < F.lit(int(f * 1_000_000)))
     row = (
         span_occurrences(sampled, text_col, id_col,
-                         window=window, stride=stride)
+                         window=window, stride=stride, _binary=True)
         .groupBy("h").count()
         .agg(F.max("count").alias("m")).collect()[0]
     )
@@ -1268,8 +1294,12 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
 
     from pyspark.sql import Window as W
 
+    # internal lanes carry the 16-byte binary hash (r15, guide §2.3):
+    # the occurrence exchange/sort is the operator's dominant shuffle
+    # and the hex string was half its payload; h never reaches the
+    # output, so the form is free to change
     occ = span_occurrences(df, text_col, id_col,
-                           window=window, stride=stride)
+                           window=window, stride=stride, _binary=True)
     if dup_strategy == "sort":
         occ = _spansort_spread(df, occ)
         wh = W.partitionBy("h")
@@ -1282,8 +1312,8 @@ def substring_dedup(df: DataFrame, text_col: str = "text",
                     (F.col("pos") + window).alias("e"))
         )
     else:
-        dup = duplicate_spans(df, text_col, id_col,
-                              window=window, stride=stride)
+        dup = _duplicate_spans_binary(df, text_col, id_col,
+                                      window=window, stride=stride)
         bad = (
             occ.join(dup.select("h", "canon_id", "canon_pos"), "h")
             .filter(

@@ -282,6 +282,45 @@ def test_semdedup_probe_driver_fold_matches_agg_fold(spark, monkeypatch):
     assert kept_fold  # non-trivial corpus survived
 
 
+def test_span_binary_hash_lane_matches_hex(spark):
+    """The internal 16-byte binary span-hash lane (r15, guide §2.3)
+    must be value-identical at every public boundary: duplicate_spans
+    still emits lowercase md5 hex matching a direct computation, and
+    substring_dedup's sort and rescan strategies agree."""
+    import hashlib
+
+    from pydiverse_transform_spark.extras.dedup import (
+        duplicate_spans,
+        span_occurrences,
+        substring_dedup,
+    )
+
+    docs = [
+        (1, "a b c d e f g h i j the quick brown fox"),
+        (2, "x y a b c d e f g h i j z"),
+        (3, "a b c d e f g h i j the quick brown fox"),
+        (4, ""), (5, None), (6, "short doc"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    dup = duplicate_spans(df, window=4).collect()
+    assert dup  # the shared span must be found
+    for r in dup:
+        assert r.h == r.h.lower() and len(r.h) == 32
+    # h values equal a direct python md5 over the public occurrence rows
+    occ = span_occurrences(df, window=4).collect()
+    by_pos = {(r.doc_id, r.pos): r.h for r in occ}
+    toks = docs[0][1].split()
+    want = hashlib.md5(" ".join(toks[0:4]).encode()).hexdigest()
+    assert by_pos[(1, 0)] == want
+
+    a = substring_dedup(df, window=4, dup_strategy="sort") \
+        .select("doc_id", "clean_text", "n_tokens_after").collect()
+    b = substring_dedup(df, window=4, dup_strategy="rescan") \
+        .select("doc_id", "clean_text", "n_tokens_after").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_schema_fingerprint_detects_same_size_rename(spark, tmp_path):
     """The per-file digest must change when a file is renamed even
     though count/bytes/max-mtime stay identical (ADVICE r14: the
