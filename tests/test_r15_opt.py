@@ -184,41 +184,52 @@ def test_gram_cache_bounded_and_scoped_release(spark):
     DIFFERENT corpus releases the previous cache (bounded at one), a
     same-plan retrain keeps the shared CacheManager entry, and the
     scoped variant releases deterministically on exit (VERDICT r14
-    what's-wrong #2)."""
-    docs = _docs(spark)
-    base = _persistent_rdd_ids(spark)
+    what's-wrong #2).  Asserted via DataFrame.storageLevel (the
+    CacheManager's own view) so the test is immune to whatever other
+    suite tests have pinned in the shared session."""
+    import uuid
+
+    def cached(df):
+        lv = df.storageLevel
+        return lv.useMemory or lv.useDisk
+
+    # unique literal text so no other test's plan can alias these
+    salt = uuid.uuid4().hex[:8]
+    docs = spark.createDataFrame(
+        [(i, f"{salt} w{i % 5} x{i % 3} tail{i}") for i in range(40)],
+        "doc_id long, text string")
+    docs2 = docs.filter(F.col("doc_id") < 20)
 
     g1, c1 = cl.bigram_lm_train(docs)
     cl.lm_score(docs, g1, c1).count()
-    after1 = _persistent_rdd_ids(spark)
-    assert len(after1 - base) <= 1  # the one gram cache
+    assert cached(g1)
 
-    # same-plan retrain: no new pinned RDD (CacheManager dedups)
+    # same-plan retrain: the shared CacheManager entry is kept
     g1b, c1b = cl.bigram_lm_train(docs)
-    cl.lm_score(docs, g1b, c1b).count()
-    assert len(_persistent_rdd_ids(spark) - base) <= 1
+    assert cached(g1) and cached(g1b)
 
     # different-corpus retrain: the previous cache must be released
-    docs2 = docs.filter(F.col("doc_id") < 5)
     g2, c2 = cl.bigram_lm_train(docs2)
     cl.lm_score(docs2, g2, c2).count()
-    after2 = _persistent_rdd_ids(spark)
-    assert len(after2 - base) <= 1
-    assert after1 - base != after2 - base or after1 == base
+    assert cached(g2)
+    assert not cached(g1), "previous gram cache not released"
 
-    # scoped: storage returns to baseline on exit
+    # explicit release drops the registry entry and the cache
     cl._lm_release_gram_cache(g2)
-    base2 = _persistent_rdd_ids(spark)
+    assert not cached(g2)
+
+    # scoped: storage returns to baseline on exit, values identical
     with cl.bigram_lm_train_scoped(docs) as (g3, c3):
         scored = cl.lm_score(docs, g3, c3)
         want = sorted((r[0], r[1]) for r in scored.collect())
-    assert _persistent_rdd_ids(spark) - base2 == set()
-    # values identical to an unscoped run
+        assert cached(g3)
+    assert not cached(g3)
     g4, c4 = cl.bigram_lm_train(docs)
     got = sorted(
         (r[0], r[1]) for r in cl.lm_score(docs, g4, c4).collect())
     assert got == want
     cl._lm_release_gram_cache(g4)
+    assert not cached(g4)
 
 
 def test_fan_out_key_reuses_exchange_in_tfidf(spark, tmp_path):
